@@ -1,0 +1,167 @@
+package graft.codec
+
+import graft.model.ColumnStats
+
+/** Single-pass statistics + codec auto-selection + encode for one
+  * block's concatenated token stream.
+  *
+  * The selection policy is the Spark-native generalization of the
+  * reference's statistics-driven decisions:
+  *  - dictionary when distinct-share is low — undatum's
+  *    `share_uniq < dictshare` (default 70) rule,
+  *    undatum/cmds/statistics.py:104-110, undatum/constants.py:5
+  *  - minimal integer width — undatum/utils.py:106-111 (its `<255`
+  *    off-by-one is documented there; we use exact bit width instead)
+  *  - RLE when run-length mass is high, FOR when the value range is
+  *    narrow relative to magnitude, FSST when 4-gram repetition is
+  *    high (both new here; the reference has no sub-file codecs)
+  *
+  * Selection computes cheap stats, narrows to <=3 candidate codecs,
+  * encodes each, and keeps the smallest — deterministic and
+  * near-optimal; encode kernels are fast enough that trying 2-3
+  * candidates costs less than a mis-pick at scale.
+  */
+object BlockCodec {
+
+  val codecs: Map[Int, IntCodec] = Map(
+    CodecIds.Plain -> PlainCodec,
+    CodecIds.Dict -> DictCodec,
+    CodecIds.Rle -> RleCodec,
+    CodecIds.BitPack -> BitPackCodec,
+    CodecIds.For -> ForCodec,
+    CodecIds.Fsst -> FsstCodec,
+    CodecIds.DeltaFor -> DeltaForCodec
+  )
+
+  private val CardCap = 1 << 16
+
+  /** One pass over the block: min/max, capped exact cardinality, runs,
+    * sampled 4-gram repetition share.
+    */
+  def stats(values: Array[Int], n: Int): ColumnStats = {
+    if (n == 0) return ColumnStats.empty
+    var min = values(0); var max = values(0)
+    var runs = 1L; var maxRun = 1; var curRun = 1
+    val seen = new java.util.HashSet[Integer](math.min(n, CardCap))
+    var cardCapped = false
+    seen.add(values(0))
+    var i = 1
+    while (i < n) {
+      val v = values(i)
+      if (v < min) min = v
+      if (v > max) max = v
+      if (v == values(i - 1)) { curRun += 1; if (curRun > maxRun) maxRun = curRun }
+      else { runs += 1; curRun = 1 }
+      if (!cardCapped) {
+        seen.add(v)
+        if (seen.size > CardCap) cardCapped = true
+      }
+      i += 1
+    }
+    // sampled 4-gram repetition: hash rolling windows over a prefix
+    val sampleN = math.min(n, 4096)
+    var rep = 0.0
+    var deltaW = 0
+    if (sampleN >= 2) {
+      var j = 1
+      while (j < sampleN) {
+        val d = values(j).toLong - values(j - 1).toLong
+        val z = (d << 1) ^ (d >> 63)
+        val w = Bits.width(z)
+        if (w > deltaW) deltaW = w
+        j += 1
+      }
+    }
+    if (sampleN >= 8) {
+      val grams = new java.util.HashSet[java.lang.Long](sampleN)
+      var repeats = 0
+      var j = 0
+      while (j + 4 <= sampleN) {
+        var h = 1125899906842597L
+        var k = 0
+        while (k < 4) { h = h * 31 + values(j + k); k += 1 }
+        if (!grams.add(h)) repeats += 1
+        j += 1
+      }
+      rep = repeats.toDouble / math.max(1, sampleN - 3)
+    }
+    ColumnStats(n.toLong, min, max, seen.size.toLong, !cardCapped, runs, maxRun, rep, deltaW)
+  }
+
+  /** Stats -> ordered candidate codec ids. */
+  def candidates(s: ColumnStats): Seq[Int] = {
+    if (s.n == 0) return Seq(CodecIds.Plain)
+    val out = scala.collection.mutable.ArrayBuffer[Int]()
+    val avgRun = s.avgRun
+    if (avgRun >= 3.0) out += CodecIds.Rle
+    // dict: distinct-share rule (undatum dictshare) + representable card
+    if (s.cardExact && s.card <= DictCodec.maxCard && s.uniqShare < 70.0)
+      out += CodecIds.Dict
+    if (s.repeat4Share > 0.25 && s.min >= 0) out += CodecIds.Fsst
+    val range = s.max.toLong - s.min.toLong
+    val wFor = Bits.width(range)
+    val wRaw = if (s.min >= 0) Bits.widthInt(s.max) else 33
+    // sorted / smoothly-varying streams: sampled deltas far narrower
+    // than both the raw and FOR widths
+    if (s.sampleDeltaW + 4 < math.min(wRaw, wFor)) out += CodecIds.DeltaFor
+    if (wFor + 4 < wRaw) out += CodecIds.For
+    if (s.min >= 0 && wRaw <= 24) out += CodecIds.BitPack
+    if (out.isEmpty || wRaw > 24) out += CodecIds.Plain
+    out.distinct.take(3).toSeq
+  }
+
+  final case class BlockEncoded(
+      codecId: Int,
+      postCodec: Int,
+      symtab: Array[Byte],
+      payload: Array[Byte],
+      stats: ColumnStats
+  ) {
+    def encodedBytes: Long = symtab.length.toLong + payload.length.toLong
+  }
+
+  /** Encode with auto-selection; optionally zstd the winning payload. */
+  def encodeAuto(values: Array[Int], n: Int, zstd: Boolean = true): BlockEncoded = {
+    val s = stats(values, n)
+    var bestId = CodecIds.Plain
+    var best: Encoded = null
+    var bestSize = Long.MaxValue
+    candidates(s).foreach { cid =>
+      val e = codecs(cid).encode(values, n)
+      if (e != null) {
+        val size = e.symtab.length.toLong + e.payload.length.toLong
+        if (size < bestSize) { bestSize = size; best = e; bestId = cid }
+      }
+    }
+    if (best == null) { best = PlainCodec.encode(values, n); bestId = CodecIds.Plain }
+    if (zstd && best.payload.length > 64) {
+      val z = com.github.luben.zstd.Zstd.compress(best.payload, 3)
+      if (z.length < best.payload.length)
+        return BlockEncoded(bestId, 1, best.symtab, z, s)
+    }
+    BlockEncoded(bestId, 0, best.symtab, best.payload, s)
+  }
+
+  def decode(codecId: Int, postCodec: Int, symtab: Array[Byte],
+             payload: Array[Byte], n: Int): Array[Int] = {
+    val raw =
+      if (postCodec == 1) {
+        val size = com.github.luben.zstd.Zstd.getFrameContentSize(payload)
+        com.github.luben.zstd.Zstd.decompress(payload, size.toInt)
+      } else payload
+    codecs(codecId).decode(symtab, raw, n)
+  }
+
+  /** Order-sensitive 64-bit checksum of a token stream (FNV-1a). */
+  def checksum(values: Array[Int], n: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < n) {
+      var v = values(i)
+      var k = 0
+      while (k < 4) { h ^= (v & 0xFF); h *= 0x100000001b3L; v >>>= 8; k += 1 }
+      i += 1
+    }
+    h
+  }
+}

@@ -1,0 +1,132 @@
+package graft.codec
+
+import java.util.Arrays
+
+/** Byte-level primitives shared by all codecs: growable output buffer,
+  * LEB128 varints, zigzag, and LSB-first bit-packing. Pure JVM, no
+  * Spark dependency — invoked from `mapPartitions`/`flatMapGroups`
+  * kernels so everything here must be allocation-lean.
+  */
+final class ByteBuf(initial: Int = 64) {
+  private var buf = new Array[Byte](math.max(initial, 16))
+  private var len = 0
+
+  def size: Int = len
+
+  private def ensure(extra: Int): Unit = {
+    if (len + extra > buf.length) {
+      var cap = buf.length * 2
+      while (cap < len + extra) cap *= 2
+      buf = Arrays.copyOf(buf, cap)
+    }
+  }
+
+  def writeByte(b: Int): Unit = { ensure(1); buf(len) = b.toByte; len += 1 }
+
+  def writeBytes(bs: Array[Byte]): Unit = {
+    ensure(bs.length); System.arraycopy(bs, 0, buf, len, bs.length); len += bs.length
+  }
+
+  def writeBytes(bs: Array[Byte], off: Int, n: Int): Unit = {
+    ensure(n); System.arraycopy(bs, off, buf, len, n); len += n
+  }
+
+  def writeIntLE(v: Int): Unit = {
+    ensure(4)
+    buf(len) = v.toByte
+    buf(len + 1) = (v >>> 8).toByte
+    buf(len + 2) = (v >>> 16).toByte
+    buf(len + 3) = (v >>> 24).toByte
+    len += 4
+  }
+
+  def writeLongLE(v: Long): Unit = { writeIntLE(v.toInt); writeIntLE((v >>> 32).toInt) }
+
+  /** Unsigned LEB128 of the low 32 bits. */
+  def writeVarInt(v: Int): Unit = writeVarLong(v.toLong & 0xFFFFFFFFL)
+
+  def writeVarLong(v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7FL) != 0L) { writeByte(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+    writeByte(v.toInt)
+  }
+
+  def writeZigZag(v: Int): Unit = writeVarLong(((v << 1) ^ (v >> 31)).toLong & 0xFFFFFFFFL)
+
+  def toArray: Array[Byte] = Arrays.copyOf(buf, len)
+}
+
+final class ByteReader(val buf: Array[Byte], var pos: Int = 0) {
+  def readByte(): Int = { val b = buf(pos) & 0xFF; pos += 1; b }
+
+  def readIntLE(): Int = {
+    val v = (buf(pos) & 0xFF) | ((buf(pos + 1) & 0xFF) << 8) |
+      ((buf(pos + 2) & 0xFF) << 16) | ((buf(pos + 3) & 0xFF) << 24)
+    pos += 4; v
+  }
+
+  def readLongLE(): Long =
+    (readIntLE().toLong & 0xFFFFFFFFL) | (readIntLE().toLong << 32)
+
+  def readVarLong(): Long = {
+    var v = 0L; var shift = 0
+    var b = readByte()
+    while ((b & 0x80) != 0) { v |= (b & 0x7F).toLong << shift; shift += 7; b = readByte() }
+    v | (b.toLong << shift)
+  }
+
+  def readVarInt(): Int = readVarLong().toInt
+
+  def readZigZag(): Int = { val z = readVarLong().toInt; (z >>> 1) ^ -(z & 1) }
+
+  def remaining: Int = buf.length - pos
+}
+
+object Bits {
+  /** Minimal width in bits to represent unsigned value v (0 for v==0). */
+  def width(v: Long): Int =
+    if (v == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(v)
+
+  def widthInt(v: Int): Int = if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(v)
+
+  /** Pack n values (given as Longs in [0, 2^w), w <= 63) LSB-first. */
+  def pack(values: Array[Long], n: Int, w: Int, out: ByteBuf): Unit = {
+    if (w == 0) return
+    require(w < 64, s"pack width $w")
+    var acc = 0L
+    var accBits = 0
+    var i = 0
+    while (i < n) {
+      val v = values(i)
+      acc |= (v << accBits) // accBits < 64 always holds here
+      accBits += w
+      if (accBits >= 64) {
+        var k = 0
+        while (k < 8) { out.writeByte((acc & 0xFF).toInt); acc >>>= 8; k += 1 }
+        accBits -= 64
+        acc = if (accBits > 0) v >>> (w - accBits) else 0L
+      }
+      while (accBits >= 8) { out.writeByte((acc & 0xFF).toInt); acc >>>= 8; accBits -= 8 }
+      i += 1
+    }
+    while (accBits > 0) { out.writeByte((acc & 0xFF).toInt); acc >>>= 8; accBits -= 8 }
+  }
+
+  /** Inverse of pack: read n values at w bits each. */
+  def unpack(r: ByteReader, n: Int, w: Int): Array[Long] = {
+    val out = new Array[Long](n)
+    if (w == 0) return out
+    val mask = if (w == 64) -1L else (1L << w) - 1L
+    var acc = 0L
+    var accBits = 0
+    var i = 0
+    while (i < n) {
+      while (accBits < w) { acc |= (r.readByte().toLong << accBits); accBits += 8 }
+      out(i) = acc & mask
+      acc >>>= w
+      accBits -= w
+      i += 1
+    }
+    out
+  }
+}

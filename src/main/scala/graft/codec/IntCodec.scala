@@ -1,0 +1,271 @@
+package graft.codec
+
+/** Lightweight integer codecs over a block's concatenated token stream.
+  *
+  * Each codec is a pure `Array[Int] -> (symtab, payload)` kernel with a
+  * symmetric decode; losslessness is the invariant the reference states
+  * as round-trip format-conversion equality (undatum README.rst + its
+  * fixtures corpus), re-expressed here per BASELINE.json as
+  * `decode(encode(x)) == x` element-for-element.
+  *
+  * Width/dictionary heuristics descend from the reference:
+  *  - int-width minimization: undatum/utils.py:106-111
+  *  - dictionary-key detection (uniq share): undatum/cmds/statistics.py:104-110
+  */
+final case class Encoded(symtab: Array[Byte], payload: Array[Byte])
+
+trait IntCodec extends Serializable {
+  def id: Int
+  def name: String
+  /** Encode; returns null when this codec cannot represent the input
+    * (e.g. negative values for unsigned packing) — caller falls back.
+    */
+  def encode(values: Array[Int], n: Int): Encoded
+  def decode(symtab: Array[Byte], payload: Array[Byte], n: Int): Array[Int]
+}
+
+object CodecIds {
+  val Plain = 0
+  val Dict = 1
+  val Rle = 2
+  val BitPack = 3
+  val For = 4
+  val Fsst = 5
+  val DeltaFor = 6
+  val names: Map[Int, String] = Map(
+    Plain -> "plain", Dict -> "dict", Rle -> "rle", BitPack -> "bitpack",
+    For -> "for", Fsst -> "fsst", DeltaFor -> "deltafor")
+}
+
+/** Raw 4-byte little-endian values — the universal fallback. */
+object PlainCodec extends IntCodec {
+  val id = CodecIds.Plain
+  val name = "plain"
+  def encode(values: Array[Int], n: Int): Encoded = {
+    val out = new ByteBuf(n * 4 + 8)
+    var i = 0
+    while (i < n) { out.writeIntLE(values(i)); i += 1 }
+    Encoded(Array.emptyByteArray, out.toArray)
+  }
+  def decode(symtab: Array[Byte], payload: Array[Byte], n: Int): Array[Int] = {
+    val r = new ByteReader(payload)
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) { out(i) = r.readIntLE(); i += 1 }
+    out
+  }
+}
+
+/** LSB-first bit-packing at width(max) — requires non-negative input. */
+object BitPackCodec extends IntCodec {
+  val id = CodecIds.BitPack
+  val name = "bitpack"
+  def encode(values: Array[Int], n: Int): Encoded = {
+    var max = 0
+    var i = 0
+    while (i < n) { val v = values(i); if (v < 0) return null; if (v > max) max = v; i += 1 }
+    val w = Bits.widthInt(max)
+    val out = new ByteBuf(n * w / 8 + 16)
+    val longs = new Array[Long](n)
+    i = 0
+    while (i < n) { longs(i) = values(i).toLong; i += 1 }
+    Bits.pack(longs, n, w, out)
+    Encoded(Array(w.toByte), out.toArray)
+  }
+  def decode(symtab: Array[Byte], payload: Array[Byte], n: Int): Array[Int] = {
+    val w = symtab(0) & 0xFF
+    val longs = Bits.unpack(new ByteReader(payload), n, w)
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) { out(i) = longs(i).toInt; i += 1 }
+    out
+  }
+}
+
+/** Frame-of-reference: subtract min, bit-pack the deltas. Handles any
+  * int range (deltas computed in Long).
+  */
+object ForCodec extends IntCodec {
+  val id = CodecIds.For
+  val name = "for"
+  def encode(values: Array[Int], n: Int): Encoded = {
+    if (n == 0) return Encoded(Array[Byte](0, 0, 0, 0, 0), Array.emptyByteArray)
+    var min = values(0); var max = values(0)
+    var i = 1
+    while (i < n) {
+      val v = values(i)
+      if (v < min) min = v
+      if (v > max) max = v
+      i += 1
+    }
+    val range = max.toLong - min.toLong
+    val w = Bits.width(range)
+    val st = new ByteBuf(5)
+    st.writeIntLE(min)
+    st.writeByte(w)
+    val longs = new Array[Long](n)
+    i = 0
+    while (i < n) { longs(i) = values(i).toLong - min.toLong; i += 1 }
+    val out = new ByteBuf(n * w / 8 + 16)
+    Bits.pack(longs, n, w, out)
+    Encoded(st.toArray, out.toArray)
+  }
+  def decode(symtab: Array[Byte], payload: Array[Byte], n: Int): Array[Int] = {
+    val r = new ByteReader(symtab)
+    val min = r.readIntLE()
+    val w = r.readByte()
+    val longs = Bits.unpack(new ByteReader(payload), n, w)
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) { out(i) = (longs(i) + min.toLong).toInt; i += 1 }
+    out
+  }
+}
+
+/** Delta + zigzag + frame-of-reference-style bit-packing: wins on
+  * near-sorted or smoothly-varying streams (e.g. positional ids).
+  */
+object DeltaForCodec extends IntCodec {
+  val id = CodecIds.DeltaFor
+  val name = "deltafor"
+  def encode(values: Array[Int], n: Int): Encoded = {
+    if (n == 0) return Encoded(Array[Byte](0, 0, 0, 0, 0), Array.emptyByteArray)
+    // zigzag deltas (first value stored in symtab)
+    val zz = new Array[Long](n - 1)
+    var maxZ = 0L
+    var i = 1
+    while (i < n) {
+      val d = values(i).toLong - values(i - 1).toLong
+      val z = (d << 1) ^ (d >> 63)
+      zz(i - 1) = z
+      if (z > maxZ) maxZ = z
+      i += 1
+    }
+    val w = Bits.width(maxZ)
+    if (w >= 34) return null // deltas wider than raw — pointless
+    val st = new ByteBuf(5)
+    st.writeIntLE(values(0))
+    st.writeByte(w)
+    val out = new ByteBuf((n - 1) * w / 8 + 16)
+    Bits.pack(zz, n - 1, w, out)
+    Encoded(st.toArray, out.toArray)
+  }
+  def decode(symtab: Array[Byte], payload: Array[Byte], n: Int): Array[Int] = {
+    val out = new Array[Int](n)
+    if (n == 0) return out
+    val r = new ByteReader(symtab)
+    out(0) = r.readIntLE()
+    val w = r.readByte()
+    val zz = Bits.unpack(new ByteReader(payload), n - 1, w)
+    var prev = out(0).toLong
+    var i = 1
+    while (i < n) {
+      val z = zz(i - 1)
+      val d = (z >>> 1) ^ -(z & 1L)
+      prev += d
+      out(i) = prev.toInt
+      i += 1
+    }
+    out
+  }
+}
+
+/** Dictionary encoding: sorted distinct values in the symbol table
+  * (delta-varint), bit-packed indexes as payload. Bails out (null) when
+  * cardinality exceeds 1<<16 — selection should not have picked it.
+  */
+object DictCodec extends IntCodec {
+  val id = CodecIds.Dict
+  val name = "dict"
+  val maxCard = 1 << 16
+
+  def encode(values: Array[Int], n: Int): Encoded = {
+    val set = new java.util.TreeSet[Integer]()
+    var i = 0
+    while (i < n) {
+      set.add(values(i))
+      if (set.size > maxCard) return null
+      i += 1
+    }
+    val k = set.size
+    val dict = new Array[Int](k)
+    val it = set.iterator()
+    i = 0
+    while (it.hasNext) { dict(i) = it.next(); i += 1 }
+    val index = new java.util.HashMap[Integer, Integer](k * 2)
+    i = 0
+    while (i < k) { index.put(dict(i), i); i += 1 }
+    val st = new ByteBuf(k * 2 + 8)
+    st.writeVarInt(k)
+    var prev = 0L
+    i = 0
+    while (i < k) {
+      if (i == 0) st.writeZigZag(dict(0))
+      else st.writeVarLong(dict(i).toLong - prev) // sorted => non-negative delta
+      prev = dict(i).toLong
+      i += 1
+    }
+    val w = Bits.widthInt(math.max(k - 1, 0))
+    val longs = new Array[Long](n)
+    i = 0
+    while (i < n) { longs(i) = index.get(values(i)).toLong; i += 1 }
+    val out = new ByteBuf(n * w / 8 + 16)
+    Bits.pack(longs, n, w, out)
+    val stArr = st.toArray
+    val head = new ByteBuf(stArr.length + 1)
+    head.writeByte(w)
+    head.writeBytes(stArr)
+    Encoded(head.toArray, out.toArray)
+  }
+
+  def decode(symtab: Array[Byte], payload: Array[Byte], n: Int): Array[Int] = {
+    val r = new ByteReader(symtab)
+    val w = r.readByte()
+    val k = r.readVarInt()
+    val dict = new Array[Int](k)
+    var i = 0
+    var prev = 0L
+    while (i < k) {
+      if (i == 0) { dict(0) = r.readZigZag(); prev = dict(0).toLong }
+      else { prev += r.readVarLong(); dict(i) = prev.toInt }
+      i += 1
+    }
+    val longs = Bits.unpack(new ByteReader(payload), n, w)
+    val out = new Array[Int](n)
+    i = 0
+    while (i < n) { out(i) = dict(longs(i).toInt); i += 1 }
+    out
+  }
+}
+
+/** Run-length encoding: (zigzag value, varint run-length) pairs. */
+object RleCodec extends IntCodec {
+  val id = CodecIds.Rle
+  val name = "rle"
+  def encode(values: Array[Int], n: Int): Encoded = {
+    val out = new ByteBuf(64)
+    var i = 0
+    while (i < n) {
+      val v = values(i)
+      var run = 1
+      while (i + run < n && values(i + run) == v) run += 1
+      out.writeZigZag(v)
+      out.writeVarInt(run)
+      i += run
+    }
+    Encoded(Array.emptyByteArray, out.toArray)
+  }
+  def decode(symtab: Array[Byte], payload: Array[Byte], n: Int): Array[Int] = {
+    val r = new ByteReader(payload)
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val v = r.readZigZag()
+      val run = r.readVarInt()
+      var k = 0
+      while (k < run) { out(i + k) = v; k += 1 }
+      i += run
+    }
+    out
+  }
+}

@@ -1,0 +1,91 @@
+package graft.model
+
+/** Core data model of the engine (SURVEY.md §7.1).
+  *
+  * The input table shape is fixed by BASELINE.json `input_hint`:
+  * pre-tokenized training sequences. This is the Spark-native
+  * re-targeting of the reference's dynamic record stream
+  * (reference: undatum/common/iterable.py:128-139) onto one typed
+  * schema.
+  */
+final case class TokenRow(
+    doc_id: String,
+    tokens: Array[Int],
+    n_tok: Int,
+    source: String
+)
+
+/** Per-column-block statistics driving codec selection.
+  *
+  * Direct lineage from the reference's stats accumulator
+  * (undatum/cmds/statistics.py:54-110): `card`/`n` generalizes the
+  * uniq-share dictionary-key test (dictshare < 70,
+  * undatum/constants.py:5); `min`/`max` generalize the int-width
+  * guess (undatum/utils.py:106-111); `runs` and `repeatShare` are
+  * new, feeding RLE / FSST selection.
+  */
+final case class ColumnStats(
+    n: Long,            // token count
+    min: Int,
+    max: Int,
+    card: Long,         // distinct values (exact if <= cap, else cap+1)
+    cardExact: Boolean,
+    runs: Long,         // number of value-change runs
+    maxRun: Int,
+    repeat4Share: Double, // share of 4-grams seen before (sampled) — FSST signal
+    sampleDeltaW: Int     // max zigzag-delta bit width over a sampled prefix
+) {
+  def avgRun: Double = if (runs == 0) 0.0 else n.toDouble / runs
+  def uniqShare: Double = if (n == 0) 100.0 else 100.0 * card.toDouble / n
+}
+
+object ColumnStats {
+  val empty: ColumnStats =
+    ColumnStats(0L, Int.MaxValue, Int.MinValue, 0L, cardExact = true, 0L, 0, 0.0, 0)
+}
+
+/** One encoded column block: the unit of compressed storage.
+  *
+  * A logical encode-partition emits one or more blocks; each block is
+  * self-contained (codec id + symbol table + payload + row metadata)
+  * so decode is embarrassingly parallel.
+  *
+  * `docIds`/`sources`/`lengths` carry the non-token columns losslessly;
+  * lengths are the per-row n_tok (invariant n_tok == tokens.length).
+  */
+final case class EncodedBlock(
+    blockId: String,      // s"$partId-$blockSeq"
+    partId: Int,          // logical encode-partition (resume unit)
+    blockSeq: Int,
+    codecId: Int,         // graft.codec.CodecIds
+    postCodec: Int,       // 0 = none, 1 = zstd over payload
+    symtab: Array[Byte],
+    payload: Array[Byte],
+    lengthsEnc: Array[Byte], // varint-encoded per-row token counts
+    docIds: Array[String],
+    sources: Array[String],
+    blockRows: Int,
+    totalTokens: Long,
+    rawBytes: Long,       // 4 * totalTokens
+    encodedBytes: Long,   // symtab + payload + lengthsEnc
+    checksum: Long        // order-sensitive hash of the token stream
+)
+
+/** Lineage / checkpoint record, one per encoded block (BASELINE.json:
+  * "input file, partition id, row range, checksum, codec chosen,
+  * compression ratio"). The lineage table doubles as the commit log
+  * for exact resume: a partId present in lineage is complete.
+  */
+final case class LineageRecord(
+    inputFile: String,
+    partId: Int,
+    blockId: String,
+    rowCount: Int,
+    totalTokens: Long,
+    checksum: Long,
+    codecId: Int,
+    postCodec: Int,
+    rawBytes: Long,
+    encodedBytes: Long,
+    ratio: Double
+)

@@ -1,0 +1,150 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.codec._
+
+/** Round-trip losslessness for every codec over the trigger-space
+  * regimes named in FIXTURES.md §C (SURVEY.md §5.2 item 1).
+  */
+class CodecSpec extends AnyFunSuite {
+
+  /** Deterministic forAll: 200 samples from a ScalaCheck Gen. */
+  private def forAllDet[T](gen: Gen[T])(f: T => Unit): Unit = {
+    var seed = Seed(42L)
+    var i = 0
+    while (i < 200) {
+      gen.apply(Gen.Parameters.default.withSize(1 + i % 100), seed)
+        .foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  private val rng = new scala.util.Random(42)
+
+  def lowCard(n: Int): Array[Int] = {
+    val vocab = Array.fill(100)(rng.nextInt(1 << 20))
+    Array.fill(n)(vocab(rng.nextInt(vocab.length)))
+  }
+  def runs(n: Int): Array[Int] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Int](n)
+    while (out.length < n) {
+      val v = rng.nextInt(50)
+      val len = 10 + rng.nextInt(990)
+      var i = 0
+      while (i < len && out.length < n) { out += v; i += 1 }
+    }
+    out.toArray
+  }
+  def narrowRange(n: Int): Array[Int] = {
+    val base = 1 << 28
+    Array.fill(n)(base + rng.nextInt(1 << 10))
+  }
+  def smallValues(n: Int): Array[Int] = Array.fill(n)(rng.nextInt(1 << 8))
+  def phrases(n: Int): Array[Int] = {
+    val phraseSet = Array.fill(20)(Array.fill(3 + rng.nextInt(6))(rng.nextInt(30000)))
+    val out = new scala.collection.mutable.ArrayBuffer[Int](n)
+    while (out.length < n) {
+      val p = phraseSet(rng.nextInt(phraseSet.length))
+      p.foreach { t => if (out.length < n) out += t }
+    }
+    out.toArray
+  }
+  def random(n: Int): Array[Int] = Array.fill(n)(rng.nextInt(Int.MaxValue))
+  def withNegatives(n: Int): Array[Int] = Array.fill(n)(rng.nextInt())
+  def sorted(n: Int): Array[Int] = random(n).sorted
+
+  val regimes: Map[String, Int => Array[Int]] = Map(
+    "lowCard" -> lowCard, "runs" -> runs, "narrowRange" -> narrowRange,
+    "smallValues" -> smallValues, "phrases" -> phrases, "random" -> random,
+    "negatives" -> withNegatives, "sorted" -> sorted)
+
+  val edges: Seq[Array[Int]] = Seq(
+    Array.emptyIntArray,
+    Array(0),
+    Array(Int.MaxValue),
+    Array(Int.MinValue),
+    Array.fill(100)(7),
+    Array(0, Int.MaxValue, 0, Int.MinValue, 1, -1),
+    (0 until 8192).toArray
+  )
+
+  val allCodecs: Seq[IntCodec] = Seq(
+    PlainCodec, DictCodec, RleCodec, BitPackCodec, ForCodec, DeltaForCodec, FsstCodec)
+
+  for (codec <- allCodecs; (rname, gen) <- regimes) {
+    test(s"${codec.name} round-trips $rname") {
+      val data = gen(5000)
+      val e = codec.encode(data, data.length)
+      if (e != null) {
+        val back = codec.decode(e.symtab, e.payload, data.length)
+        assert(back.sameElements(data), s"${codec.name} failed on $rname")
+      }
+    }
+  }
+
+  for (codec <- allCodecs) {
+    test(s"${codec.name} round-trips edge cases") {
+      edges.foreach { data =>
+        val e = codec.encode(data, data.length)
+        if (e != null) {
+          val back = codec.decode(e.symtab, e.payload, data.length)
+          assert(back.sameElements(data))
+        }
+      }
+    }
+  }
+
+  test("encodeAuto round-trips every regime and edge, and compresses") {
+    (regimes.values.map(_(5000)) ++ edges).foreach { data =>
+      val be = BlockCodec.encodeAuto(data, data.length)
+      val back = BlockCodec.decode(be.codecId, be.postCodec, be.symtab, be.payload, data.length)
+      assert(back.sameElements(data))
+    }
+    // compressibility sanity: each structured regime must beat raw 4B/token
+    Seq("lowCard", "runs", "narrowRange", "smallValues", "phrases").foreach { r =>
+      val data = regimes(r)(20000)
+      val be = BlockCodec.encodeAuto(data, data.length)
+      val raw = 4L * data.length
+      assert(be.encodedBytes < raw / 2,
+        s"$r: ${be.encodedBytes} vs raw $raw (codec ${be.codecId})")
+    }
+  }
+
+  test("encodeAuto picks sensible codecs per regime") {
+    def pick(d: Array[Int]): Int = BlockCodec.encodeAuto(d, d.length).codecId
+    assert(pick(runs(20000)) == CodecIds.Rle)
+    val small = pick(smallValues(20000))
+    assert(small == CodecIds.BitPack || small == CodecIds.Dict || small == CodecIds.Fsst)
+    val nr = pick(narrowRange(20000))
+    assert(nr == CodecIds.For || nr == CodecIds.Dict)
+  }
+
+  test("scalacheck: encodeAuto round-trips arbitrary int arrays") {
+    forAllDet(Gen.containerOf[Array, Int](Gen.chooseNum(Int.MinValue, Int.MaxValue))) {
+      (data: Array[Int]) =>
+        val be = BlockCodec.encodeAuto(data, data.length)
+        val back = BlockCodec.decode(be.codecId, be.postCodec, be.symtab, be.payload, data.length)
+        assert(back.sameElements(data))
+    }
+  }
+
+  test("scalacheck: per-codec round-trip on non-negative arrays") {
+    forAllDet(Gen.containerOf[Array, Int](Gen.chooseNum(0, Int.MaxValue))) {
+      (data: Array[Int]) =>
+        allCodecs.foreach { c =>
+          val e = c.encode(data, data.length)
+          if (e != null)
+            assert(c.decode(e.symtab, e.payload, data.length).sameElements(data), c.name)
+        }
+    }
+  }
+
+  test("stats are exact on a known stream") {
+    val data = Array(5, 5, 5, 1, 1, 9, 9, 9, 9)
+    val s = BlockCodec.stats(data, data.length)
+    assert(s.n == 9 && s.min == 1 && s.max == 9 && s.card == 3 && s.runs == 3 && s.maxRun == 4)
+  }
+}
