@@ -61,16 +61,23 @@ object BlockCodec {
     // sampled 4-gram repetition: hash rolling windows over a prefix
     val sampleN = math.min(n, 4096)
     var rep = 0.0
+    // 95th-percentile zigzag-delta width: robust to occasional wide
+    // jumps (doc boundaries) that the miniblock DeltaFor format absorbs
     var deltaW = 0
     if (sampleN >= 2) {
+      val hist = new Array[Int](35)
       var j = 1
       while (j < sampleN) {
         val d = values(j).toLong - values(j - 1).toLong
         val z = (d << 1) ^ (d >> 63)
-        val w = Bits.width(z)
-        if (w > deltaW) deltaW = w
+        hist(Bits.width(z)) += 1
         j += 1
       }
+      val target = math.ceil(0.95 * (sampleN - 1)).toInt
+      var cum = 0
+      var w = 0
+      while (w < hist.length && cum < target) { cum += hist(w); if (cum < target) w += 1 }
+      deltaW = math.min(w, 34)
     }
     if (sampleN >= 8) {
       val grams = new java.util.HashSet[java.lang.Long](sampleN)

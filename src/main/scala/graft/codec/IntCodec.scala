@@ -122,49 +122,62 @@ object ForCodec extends IntCodec {
   }
 }
 
-/** Delta + zigzag + frame-of-reference-style bit-packing: wins on
-  * near-sorted or smoothly-varying streams (e.g. positional ids).
+/** Delta + zigzag with per-miniblock bit widths (Parquet
+  * DELTA_BINARY_PACKED-style, public format): wins on near-sorted or
+  * smoothly-varying streams. Miniblocks of 128 deltas each carry their
+  * own width, so occasional wide jumps (doc boundaries in a
+  * concatenated block stream) don't inflate the whole block.
   */
 object DeltaForCodec extends IntCodec {
   val id = CodecIds.DeltaFor
   val name = "deltafor"
+  private val Mini = 128
+
   def encode(values: Array[Int], n: Int): Encoded = {
-    if (n == 0) return Encoded(Array[Byte](0, 0, 0, 0, 0), Array.emptyByteArray)
-    // zigzag deltas (first value stored in symtab)
-    val zz = new Array[Long](n - 1)
-    var maxZ = 0L
+    if (n == 0) return Encoded(Array[Byte](0, 0, 0, 0), Array.emptyByteArray)
+    val st = new ByteBuf(4)
+    st.writeIntLE(values(0))
+    val out = new ByteBuf(n + 16)
+    val zz = new Array[Long](Mini)
     var i = 1
     while (i < n) {
-      val d = values(i).toLong - values(i - 1).toLong
-      val z = (d << 1) ^ (d >> 63)
-      zz(i - 1) = z
-      if (z > maxZ) maxZ = z
-      i += 1
+      val m = math.min(Mini, n - i)
+      var maxZ = 0L
+      var k = 0
+      while (k < m) {
+        val d = values(i + k).toLong - values(i + k - 1).toLong
+        val z = (d << 1) ^ (d >> 63)
+        zz(k) = z
+        if (z > maxZ) maxZ = z
+        k += 1
+      }
+      val w = Bits.width(maxZ) // <= 33 for int deltas
+      out.writeByte(w)
+      Bits.pack(zz, m, w, out)
+      i += m
     }
-    val w = Bits.width(maxZ)
-    if (w >= 34) return null // deltas wider than raw — pointless
-    val st = new ByteBuf(5)
-    st.writeIntLE(values(0))
-    st.writeByte(w)
-    val out = new ByteBuf((n - 1) * w / 8 + 16)
-    Bits.pack(zz, n - 1, w, out)
     Encoded(st.toArray, out.toArray)
   }
+
   def decode(symtab: Array[Byte], payload: Array[Byte], n: Int): Array[Int] = {
     val out = new Array[Int](n)
     if (n == 0) return out
-    val r = new ByteReader(symtab)
-    out(0) = r.readIntLE()
-    val w = r.readByte()
-    val zz = Bits.unpack(new ByteReader(payload), n - 1, w)
+    out(0) = new ByteReader(symtab).readIntLE()
+    val r = new ByteReader(payload)
     var prev = out(0).toLong
     var i = 1
     while (i < n) {
-      val z = zz(i - 1)
-      val d = (z >>> 1) ^ -(z & 1L)
-      prev += d
-      out(i) = prev.toInt
-      i += 1
+      val m = math.min(Mini, n - i)
+      val w = r.readByte()
+      val zz = Bits.unpack(r, m, w)
+      var k = 0
+      while (k < m) {
+        val z = zz(k)
+        prev += (z >>> 1) ^ -(z & 1L)
+        out(i + k) = prev.toInt
+        k += 1
+      }
+      i += m
     }
     out
   }

@@ -1,0 +1,219 @@
+package graft.encode
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.codec.{BlockCodec, ByteBuf, ByteReader}
+import graft.model.{EncodedBlock, LineageRecord, TokenRow}
+
+/** The encode pipeline (SURVEY.md §7.1 step 6, BASELINE.json
+  * north_star).
+  *
+  * Layout on disk (`outDir/`):
+  *   blocks/   — EncodedBlock rows (parquet, appended per wave)
+  *   lineage/  — LineageRecord rows (parquet, appended AFTER the
+  *               blocks of a wave are durably written)
+  *
+  * The lineage table is the commit log: a partId is complete iff its
+  * lineage rows exist. Blocks without lineage are uncommitted garbage
+  * from a crashed run; readers ignore them via a semi-join on blockId,
+  * and resume re-encodes those partitions — no duplicates, no skips.
+  * This emulates Iceberg snapshot semantics on plain parquet (no
+  * Iceberg jar ships in this environment — SURVEY.md §7.0); the seam
+  * is confined to `commitLineage`/`committedPartIds`.
+  *
+  * Partitioning: partId = base(source) + xxhash64-style(doc_id) mod
+  * salts(source), where salts(source) ~ rows(source)/targetRowsPerPart
+  * from a cheap count pass — explicit skew salting (a zipf `source`
+  * would otherwise send 40% of rows to one task), while keeping each
+  * partition source-pure so per-block codec selection sees one regime.
+  * The reference's only partitioner is file-split by size or by field
+  * value (undatum/cmds/selector.py:264-335); this is its scale-out
+  * generalization.
+  */
+object TokenEncoder {
+
+  final case class EncodeConfig(
+      targetRowsPerPart: Int = 50000,
+      blockTokens: Int = 1 << 21, // ~2M tokens = 8MB raw per block
+      blockRows: Int = 1 << 16,
+      zstd: Boolean = true,
+      inputFile: String = "synthetic"
+  )
+
+  /** Deterministic 64-bit string hash (FNV-1a) — stable across runs,
+    * independent of JVM String.hashCode.
+    */
+  def hash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= (s.charAt(i) & 0xFFFFL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** source -> (partId base, salt count), partIds globally unique. */
+  def partitionPlan(ds: Dataset[TokenRow], targetRowsPerPart: Int): Map[String, (Int, Int)] = {
+    val counts = ds.groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    var base = 0
+    counts.map { case (src, n) =>
+      val salts = math.max(1, math.ceil(n.toDouble / targetRowsPerPart).toInt)
+      val entry = (src, (base, salts))
+      base += salts
+      entry
+    }.toMap
+  }
+
+  def partIdOf(plan: Map[String, (Int, Int)], r: TokenRow): Int = {
+    val (b, salts) = plan(r.source)
+    b + (((hash64(r.doc_id) % salts) + salts) % salts).toInt
+  }
+
+  /** Encode the given logical partitions (all when `only` is None) into
+    * EncodedBlock rows. One shuffle (groupByKey on partId); each group
+    * is streamed and chunked into bounded blocks, so executor memory is
+    * O(blockTokens), not O(partition).
+    */
+  def newRunId(): String =
+    f"r${System.currentTimeMillis()}%011x${scala.util.Random.nextInt(0xFFFF)}%04x"
+
+  def encodeBlocks(ds: Dataset[TokenRow], plan: Map[String, (Int, Int)],
+                   cfg: EncodeConfig, only: Option[Set[Int]] = None,
+                   runId: String = newRunId()): Dataset[EncodedBlock] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val planB = plan // small map, captured by closure
+    val cfgB = cfg
+    val runIdB = runId
+    val filtered = only match {
+      case Some(ids) =>
+        val idsB = ids
+        ds.filter(r => idsB.contains(partIdOf(planB, r)))
+      case None => ds
+    }
+    filtered
+      .groupByKey(r => partIdOf(planB, r))
+      .flatMapGroups { (partId: Int, rows: Iterator[TokenRow]) =>
+        new Iterator[EncodedBlock] {
+          private var blockSeq = 0
+          def hasNext: Boolean = rows.hasNext
+          def next(): EncodedBlock = {
+            // pull rows until the block is full
+            val docIds = new scala.collection.mutable.ArrayBuffer[String]()
+            val srcs = new scala.collection.mutable.ArrayBuffer[String]()
+            val lens = new ByteBuf(4096)
+            var tokBuf = new Array[Int](math.min(cfgB.blockTokens, 1 << 16))
+            var nTok = 0
+            var nRows = 0
+            while (rows.hasNext && nTok < cfgB.blockTokens && nRows < cfgB.blockRows) {
+              val r = rows.next()
+              docIds += r.doc_id
+              srcs += r.source
+              lens.writeVarInt(r.n_tok)
+              if (nTok + r.n_tok > tokBuf.length) {
+                var cap = math.max(tokBuf.length * 2, 1 << 16)
+                while (cap < nTok + r.n_tok) cap *= 2
+                tokBuf = java.util.Arrays.copyOf(tokBuf, cap)
+              }
+              System.arraycopy(r.tokens, 0, tokBuf, nTok, r.n_tok)
+              nTok += r.n_tok
+              nRows += 1
+            }
+            val be = BlockCodec.encodeAuto(tokBuf, nTok, cfgB.zstd)
+            val lensEnc = lens.toArray
+            val b = EncodedBlock(
+              blockId = s"$runIdB-$partId-$blockSeq",
+              runId = runIdB,
+              partId = partId,
+              blockSeq = blockSeq,
+              codecId = be.codecId,
+              postCodec = be.postCodec,
+              symtab = be.symtab,
+              payload = be.payload,
+              lengthsEnc = lensEnc,
+              docIds = docIds.toArray,
+              sources = srcs.toArray,
+              blockRows = nRows,
+              totalTokens = nTok.toLong,
+              rawBytes = 4L * nTok,
+              encodedBytes = be.encodedBytes + lensEnc.length,
+              checksum = BlockCodec.checksum(tokBuf, nTok)
+            )
+            blockSeq += 1
+            b
+          }
+        }
+      }
+  }
+
+  def committedPartIds(spark: SparkSession, outDir: String): Set[Int] = {
+    val path = s"$outDir/lineage"
+    if (!new java.io.File(path).exists()) Set.empty
+    else {
+      import spark.implicits._
+      spark.read.parquet(path).select("partId").distinct().as[Int].collect().toSet
+    }
+  }
+
+  /** Full encode with resume: skips partitions already committed in the
+    * lineage table, appends blocks, then commits lineage last.
+    * Returns the lineage written this run.
+    */
+  def run(ds: Dataset[TokenRow], outDir: String,
+          cfg: EncodeConfig = EncodeConfig()): Dataset[LineageRecord] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val plan = partitionPlan(ds, cfg.targetRowsPerPart)
+    val done = committedPartIds(spark, outDir)
+    val allParts = plan.values.flatMap { case (b, s) => b until (b + s) }.toSet
+    val pending = allParts -- done
+    if (pending.isEmpty) return spark.emptyDataset[LineageRecord]
+    val only = if (done.isEmpty) None else Some(pending)
+    val runId = newRunId()
+    val blocks = encodeBlocks(ds, plan, cfg, only, runId)
+    blocks.write.mode("append").parquet(s"$outDir/blocks")
+    // lineage derived from the *written* files — doubles as a readback
+    // validation and avoids recomputing the encode. Filtering on this
+    // run's id excludes stale blocks from crashed (uncommitted) runs.
+    val written = spark.read.parquet(s"$outDir/blocks")
+      .where($"runId" === runId)
+    val lineage = written.select(
+      lit(cfg.inputFile).as("inputFile"),
+      $"partId", $"blockId",
+      $"blockRows".as("rowCount"),
+      $"totalTokens", $"checksum", $"codecId", $"postCodec",
+      $"rawBytes", $"encodedBytes",
+      when($"encodedBytes" > 0, $"rawBytes".cast("double") / $"encodedBytes")
+        .otherwise(lit(1.0)).as("ratio")
+    ).as[LineageRecord]
+    lineage.write.mode("append").parquet(s"$outDir/lineage")
+    spark.read.parquet(s"$outDir/lineage")
+      .where($"partId".isInCollection(pending)).as[LineageRecord]
+  }
+}
+
+/** Symmetric decode: blocks -> TokenRow, ignoring uncommitted blocks. */
+object TokenDecoder {
+
+  def decodeBlock(b: EncodedBlock): Iterator[TokenRow] = {
+    val tokens = BlockCodec.decode(b.codecId, b.postCodec, b.symtab, b.payload,
+      b.totalTokens.toInt)
+    val lens = new ByteReader(b.lengthsEnc)
+    var off = 0
+    (0 until b.blockRows).iterator.map { i =>
+      val n = lens.readVarInt()
+      val arr = java.util.Arrays.copyOfRange(tokens, off, off + n)
+      off += n
+      TokenRow(b.docIds(i), arr, n, b.sources(i))
+    }
+  }
+
+  /** Read an encode output dir back into rows (committed blocks only). */
+  def read(spark: SparkSession, outDir: String): Dataset[TokenRow] = {
+    import spark.implicits._
+    val blocks = spark.read.parquet(s"$outDir/blocks").as[EncodedBlock]
+    val committed = spark.read.parquet(s"$outDir/lineage")
+      .select("blockId").distinct()
+    val live = blocks.join(committed, Seq("blockId"), "left_semi").as[EncodedBlock]
+    live.flatMap(decodeBlock)
+  }
+}

@@ -54,7 +54,9 @@ object ColumnStats {
   * lengths are the per-row n_tok (invariant n_tok == tokens.length).
   */
 final case class EncodedBlock(
-    blockId: String,      // s"$partId-$blockSeq"
+    blockId: String,      // s"$runId-$partId-$blockSeq" — runId makes block
+                          // ids from a crashed (uncommitted) attempt distinct
+    runId: String,
     partId: Int,          // logical encode-partition (resume unit)
     blockSeq: Int,
     codecId: Int,         // graft.codec.CodecIds

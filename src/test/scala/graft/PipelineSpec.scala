@@ -1,0 +1,142 @@
+package graft
+
+import graft.encode.{TokenDecoder, TokenEncoder}
+import graft.encode.TokenEncoder.EncodeConfig
+import graft.model.TokenRow
+import graft.stats.TokenStatsAgg
+import graft.synth.TokenSynth
+
+/** End-to-end pipeline invariants (SURVEY.md §5.2 items 1, 4, 5):
+  * round trip, exact resume, crash tolerance, stats-agg correctness,
+  * compression-ratio gate vs zstd-parquet.
+  */
+class PipelineSpec extends SparkSpecBase {
+
+  private val N = 6000L
+
+  private def synth = TokenSynth.dataset(spark, N, parallelism = 4)
+
+  private def assertSameTable(a: org.apache.spark.sql.Dataset[TokenRow],
+                              b: org.apache.spark.sql.Dataset[TokenRow]): Unit = {
+    val da = a.toDF()
+    val db = b.toDF()
+    assert(da.exceptAll(db).count() == 0 && db.exceptAll(da).count() == 0)
+  }
+
+  test("synth is deterministic and independent of parallelism") {
+    import spark.implicits._
+    val a = TokenSynth.dataset(spark, 2000, parallelism = 2)
+    val b = TokenSynth.dataset(spark, 2000, parallelism = 7)
+    assertSameTable(a, b)
+    // invariant from input_hint: n_tok == tokens.length
+    assert(a.filter(r => r.n_tok != r.tokens.length).count() == 0)
+    // every source regime appears
+    assert(a.map(_.source).distinct().count() == 8)
+  }
+
+  test("encode -> decode round-trips the full table") {
+    val out = tmpDir("rt")
+    val lineage = TokenEncoder.run(synth, out, EncodeConfig(targetRowsPerPart = 1000))
+    assert(lineage.count() > 0)
+    assertSameTable(synth, TokenDecoder.read(spark, out))
+  }
+
+  test("resume completes a partial encode exactly (no dup, no skip)") {
+    import spark.implicits._
+    val out = tmpDir("resume")
+    val cfg = EncodeConfig(targetRowsPerPart = 500)
+    val ds = synth
+    val plan = TokenEncoder.partitionPlan(ds, cfg.targetRowsPerPart)
+    val allParts = plan.values.flatMap { case (b, s) => b until (b + s) }.toSet
+    // simulate a first run that only committed half the partitions
+    val half = allParts.toSeq.sorted.take(allParts.size / 2).toSet
+    val blocks = TokenEncoder.encodeBlocks(ds, plan, cfg, Some(half))
+    blocks.write.mode("append").parquet(s"$out/blocks")
+    val written = spark.read.parquet(s"$out/blocks")
+    written.select(
+      org.apache.spark.sql.functions.lit("synthetic").as("inputFile"),
+      $"partId", $"blockId", $"blockRows".as("rowCount"),
+      $"totalTokens", $"checksum", $"codecId", $"postCodec",
+      $"rawBytes", $"encodedBytes",
+      org.apache.spark.sql.functions.lit(1.0).as("ratio")
+    ).write.mode("append").parquet(s"$out/lineage")
+    assert(TokenEncoder.committedPartIds(spark, out) == half)
+    // resume
+    val resumed = TokenEncoder.run(ds, out, cfg)
+    val resumedParts = resumed.select("partId").distinct().as[Int].collect().toSet
+    assert(resumedParts == (allParts -- half))
+    val back = TokenDecoder.read(spark, out)
+    assertSameTable(ds, back)
+    // doc_ids unique => no duplicates from the overlap
+    assert(back.select("doc_id").distinct().count() == back.count())
+    // idempotent: a third run encodes nothing
+    assert(TokenEncoder.run(ds, out, cfg).count() == 0)
+  }
+
+  test("uncommitted blocks (crash between blocks and lineage) are ignored and re-encoded") {
+    val out = tmpDir("crash")
+    val cfg = EncodeConfig(targetRowsPerPart = 2000)
+    val ds = synth
+    val plan = TokenEncoder.partitionPlan(ds, cfg.targetRowsPerPart)
+    val someParts = plan.values.map(_._1).take(2).toSet
+    // blocks written but lineage never committed — simulated crash
+    TokenEncoder.encodeBlocks(ds, plan, cfg, Some(someParts))
+      .write.mode("append").parquet(s"$out/blocks")
+    assert(TokenEncoder.committedPartIds(spark, out).isEmpty)
+    TokenEncoder.run(ds, out, cfg)
+    val back = TokenDecoder.read(spark, out)
+    assertSameTable(ds, back)
+    assert(back.select("doc_id").distinct().count() == back.count())
+  }
+
+  test("lineage checksums match decoded content per block") {
+    import spark.implicits._
+    val out = tmpDir("cksum")
+    TokenEncoder.run(synth, out, EncodeConfig(targetRowsPerPart = 1000))
+    val blocks = spark.read.parquet(s"$out/blocks").as[graft.model.EncodedBlock]
+    val bad = blocks.map { b =>
+      val toks = graft.codec.BlockCodec.decode(
+        b.codecId, b.postCodec, b.symtab, b.payload, b.totalTokens.toInt)
+      if (graft.codec.BlockCodec.checksum(toks, toks.length) == b.checksum) 0 else 1
+    }.reduce(_ + _)
+    assert(bad == 0)
+  }
+
+  test("typed stats aggregator matches brute force") {
+    import spark.implicits._
+    val ds = TokenSynth.dataset(spark, 500, parallelism = 3)
+    val agg = ds.select(TokenStatsAgg.toColumn).collect()(0)
+    val rows = ds.collect()
+    val toks = rows.flatMap(_.tokens)
+    assert(agg.rows == rows.length)
+    assert(agg.totalTokens == toks.length)
+    assert(agg.emptyDocs == rows.count(_.tokens.isEmpty))
+    assert(agg.minTok == toks.min && agg.maxTok == toks.max)
+    assert(agg.minLen == rows.map(_.n_tok).min && agg.maxLen == rows.map(_.n_tok).max)
+    val expRuns = rows.map { r =>
+      var c = 0L
+      var i = 0
+      while (i < r.tokens.length) {
+        if (i == 0 || r.tokens(i) != r.tokens(i - 1)) c += 1
+        i += 1
+      }
+      c
+    }.sum
+    assert(agg.runs == expRuns)
+  }
+
+  test("compression gate: encoded tokens <= zstd-parquet of raw tokens column") {
+    import spark.implicits._
+    val out = tmpDir("gate")
+    val ds = TokenSynth.dataset(spark, 4000, parallelism = 4)
+    val lineage = TokenEncoder.run(ds, out, EncodeConfig(targetRowsPerPart = 1000))
+    val ours = lineage.agg(org.apache.spark.sql.functions.sum("encodedBytes"))
+      .collect()(0).getLong(0)
+    val refDir = tmpDir("gate-ref")
+    ds.select("tokens").write.mode("overwrite")
+      .option("compression", "zstd").parquet(refDir)
+    val ref = dirSize(refDir)
+    info(s"ours=$ours zstd-parquet=$ref ratio=${ref.toDouble / ours}")
+    assert(ours <= ref, s"encoded $ours > zstd-parquet baseline $ref")
+  }
+}
