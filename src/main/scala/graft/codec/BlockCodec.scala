@@ -133,11 +133,21 @@ object BlockCodec {
     var bestId = CodecIds.Plain
     var best: Encoded = null
     var bestSize = Long.MaxValue
-    candidates(s).foreach { cid =>
+    // cheap single-pass codecs are trialed fully; FSST first gets a
+    // sampled estimate and only runs in full when competitive
+    val (fsstCands, cheapCands) = candidates(s).partition(_ == CodecIds.Fsst)
+    cheapCands.foreach { cid =>
       val e = codecs(cid).encode(values, n)
       if (e != null) {
         val size = e.symtab.length.toLong + e.payload.length.toLong
         if (size < bestSize) { bestSize = size; best = e; bestId = cid }
+      }
+    }
+    if (fsstCands.nonEmpty && FsstCodec.estimateBytes(values, n) < bestSize) {
+      val e = FsstCodec.encode(values, n)
+      if (e != null) {
+        val size = e.symtab.length.toLong + e.payload.length.toLong
+        if (size < bestSize) { bestSize = size; best = e; bestId = CodecIds.Fsst }
       }
     }
     if (best == null) { best = PlainCodec.encode(values, n); bestId = CodecIds.Plain }

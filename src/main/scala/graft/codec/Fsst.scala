@@ -38,20 +38,33 @@ object FsstCodec extends IntCodec {
     out.toArray
   }
 
-  /** A trained table: symbols as (bytes). Lookup maps per length. */
+  /** A trained table: symbols bucketed by first byte, longest first —
+    * greedy parse touches one array cell + a few key compares per
+    * position instead of up to 8 hash lookups.
+    */
   private final class Table(val syms: Array[Array[Byte]]) {
-    // maps keyed by the first `len` bytes packed LE into a Long
-    val byLen: Array[java.util.HashMap[java.lang.Long, Integer]] = {
-      val arr = Array.fill(MaxSymLen + 1)(new java.util.HashMap[java.lang.Long, Integer]())
+    // per first-byte: parallel arrays of (packed key, length, code),
+    // sorted by length descending
+    val bucketKeys: Array[Array[Long]] = new Array(256)
+    val bucketLens: Array[Array[Int]] = new Array(256)
+    val bucketCodes: Array[Array[Int]] = new Array(256)
+    locally {
+      val tmp = Array.fill(256)(new ArrayBuffer[(Long, Int, Int)]())
       var c = 0
       while (c < syms.length) {
         val s = syms(c)
-        arr(s.length).put(packKey(s, 0, s.length), c)
+        tmp(s(0) & 0xFF) += ((packKey(s, 0, s.length), s.length, c))
         c += 1
       }
-      arr
+      var b = 0
+      while (b < 256) {
+        val sorted = tmp(b).sortBy(-_._2)
+        bucketKeys(b) = sorted.map(_._1).toArray
+        bucketLens(b) = sorted.map(_._2).toArray
+        bucketCodes(b) = sorted.map(_._3).toArray
+        b += 1
+      }
     }
-    val maxLen: Int = if (syms.isEmpty) 0 else syms.map(_.length).max
   }
 
   private def packKey(b: Array[Byte], off: Int, len: Int): Long = {
@@ -62,24 +75,34 @@ object FsstCodec extends IntCodec {
   }
 
   /** Greedy longest-match parse; emits codes (0..254) or 256+byte for
-    * literals. Returns code sequence length; fills `out` if non-null.
+    * literals.
     */
   private def parse(bytes: Array[Byte], table: Table, out: ArrayBuffer[Int]): Unit = {
     val n = bytes.length
     var p = 0
     while (p < n) {
+      val b0 = bytes(p) & 0xFF
+      val keys = table.bucketKeys(b0)
       var matched = -1
-      var len = math.min(table.maxLen, n - p)
-      while (len >= 1 && matched < 0) {
-        val m = table.byLen(len)
-        if (!m.isEmpty) {
-          val c = m.get(packKey(bytes, p, len))
-          if (c != null) matched = c
+      var mLen = 0
+      if (keys.length > 0) {
+        val lens = table.bucketLens(b0)
+        val avail = n - p
+        // packed window once per position (8 bytes max)
+        val wLen = math.min(8, avail)
+        val window = packKey(bytes, p, wLen)
+        var i = 0
+        while (i < keys.length && matched < 0) {
+          val l = lens(i)
+          if (l <= avail) {
+            val mask = if (l == 8) -1L else (1L << (8 * l)) - 1L
+            if ((window & mask) == keys(i)) { matched = table.bucketCodes(b0)(i); mLen = l }
+          }
+          i += 1
         }
-        if (matched < 0) len -= 1
       }
-      if (matched >= 0) { out += matched; p += len }
-      else { out += (256 + (bytes(p) & 0xFF)); p += 1 }
+      if (matched >= 0) { out += matched; p += mLen }
+      else { out += (256 + b0); p += 1 }
     }
   }
 
@@ -153,6 +176,22 @@ object FsstCodec extends IntCodec {
       round += 1
     }
     table
+  }
+
+  /** Cheap size estimate: encode only a prefix sample and extrapolate
+    * bytes-per-token. Used by auto-selection to skip the (expensive)
+    * full FSST trial when another codec is already clearly smaller.
+    */
+  def estimateBytes(values: Array[Int], n: Int): Long = {
+    val sampleN = math.min(n, 16384)
+    if (sampleN == 0) return 1L
+    var i = 0
+    while (i < sampleN) { if (values(i) < 0) return Long.MaxValue; i += 1 }
+    val sample = java.util.Arrays.copyOf(values, sampleN)
+    val e = encode(sample, sampleN)
+    if (e == null) return Long.MaxValue
+    val perTok = (e.payload.length.toDouble + e.symtab.length) / sampleN
+    math.ceil(perTok * n).toLong
   }
 
   def encode(values: Array[Int], n: Int): Encoded = {

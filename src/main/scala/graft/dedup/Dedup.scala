@@ -1,0 +1,144 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.SimHash
+
+/** Deduplication operators for training-data pipelines, all expressed
+  * as declarative plans (shuffle structure visible to Catalyst/AQE):
+  *
+  *  - exact: hash-groupBy on normalized content
+  *  - MinHash + LSH banding: shingle -> k minhashes -> band-bucket
+  *    join -> exact-Jaccard verify (Broder '97 / MMDS ch.3 — public)
+  *  - SimHash: 64-bit fingerprint + pigeonhole chunk blocking
+  *    (Charikar '02 — public)
+  *  - n-gram Jaccard: exact verified similarity on candidate pairs
+  *
+  * Scale notes: every candidate-generation path is a shuffle on a
+  * bucket key (band hash / chunk value), never a cross join; bucket
+  * skew (boilerplate docs) is capped via `maxBucket`.
+  */
+object Dedup {
+
+  /** Exact dedup: one survivor (min id) per normalized text. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__norm", regexp_replace(trim(lower(col(textCol))), "\\s+", " "))
+      .groupBy(col("__norm"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).cast("long").as("dupes"))
+      .drop("__norm")
+
+  /** Distinct word n-gram shingles hashed to long. Fully columnar. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = filter(split(lower(text), "\\s+"), w => w =!= lit(""))
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(n))))))
+  }
+
+  /** k minhash values from a shingle array: h_j(s) = (a_j*s31 + b_j)
+    * mod p, s31 = s masked to 31 bits (keeps the product overflow-free
+    * in 64-bit). Seeds are deterministic.
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column = {
+    val p = 2147483647L // 2^31 - 1
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val hashes = (0 until k).map { j =>
+      val a = (mix(j.toLong * 2 + 1).abs % (p - 1)) + 1
+      val b = mix(j.toLong * 2 + 2).abs % p
+      array_min(transform(shingleCol,
+        s => (lit(a) * (s.bitwiseAND(lit(0x7FFFFFFFL))) + lit(b)) % lit(p)))
+    }
+    array(hashes: _*)
+  }
+
+  /** Near-duplicate pairs via MinHash LSH banding + exact-Jaccard
+    * verification. Returns (id_a, id_b, jaccard) with id_a < id_b and
+    * jaccard >= threshold.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.7, maxBucket: Int = 64): DataFrame = {
+    require(k % bands == 0)
+    val rowsPerBand = k / bands
+    val withSig = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", shingles(col("text"), shingleN))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    val banded = withSig.select(
+      col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    // cap pathological buckets (boilerplate text floods a bucket)
+    val capped = banded
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bucket").orderBy("id")))
+      .where(col("rn") <= maxBucket)
+    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val cand = a.join(b, Seq("band", "bucket")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard for all pairs within a blocking key (small
+    * groups only — the caller picks the key).
+    */
+  def jaccardWithin(df: DataFrame, idCol: String, textCol: String,
+                    blockCol: String, shingleN: Int = 3,
+                    threshold: Double = 0.0): DataFrame = {
+    val s = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+    val a = s.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = s.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 4 chunks of 16 bits; hamming<=maxHamming
+    * (< 4) guarantees at least one equal chunk (pigeonhole), so
+    * blocking on chunk value finds all such pairs without a cross
+    * join.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
+    require(maxHamming < 4)
+    SimHash.register(df.sparkSession)
+    val withH = df.select(col(idCol).as("id"),
+      SimHash.simhash(col(textCol)).as("h"))
+    val chunked = withH.select(col("id"), col("h"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("h"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
+    val capped = chunked.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("chunk", "ck").orderBy("id")))
+      .where(col("rn") <= maxBucket)
+    val a = capped.select(col("chunk"), col("ck"), col("id").as("id_a"), col("h").as("h_a"))
+    val b = capped.select(col("chunk"), col("ck"), col("id").as("id_b"), col("h").as("h_b"))
+    a.join(b, Seq("chunk", "ck")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .where(col("hamming") <= maxHamming)
+  }
+}

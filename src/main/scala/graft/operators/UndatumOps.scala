@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's data-processing command surface (SURVEY.md §2),
+  * re-expressed as declarative DataFrame transforms so Catalyst gets
+  * full pushdown/pruning visibility. Each op cites the reference
+  * implementation it re-targets.
+  */
+object UndatumOps {
+
+  /** `undatum uniq`: distinct tuples of dot-path fields
+    * (undatum/cmds/selector.py:32-54,88-109). Array-valued paths fan
+    * out element-wise there; callers explode first when needed.
+    */
+  def uniq(df: DataFrame, fields: Seq[String]): DataFrame =
+    df.select(fields.map(col): _*).distinct()
+
+  /** `undatum frequency`: group-by-count sorted by count ascending —
+    * the reference sorts ascending (undatum/cmds/selector.py:161).
+    * Tie-break on the fields for determinism.
+    */
+  def frequency(df: DataFrame, fields: Seq[String]): DataFrame =
+    df.groupBy(fields.map(col): _*)
+      .agg(count(lit(1)).as("count"))
+      .orderBy(col("count") +: fields.map(col): _*)
+
+  /** `undatum select`: keep/reorder columns by dot-path
+    * (undatum/cmds/selector.py:176-223).
+    */
+  def select(df: DataFrame, fields: Seq[String]): DataFrame =
+    df.select(fields.map(col): _*)
+
+  /** `undatum --filter` dictquery mini-DSL -> Spark SQL expression
+    * text. The reference evaluates the dictquery DSL per record
+    * (undatum/cmds/selector.py:204-207). Grammar subset:
+    * backtick-quoted fields, ==/!=/>/>=/</<=, LIKE, IN (...),
+    * AND/OR/NOT, string literals in single or double quotes.
+    */
+  def dictQueryToSql(q: String): String = {
+    // `field` -> field (Spark accepts bare or backtick-quoted names too)
+    var s = q
+    s = s.replaceAll("==", "=")
+    s
+  }
+
+  def filterDsl(df: DataFrame, dictQuery: String): DataFrame =
+    df.filter(expr(dictQueryToSql(dictQuery)))
+
+  /** `undatum split` by field value: hive-style partitioned write
+    * (undatum/cmds/selector.py:310-335 writes one file per distinct
+    * value; partitionBy is the scale-out equivalent — naming delta
+    * documented in SURVEY.md §2.7).
+    */
+  def splitByField(df: DataFrame, field: String, outDir: String): Unit =
+    df.write.mode("overwrite").partitionBy(field).parquet(outDir)
+
+  /** `undatum split` by chunk size (undatum/cmds/selector.py:264-309):
+    * bounded records per output file.
+    */
+  def splitByChunk(df: DataFrame, chunkSize: Int, outDir: String): Unit =
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", chunkSize.toLong).parquet(outDir)
+
+  /** Partition counts — the verifiable core of split semantics. */
+  def splitCounts(df: DataFrame, field: String): DataFrame =
+    df.groupBy(field).agg(count(lit(1)).cast(LongType).as("n")).orderBy(field)
+
+  /** `undatum headers`: leaf key-paths of the schema, dot-joined
+    * (undatum/cmds/selector.py:112-138; kernel utils.py:166-178).
+    * Spark's schema replaces the 10k-record sampling pass.
+    */
+  def headerPaths(schema: StructType, prefix: String = ""): Seq[String] =
+    schema.fields.toSeq.flatMap { f =>
+      val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+      f.dataType match {
+        case st: StructType => headerPaths(st, path)
+        case _ => Seq(path)
+      }
+    }
+
+  def headers(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    headerPaths(df.schema).toDF("field")
+  }
+
+  /** `undatum stats` per-field profile
+    * (undatum/cmds/statistics.py:30-148): total, n_uniq, share_uniq,
+    * min/max/avg length of the string form, is_uniq, is_dictkey
+    * (share_uniq < dictshare, default 70 — undatum/constants.py:5).
+    * One row per field; single wide agg per field (Catalyst merges the
+    * scans).
+    */
+  def fieldStats(df: DataFrame, fields: Seq[String], dictShare: Double = 70.0): DataFrame = {
+    val spark = df.sparkSession
+    val perField = fields.map { f =>
+      val c = col(f).cast(StringType)
+      df.agg(
+        lit(f).as("field"),
+        count(c).cast(LongType).as("total"),
+        countDistinct(c).cast(LongType).as("n_uniq"),
+        min(length(c)).cast(LongType).as("minlen"),
+        max(length(c)).cast(LongType).as("maxlen"),
+        round(avg(length(c)), 4).as("avglen")
+      )
+    }
+    val unioned = perField.reduce(_.unionAll(_))
+    unioned
+      .withColumn("share_uniq",
+        round(lit(100.0) * col("n_uniq") / col("total"), 4))
+      .withColumn("is_uniq", col("n_uniq") === col("total"))
+      .withColumn("is_dictkey", col("share_uniq") < dictShare)
+      .orderBy("field")
+  }
+
+  /** `undatum validate` (undatum/cmds/validator.py:47-119): rule over
+    * a column; modes stats / invalid / all.
+    */
+  def validateStats(df: DataFrame, rule: Column): DataFrame =
+    df.agg(
+      count(lit(1)).cast(LongType).as("total"),
+      sum(when(rule, 0).otherwise(1)).cast(LongType).as("invalid"),
+      round(lit(100.0) * sum(when(rule, 0).otherwise(1)) / count(lit(1)), 4)
+        .as("share_invalid"))
+
+  def validateInvalid(df: DataFrame, rule: Column): DataFrame = df.filter(!rule)
+}

@@ -1,0 +1,95 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `array<float>` column:
+  * brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH bucketing as the scale path (Charikar '02 —
+  * public). Dot products stay columnar via `zip_with` + `aggregate`
+  * higher-order functions (codegen'd, no UDF).
+  */
+object Similarity {
+
+  /** Sequential-order double dot product of two float-array columns.
+    * Matches a DuckDB list_sum(list_transform(...)) oracle bit-for-bit
+    * because both fold left in index order over doubles.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors of one query vector (broadcast as a
+    * literal array): one scan, one narrow top-k — the baseline.
+    */
+  def bruteTopK(df: DataFrame, vecCol: String, idCol: String,
+                query: Array[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    df.select(col(idCol), round(cosine(col(vecCol), q), 3).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All pairs with cosine >= threshold within a blocking column
+    * (e.g. a label or an LSH bucket) — embedding-cosine near-dup.
+    */
+  def cosinePairsWithin(df: DataFrame, vecCol: String, idCol: String,
+                        blockCol: String, threshold: Double): DataFrame = {
+    val s = df.select(col(blockCol).as("blk"), col(idCol).as("id"), col(vecCol).as("v"))
+    val a = s.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = s.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("v_a"), col("v_b")))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 3).as("sim"))
+  }
+
+  /** Deterministic random hyperplanes for sign-LSH. */
+  def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)((rng.nextGaussian()).toFloat))
+  }
+
+  /** Sign-LSH bucket id: one bit per hyperplane. Vectors in the same
+    * bucket are cosine-close with high probability; search cost drops
+    * from O(N) to O(N / 2^nPlanes) per query at some recall loss.
+    */
+  def lshBucket(vecCol: Column, ps: Array[Array[Float]]): Column = {
+    val bits = ps.zipWithIndex.map { case (p, i) =>
+      val pl = array(p.map(lit(_)): _*)
+      when(dot(vecCol, pl) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k for one query via LSH: scan only the query's bucket
+    * (and optionally hamming-1 neighbor buckets for recall).
+    */
+  def annTopK(df: DataFrame, vecCol: String, idCol: String,
+              query: Array[Float], k: Int, nPlanes: Int = 8,
+              probeNeighbors: Boolean = true, seed: Long = 42L): DataFrame = {
+    val ps = planes(nPlanes, query.length, seed)
+    def bucketOf(v: Array[Float]): Long = {
+      var b = 0L
+      ps.zipWithIndex.foreach { case (p, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < v.length) { d += p(j).toDouble * v(j); j += 1 }
+        if (d >= 0) b |= (1L << i)
+      }
+      b
+    }
+    val qb = bucketOf(query)
+    val probes: Seq[Long] =
+      if (probeNeighbors) qb +: (0 until nPlanes).map(i => qb ^ (1L << i))
+      else Seq(qb)
+    val bucketed = df.withColumn("__bucket", lshBucket(col(vecCol), ps))
+      .where(col("__bucket").isInCollection(probes))
+    bruteTopK(bucketed, vecCol, idCol, query, k)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token
+  * counting, language-ID heuristic, quality scoring, document
+  * fingerprinting. All column-level and codegen-friendly (built-in
+  * functions; no UDFs in the hot path) so they survive 100-TB scans.
+  */
+object TextOps {
+
+  /** Whitespace token count, empty-safe. */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), x => x =!= lit(""))).cast("long")
+
+  /** BPE-ish subword count: word-piece regex segmentation — counts
+    * alpha runs, digit runs, and punctuation separately (a cheap
+    * stand-in for a real tokenizer's piece count).
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z\\u00C0-\\u024F]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("long")
+
+  private val enStop = "the|of|and|a|in|to|is|it|that|for|on|with|as|was|at|by"
+  private val ruChars = "[\\u0400-\\u04FF]"
+
+  def stopwordHits(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(s"\\b($enStop)\\b"), lit(0))).cast("long")
+
+  def cyrillicChars(text: Column): Column =
+    size(regexp_extract_all(text, lit(ruChars), lit(0))).cast("long")
+
+  /** Language-ID heuristic: script detection first, then English
+    * stopword density. Deterministic and SQL-portable (used by the
+    * DuckDB oracle).
+    */
+  def langId(text: Column): Column = {
+    val n = greatest(length(text), lit(1)).cast("double")
+    when(cyrillicChars(text) / n > 0.3, "ru")
+      .when(stopwordHits(text) / greatest(tokenCount(text), lit(1)).cast("double") > 0.05, "en")
+      .otherwise("unknown")
+  }
+
+  /** Quality signals: length, punctuation ratio, digit ratio, stopword
+    * ratio, mean word length — combined into a [0,1] score. Weights
+    * are heuristic; the point is a deterministic, fully-columnar
+    * scoring pass.
+    */
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def digitRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def stopwordRatio(text: Column): Column =
+    stopwordHits(text).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Integer-exact quality score in basis points (0..10000): same
+    * signals as `qualityScore` but in pure integer arithmetic
+    * (min/plus/integer-division), so any engine computes bit-identical
+    * results — cross-engine double rounding diverges on near-ties.
+    */
+  def qualityScoreBp(text: Column): Column = {
+    // integer floor-division; exact for our magnitudes (< 2^25 / 2^13)
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    val L = length(text).cast("long")
+    val L1 = greatest(L, lit(1L))
+    val s = stopwordHits(text)
+    val tk = greatest(tokenCount(text), lit(1L))
+    val p = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+    val g = size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("long")
+    (lit(8L) * least(L, lit(500L)) +
+      idiv(lit(3000L) * least(lit(5L) * s, tk), tk) +
+      (lit(1500L) - idiv(lit(1500L) * least(lit(4L) * p, L), L1)) +
+      (lit(1500L) - idiv(lit(1500L) * least(lit(4L) * g, L), L1))).as("quality_bp")
+  }
+
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punctPenalty = least(punctRatio(text) * lit(4.0), lit(1.0))
+    val digitPenalty = least(digitRatio(text) * lit(4.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    round(
+      lit(0.4) * lenScore + lit(0.3) * stopScore +
+        lit(0.15) * (lit(1.0) - punctPenalty) +
+        lit(0.15) * (lit(1.0) - digitPenalty), 4)
+  }
+
+  /** 64-bit document fingerprint: xxhash64 of the
+    * whitespace-normalized text — built-in, codegen'd, exactly the
+    * reference's schema-fingerprint trick (xxhash64 of joined names,
+    * undatum/cmds/schemer.py:40-41) applied to content.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(trim(text), "\\s+", " "))
+
+  /** Rolling polynomial hash over words (order-sensitive), as a
+    * fold — stays columnar via `aggregate` higher-order function.
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      filter(split(text, "\\s+"), x => x =!= lit("")),
+      lit(1469598103934665603L),
+      (acc, w) => acc * lit(1099511628211L) + xxhash64(w))
+}
