@@ -147,6 +147,31 @@ object SparkEntry {
       import s.implicits._
       Seq(bad).toDF("n_mismatch")
     }),
+    "q_convert_roundtrip" -> ((s, d) => {
+      // flagship reference invariant: rows survive any converter path
+      // (csv here; full matrix in ConverterSpec)
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft-conv").toString
+      graft.sources.Converter.write(docs, dir, "csv")
+      val back = graft.sources.Converter.read(s, dir,
+        graft.sources.Converter.ReadOptions("csv", inferSchema = true))
+        .select(docs.columns.map(col): _*)
+      val a = docs.selectExpr(docs.columns.map(c => s"CAST($c AS STRING)"): _*)
+      val b = back.selectExpr(docs.columns.map(c => s"CAST($c AS STRING)"): _*)
+      val bad = a.exceptAll(b).count() + b.exceptAll(a).count()
+      Seq(bad).toDF("n_mismatch")
+    }),
+    "q_multimodal_features" -> ((s, d) => {
+      // stubbed-codec media pipeline: deterministic per-kind profile
+      val feats = graft.multimodal.Multimodal.decodeFeatures(
+        graft.multimodal.Multimodal.synthMedia(s, 300, parallelism = 4))
+      feats.groupBy("kind").agg(
+        count(lit(1)).cast("long").as("n"),
+        min("decoded_w").as("min_w"),
+        max("decoded_w").as("max_w"))
+        .orderBy("kind")
+    }),
     "q_encode_roundtrip" -> ((s, d) => {
       import s.implicits._
       val ds = graft.synth.TokenSynth.dataset(s, 3000)
@@ -292,6 +317,12 @@ object SparkEntry {
         |   * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
         |                           list_transform(b.embedding, x -> CAST(x AS DOUBLE))))) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_convert_roundtrip" -> "SELECT CAST(0 AS BIGINT) AS n_mismatch",
+    "q_multimodal_features" ->
+      """SELECT kind, CAST(n AS BIGINT) AS n, CAST(min_w AS INT) AS min_w,
+        |CAST(max_w AS INT) AS max_w FROM (VALUES
+        |('audio',100,32,144),('image',100,32,144),('video',100,32,144))
+        |t(kind, n, min_w, max_w) ORDER BY kind""".stripMargin,
     "q_codec_roundtrip" -> "SELECT CAST(0 AS BIGINT) AS n_mismatch",
     "q_encode_roundtrip" -> "SELECT CAST(0 AS BIGINT) AS n_mismatch"
   )
