@@ -97,8 +97,11 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactDedup(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")),
     "q_minhash_pairs" -> ((s, d) =>
+      // 16 bands x 4 rows: candidate probability 1-(1-j^4)^16 stays
+      // selective on low-jaccard noise (the all-pairs word-salad
+      // baseline) while catching j >= ~0.5 near-dups reliably
       Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
-        shingleN = 2, k = 64, bands = 32, threshold = 0.2)
+        shingleN = 2, k = 64, bands = 16, threshold = 0.3)
         .orderBy("id_a", "id_b")),
     "q_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)

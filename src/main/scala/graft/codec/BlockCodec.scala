@@ -42,7 +42,7 @@ object BlockCodec {
     if (n == 0) return ColumnStats.empty
     var min = values(0); var max = values(0)
     var runs = 1L; var maxRun = 1; var curRun = 1
-    val seen = new java.util.HashSet[Integer](math.min(n, CardCap))
+    val seen = new IntSet(4096)
     var cardCapped = false
     seen.add(values(0))
     var i = 1
@@ -52,10 +52,7 @@ object BlockCodec {
       if (v > max) max = v
       if (v == values(i - 1)) { curRun += 1; if (curRun > maxRun) maxRun = curRun }
       else { runs += 1; curRun = 1 }
-      if (!cardCapped) {
-        seen.add(v)
-        if (seen.size > CardCap) cardCapped = true
-      }
+      if (!cardCapped && seen.add(v) && seen.size > CardCap) cardCapped = true
       i += 1
     }
     // sampled 4-gram repetition: hash rolling windows over a prefix

@@ -82,6 +82,68 @@ final class ByteReader(val buf: Array[Byte], var pos: Int = 0) {
   def remaining: Int = buf.length - pos
 }
 
+/** Growable primitive int array — hot encode paths must not box. */
+final class IntBuf(initial: Int = 64) {
+  private var arr = new Array[Int](math.max(initial, 16))
+  private var len = 0
+  def size: Int = len
+  def apply(i: Int): Int = arr(i)
+  def add(v: Int): Unit = {
+    if (len == arr.length) arr = Arrays.copyOf(arr, arr.length * 2)
+    arr(len) = v
+    len += 1
+  }
+  /** Backing array; valid up to `size`. */
+  def raw: Array[Int] = arr
+}
+
+/** Open-addressing int hash set (linear probing, no deletes) — the
+  * boxing-free replacement for HashSet[Integer] in per-token loops.
+  * One sentinel slot handles the value 0.
+  */
+final class IntSet(expected: Int = 16) {
+  private var cap = Integer.highestOneBit(math.max(16, expected * 2) - 1) << 1
+  private var keys = new Array[Int](cap)
+  private var used = new Array[Boolean](cap)
+  private var n = 0
+  def size: Int = n
+  private def idx(v: Int): Int = {
+    var h = v * 0x9E3779B9
+    h ^= h >>> 16
+    var i = h & (cap - 1)
+    while (used(i) && keys(i) != v) i = (i + 1) & (cap - 1)
+    i
+  }
+  /** Returns true when v was newly added. */
+  def add(v: Int): Boolean = {
+    val i = idx(v)
+    if (used(i)) return false
+    used(i) = true
+    keys(i) = v
+    n += 1
+    if (n * 4 > cap * 3) grow()
+    true
+  }
+  def contains(v: Int): Boolean = used(idx(v))
+  private def grow(): Unit = {
+    val ok = keys; val ou = used; val oc = cap
+    cap *= 2
+    keys = new Array[Int](cap)
+    used = new Array[Boolean](cap)
+    n = 0
+    var i = 0
+    while (i < oc) { if (ou(i)) add(ok(i)); i += 1 }
+  }
+  /** Sorted snapshot of the members. */
+  def toSortedArray: Array[Int] = {
+    val out = new Array[Int](n)
+    var i = 0; var j = 0
+    while (i < cap) { if (used(i)) { out(j) = keys(i); j += 1 }; i += 1 }
+    Arrays.sort(out)
+    out
+  }
+}
+
 object Bits {
   /** Minimal width in bits to represent unsigned value v (0 for v==0). */
   def width(v: Long): Int =

@@ -77,7 +77,7 @@ object FsstCodec extends IntCodec {
   /** Greedy longest-match parse; emits codes (0..254) or 256+byte for
     * literals.
     */
-  private def parse(bytes: Array[Byte], table: Table, out: ArrayBuffer[Int]): Unit = {
+  private def parse(bytes: Array[Byte], table: Table, out: IntBuf): Unit = {
     val n = bytes.length
     var p = 0
     while (p < n) {
@@ -101,8 +101,8 @@ object FsstCodec extends IntCodec {
           i += 1
         }
       }
-      if (matched >= 0) { out += matched; p += mLen }
-      else { out += (256 + b0); p += 1 }
+      if (matched >= 0) { out.add(matched); p += mLen }
+      else { out.add(256 + b0); p += 1 }
     }
   }
 
@@ -113,16 +113,16 @@ object FsstCodec extends IntCodec {
     var table = new Table(Array.empty)
     var round = 0
     while (round < Rounds) {
-      val codes = new ArrayBuffer[Int](sample.length)
+      val codes = new IntBuf(sample.length)
       parse(sample, table, codes)
       // count singles and adjacent pairs
       val nCodeSpace = 512
       val count1 = new Array[Int](nCodeSpace)
       val count2 = new java.util.HashMap[java.lang.Long, Integer]()
       var i = 0
-      while (i < codes.length) {
+      while (i < codes.size) {
         count1(codes(i)) += 1
-        if (i + 1 < codes.length) {
+        if (i + 1 < codes.size) {
           val key = codes(i).toLong * nCodeSpace + codes(i + 1)
           val old = count2.get(key)
           count2.put(key, if (old == null) 1 else old + 1)
@@ -201,11 +201,11 @@ object FsstCodec extends IntCodec {
     if (bytes.length == 0)
       return Encoded(Array[Byte](0), Array.emptyByteArray)
     val table = train(bytes)
-    val codes = new ArrayBuffer[Int](bytes.length / 2 + 16)
+    val codes = new IntBuf(bytes.length / 2 + 16)
     parse(bytes, table, codes)
-    val out = new ByteBuf(codes.length + 16)
+    val out = new ByteBuf(codes.size + 16)
     var j = 0
-    while (j < codes.length) {
+    while (j < codes.size) {
       val c = codes(j)
       if (c >= 256) { out.writeByte(Escape); out.writeByte(c - 256) }
       else out.writeByte(c)

@@ -193,21 +193,14 @@ object DictCodec extends IntCodec {
   val maxCard = 1 << 16
 
   def encode(values: Array[Int], n: Int): Encoded = {
-    val set = new java.util.TreeSet[Integer]()
+    val set = new IntSet(1024)
     var i = 0
     while (i < n) {
-      set.add(values(i))
-      if (set.size > maxCard) return null
+      if (set.add(values(i)) && set.size > maxCard) return null
       i += 1
     }
-    val k = set.size
-    val dict = new Array[Int](k)
-    val it = set.iterator()
-    i = 0
-    while (it.hasNext) { dict(i) = it.next(); i += 1 }
-    val index = new java.util.HashMap[Integer, Integer](k * 2)
-    i = 0
-    while (i < k) { index.put(dict(i), i); i += 1 }
+    val dict = set.toSortedArray
+    val k = dict.length
     val st = new ByteBuf(k * 2 + 8)
     st.writeVarInt(k)
     var prev = 0L
@@ -221,7 +214,10 @@ object DictCodec extends IntCodec {
     val w = Bits.widthInt(math.max(k - 1, 0))
     val longs = new Array[Long](n)
     i = 0
-    while (i < n) { longs(i) = index.get(values(i)).toLong; i += 1 }
+    while (i < n) {
+      longs(i) = java.util.Arrays.binarySearch(dict, values(i)).toLong
+      i += 1
+    }
     val out = new ByteBuf(n * w / 8 + 16)
     Bits.pack(longs, n, w, out)
     val stArr = st.toArray

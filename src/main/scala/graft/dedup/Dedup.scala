@@ -65,12 +65,15 @@ object Dedup {
                    shingleN: Int = 3, k: Int = 64, bands: Int = 16,
                    threshold: Double = 0.7, maxBucket: Int = 64): DataFrame = {
     require(k % bands == 0)
+    require(k == graft.functions.MinHashSig.K,
+      s"native signature kernel is fixed at k=${graft.functions.MinHashSig.K}")
+    graft.functions.MinHashSig.register(df.sparkSession)
     val rowsPerBand = k / bands
     val withSig = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sh", shingles(col("text"), shingleN))
       .where(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
+      .withColumn("sig", graft.functions.MinHashSig.minhashSig(col("sh")))
     val banded = withSig.select(
       col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -101,9 +104,20 @@ object Dedup {
     */
   def jaccardWithin(df: DataFrame, idCol: String, textCol: String,
                     blockCol: String, shingleN: Int = 3,
-                    threshold: Double = 0.0): DataFrame = {
-    val s = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+                    threshold: Double = 0.0,
+                    lengthBucket: Boolean = true): DataFrame = {
+    // blocking on (key, log2 length bucket): docs with jaccard >= t
+    // have size ratio >= t, so near-dups land in the same or adjacent
+    // bucket; the bucket bounds block size and so pairwise cost
+    val blk0 = df.select(col(blockCol).as("blk0"), col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh"))
+    val s =
+      if (lengthBucket)
+        blk0.withColumn("blk",
+          concat_ws("#", col("blk0"),
+            floor(log2(greatest(size(col("sh")), lit(1)))).cast("int")))
+          .drop("blk0")
+      else blk0.withColumnRenamed("blk0", "blk")
     val a = s.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = s.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))

@@ -50,10 +50,19 @@ object TokenEncoder {
     h
   }
 
-  /** source -> (partId base, salt count), partIds globally unique. */
-  def partitionPlan(ds: Dataset[TokenRow], targetRowsPerPart: Int): Map[String, (Int, Int)] = {
-    val counts = ds.groupBy("source").count()
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+  /** source -> (partId base, salt count), partIds globally unique.
+    * Salting only needs approximate per-source counts, so the plan
+    * pass samples (seeded => deterministic) instead of scanning the
+    * full input — at 10^12 rows a full count pass just for the plan
+    * would be a second read of the whole table.
+    */
+  def partitionPlan(ds: Dataset[TokenRow], targetRowsPerPart: Int,
+                    sampleFraction: Double = 0.05): Map[String, (Int, Int)] = {
+    val frac = math.min(1.0, math.max(sampleFraction, 0.0001))
+    val counts = ds.sample(withReplacement = false, frac, seed = 42L)
+      .groupBy("source").count()
+      .collect().map(r => (r.getString(0), math.max(1L, (r.getLong(1) / frac).toLong)))
+      .sortBy(_._1)
     var base = 0
     counts.map { case (src, n) =>
       val salts = math.max(1, math.ceil(n.toDouble / targetRowsPerPart).toInt)
@@ -63,10 +72,26 @@ object TokenEncoder {
     }.toMap
   }
 
-  def partIdOf(plan: Map[String, (Int, Int)], r: TokenRow): Int = {
-    val (b, salts) = plan(r.source)
-    b + (((hash64(r.doc_id) % salts) + salts) % salts).toInt
-  }
+  /** Fixed overflow band for sources the sampled plan never saw —
+    * rare sources hash deterministically into these slots, so resume
+    * stays exact even when sampling misses a source entirely.
+    */
+  val OverflowSlots = 16
+
+  def planSaltTotal(plan: Map[String, (Int, Int)]): Int =
+    if (plan.isEmpty) 0 else plan.values.map { case (b, s) => b + s }.max
+
+  def allPartIds(plan: Map[String, (Int, Int)]): Set[Int] =
+    (0 until (planSaltTotal(plan) + OverflowSlots)).toSet
+
+  def partIdOf(plan: Map[String, (Int, Int)], r: TokenRow): Int =
+    plan.get(r.source) match {
+      case Some((b, salts)) =>
+        b + (((hash64(r.doc_id) % salts) + salts) % salts).toInt
+      case None =>
+        planSaltTotal(plan) +
+          (((hash64(r.source) % OverflowSlots) + OverflowSlots) % OverflowSlots).toInt
+    }
 
   /** Encode the given logical partitions (all when `only` is None) into
     * EncodedBlock rows. One shuffle (groupByKey on partId); each group
@@ -162,32 +187,72 @@ object TokenEncoder {
           cfg: EncodeConfig = EncodeConfig()): Dataset[LineageRecord] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    val plan = partitionPlan(ds, cfg.targetRowsPerPart)
-    val done = committedPartIds(spark, outDir)
-    val allParts = plan.values.flatMap { case (b, s) => b until (b + s) }.toSet
-    val pending = allParts -- done
-    if (pending.isEmpty) return spark.emptyDataset[LineageRecord]
-    val only = if (done.isEmpty) None else Some(pending)
-    val runId = newRunId()
-    val blocks = encodeBlocks(ds, plan, cfg, only, runId)
-    blocks.write.mode("append").parquet(s"$outDir/blocks")
-    // lineage derived from the *written* files — doubles as a readback
-    // validation and avoids recomputing the encode. Filtering on this
-    // run's id excludes stale blocks from crashed (uncommitted) runs.
-    val written = spark.read.parquet(s"$outDir/blocks")
-      .where($"runId" === runId)
-    val lineage = written.select(
-      lit(cfg.inputFile).as("inputFile"),
-      $"partId", $"blockId",
-      $"blockRows".as("rowCount"),
-      $"totalTokens", $"checksum", $"codecId", $"postCodec",
-      $"rawBytes", $"encodedBytes",
-      when($"encodedBytes" > 0, $"rawBytes".cast("double") / $"encodedBytes")
-        .otherwise(lit(1.0)).as("ratio")
-    ).as[LineageRecord]
-    lineage.write.mode("append").parquet(s"$outDir/lineage")
-    spark.read.parquet(s"$outDir/lineage")
-      .where($"partId".isInCollection(pending)).as[LineageRecord]
+    // persist: the plan sample and the encode shuffle would otherwise
+    // both recompute the input lineage (for a parquet-backed input
+    // this is a cheap re-scan; for a computed input it is not)
+    val cached = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val plan = partitionPlan(cached, cfg.targetRowsPerPart)
+      val done = committedPartIds(spark, outDir)
+      val allParts = allPartIds(plan)
+      val pending = allParts -- done
+      if (pending.isEmpty) return spark.emptyDataset[LineageRecord]
+      val only = if (done.isEmpty) None else Some(pending)
+      val runId = newRunId()
+      val blocks = encodeBlocks(cached, plan, cfg, only, runId)
+      // payloads are already codec+zstd compressed; parquet-level
+      // recompression would only burn CPU on incompressible bytes
+      blocks.write.mode("append")
+        .option("compression", "uncompressed")
+        .parquet(s"$outDir/blocks")
+      // lineage derived from the *written* files — doubles as a
+      // readback validation and avoids recomputing the encode.
+      // Filtering on this run's id excludes stale blocks from crashed
+      // (uncommitted) runs.
+      val written = spark.read.parquet(s"$outDir/blocks")
+        .where($"runId" === runId)
+      val lineage = written.select(
+        lit(cfg.inputFile).as("inputFile"),
+        $"partId", $"blockId",
+        $"blockRows".as("rowCount"),
+        $"totalTokens", $"checksum", $"codecId", $"postCodec",
+        $"rawBytes", $"encodedBytes",
+        when($"encodedBytes" > 0, $"rawBytes".cast("double") / $"encodedBytes")
+          .otherwise(lit(1.0)).as("ratio")
+      ).as[LineageRecord]
+      lineage.write.mode("append").parquet(s"$outDir/lineage")
+      spark.read.parquet(s"$outDir/lineage")
+        .where($"partId".isInCollection(pending)).as[LineageRecord]
+    } finally cached.unpersist(blocking = false)
+  }
+
+  /** Garbage-collect blocks from crashed (uncommitted) runs: rewrite
+    * the blocks table keeping only blockIds present in lineage.
+    * Readers already ignore uncommitted blocks (semi-join), so vacuum
+    * is purely a space reclaim and safe to run any time after encode.
+    */
+  def vacuum(spark: SparkSession, outDir: String): Long = {
+    import spark.implicits._
+    val blocksPath = s"$outDir/blocks"
+    val blocks = spark.read.parquet(blocksPath)
+    val committed = spark.read.parquet(s"$outDir/lineage").select("blockId").distinct()
+    val total = blocks.count()
+    val live = blocks.join(committed, Seq("blockId"), "left_semi")
+    val keep = live.count()
+    if (keep == total) return 0L
+    val tmp = s"$outDir/blocks_vacuum_tmp"
+    live.write.mode("overwrite").option("compression", "uncompressed").parquet(tmp)
+    // atomic-ish swap (single filesystem rename pair)
+    val fs = new java.io.File(blocksPath)
+    val bak = new java.io.File(s"$outDir/blocks_vacuum_old")
+    fs.renameTo(bak)
+    new java.io.File(tmp).renameTo(fs)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(bak)
+    total - keep
   }
 }
 

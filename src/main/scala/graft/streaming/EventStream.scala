@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operators over the `events` table shape.
+  *
+  * The reference has NO event-time streaming (SURVEY.md §2.10 — its
+  * "streaming" is bounded constant-memory file iteration), so this
+  * module is an extension, not a port: watermarked tumbling-window
+  * aggregation and stateful sessionization, the two shapes a
+  * training-data ingest pipeline actually runs (late events dropped
+  * deterministically, state bounded by the watermark).
+  */
+object EventStream {
+
+  /** Tumbling-window counts+sums per event_type with a watermark:
+    * works identically on a batch DataFrame (tests run it both ways).
+    */
+  def windowedCounts(events: DataFrame, windowDur: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame = {
+    val wm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    wm.groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class SessionOut(user_id: Long, session_start: Long,
+                              session_secs: Long, events: Int)
+
+  /** Gap-based sessionization via flatMapGroupsWithState — the custom
+    * stateful-operator surface. Emits a session when `gapSecs` of
+    * silence passes between a user's consecutive events.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapSecs: Long = 1800):
+      Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          sorted.foreach { e =>
+            val t = e.ts.getTime / 1000
+            if (st == null) st = SessionState(t, t, 1)
+            else if (t - st.last > gapSecs) {
+              out += SessionOut(uid, st.start, st.last - st.start, st.n)
+              st = SessionState(t, t, 1)
+            } else st = SessionState(st.start, t, st.n + 1)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+}

@@ -148,6 +148,21 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("native minhash signature equals the declarative formulation") {
+    val s = spark
+    import s.implicits._
+    graft.functions.MinHashSig.register(spark)
+    val rng = new scala.util.Random(9)
+    val df = (0 until 50).map(i =>
+      (i.toLong, Array.fill(40)(rng.nextLong()))).toDF("id", "sh")
+    val native = df.select(col("id"),
+      graft.functions.MinHashSig.minhashSig(col("sh")).as("sig"))
+    val declarative = df.select(col("id"),
+      Dedup.minhashSignature(col("sh"), 64).as("sig"))
+    assert(native.exceptAll(declarative).count() == 0)
+    assert(declarative.exceptAll(native).count() == 0)
+  }
+
   test("simhash pairs finds identical and near-identical docs") {
     val s = spark
     import s.implicits._

@@ -47,9 +47,10 @@ class PipelineSpec extends SparkSpecBase {
     val cfg = EncodeConfig(targetRowsPerPart = 500)
     val ds = synth
     val plan = TokenEncoder.partitionPlan(ds, cfg.targetRowsPerPart)
-    val allParts = plan.values.flatMap { case (b, s) => b until (b + s) }.toSet
+    // partitions that actually hold data (overflow slots may be empty)
+    val dataParts = ds.collect().map(r => TokenEncoder.partIdOf(plan, r)).toSet
     // simulate a first run that only committed half the partitions
-    val half = allParts.toSeq.sorted.take(allParts.size / 2).toSet
+    val half = dataParts.toSeq.sorted.take(dataParts.size / 2).toSet
     val blocks = TokenEncoder.encodeBlocks(ds, plan, cfg, Some(half))
     blocks.write.mode("append").parquet(s"$out/blocks")
     val written = spark.read.parquet(s"$out/blocks")
@@ -64,7 +65,7 @@ class PipelineSpec extends SparkSpecBase {
     // resume
     val resumed = TokenEncoder.run(ds, out, cfg)
     val resumedParts = resumed.select("partId").distinct().as[Int].collect().toSet
-    assert(resumedParts == (allParts -- half))
+    assert(resumedParts == (dataParts -- half))
     val back = TokenDecoder.read(spark, out)
     assertSameTable(ds, back)
     // doc_ids unique => no duplicates from the overlap
@@ -87,6 +88,32 @@ class PipelineSpec extends SparkSpecBase {
     val back = TokenDecoder.read(spark, out)
     assertSameTable(ds, back)
     assert(back.select("doc_id").distinct().count() == back.count())
+  }
+
+  test("vacuum removes uncommitted blocks and decode is unchanged") {
+    val out = tmpDir("vacuum")
+    val cfg = EncodeConfig(targetRowsPerPart = 2000)
+    val ds = synth
+    val plan = TokenEncoder.partitionPlan(ds, cfg.targetRowsPerPart)
+    // crashed attempt: blocks with no lineage
+    TokenEncoder.encodeBlocks(ds, plan, cfg, Some(Set(plan.values.head._1)))
+      .write.mode("append").parquet(s"$out/blocks")
+    TokenEncoder.run(ds, out, cfg) // clean full run
+    val before = spark.read.parquet(s"$out/blocks").count()
+    val removed = TokenEncoder.vacuum(spark, out)
+    assert(removed > 0)
+    assert(spark.read.parquet(s"$out/blocks").count() == before - removed)
+    assertSameTable(ds, TokenDecoder.read(spark, out))
+    assert(TokenEncoder.vacuum(spark, out) == 0) // idempotent
+  }
+
+  test("apply transform (undatum apply) maps records with typed encoder") {
+    import spark.implicits._
+    // examples/script.py semantics: rename a field via row map
+    val ds = Seq(("t1", 1), ("t2", 2)).toDF("title", "n").as[(String, Int)]
+    val out = graft.operators.Transform.applyTyped(ds,
+      (r: (String, Int)) => (r._1.toUpperCase, r._2 * 10))
+    assert(out.collect().toSet == Set(("T1", 10), ("T2", 20)))
   }
 
   test("lineage checksums match decoded content per block") {

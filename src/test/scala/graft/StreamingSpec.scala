@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+import graft.streaming.EventStream.SessionEvent
+
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(min: Int): java.sql.Timestamp =
+    new java.sql.Timestamp(1700000000000L + min * 60000L)
+
+  test("windowedCounts over a MemoryStream matches the batch result") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val rows = Seq(
+      (1L, ts(0), "click", 1.0), (2L, ts(10), "click", 2.0),
+      (3L, ts(65), "view", 3.0), (4L, ts(70), "click", 4.0),
+      (5L, ts(130), "view", 5.0))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    mem.addData(rows: _*)
+    val streamDf = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventStream.windowedCounts(streamDf)
+      .writeStream.format("memory").queryName("wincounts")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("wincounts")
+      .orderBy("win_start", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val batch = EventStream.windowedCounts(
+        rows.toDF("event_id", "ts", "event_type", "value"))
+      .orderBy("win_start", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq == batch.toSeq)
+    assert(batch.length == 4) // 3 windows, one with 2 types
+  }
+
+  test("late events beyond the watermark are dropped in append mode") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val q = EventStream.windowedCounts(
+        mem.toDF().toDF("event_id", "ts", "event_type", "value"),
+        windowDur = "10 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("latewin")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), "click", 1.0), (2L, ts(5), "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past the first window
+      mem.addData((3L, ts(120), "view", 1.0))
+      q.processAllAvailable()
+      // this event is 2 hours late -> must be dropped
+      mem.addData((4L, ts(2), "click", 99.0))
+      q.processAllAvailable()
+      mem.addData((5L, ts(180), "view", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("latewin").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSet
+    // first window closed with exactly the 2 on-time clicks; the
+    // 2-hours-late third click (value 99) never re-opened it
+    assert(out.contains(("click", 2L)), out.mkString(","))
+    assert(!out.contains(("click", 3L)), out.mkString(","))
+  }
+
+  test("sessionize groups events by inactivity gap (batch mode)") {
+    val s = spark
+    import s.implicits._
+    val evs = Seq(
+      SessionEvent(1L, ts(0), "a"), SessionEvent(1L, ts(5), "b"),
+      SessionEvent(1L, ts(90), "c"), // 85-min gap -> new session
+      SessionEvent(2L, ts(0), "x")).toDS()
+    val sessions = EventStream.sessionize(evs, gapSecs = 1800)
+      .collect().sortBy(r => (r.user_id, r.session_start))
+    // user 1's first session emitted (5 min long, 2 events); the
+    // in-progress sessions stay in state (streaming semantics)
+    assert(sessions.length == 1)
+    assert(sessions(0).user_id == 1L && sessions(0).events == 2 &&
+      sessions(0).session_secs == 300)
+  }
+}
