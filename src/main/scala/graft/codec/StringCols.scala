@@ -1,0 +1,80 @@
+package graft.codec
+
+/** Compression for a block's per-row string metadata columns.
+  *
+  * doc ids: newline-joined + zstd — ids share long prefixes
+  * ("source-000000001234"), which zstd's window eats whole.
+  * sources: dictionary (partitions are source-pure, so the dict is
+  * nearly always a single entry) + varint indexes.
+  */
+object StringCols {
+
+  def encodeDocIds(ids: Array[String], n: Int): Array[Byte] = {
+    val sb = new java.lang.StringBuilder(n * 24)
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append('\n')
+      sb.append(ids(i))
+      i += 1
+    }
+    val raw = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    com.github.luben.zstd.Zstd.compress(raw, 3)
+  }
+
+  def decodeDocIds(enc: Array[Byte], n: Int): Array[String] = {
+    if (n == 0) return Array.empty
+    val size = com.github.luben.zstd.Zstd.getFrameContentSize(enc)
+    val raw = com.github.luben.zstd.Zstd.decompress(enc, size.toInt)
+    val s = new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+    val out = s.split("\n", -1)
+    require(out.length == n, s"docIds decode: ${out.length} != $n")
+    out
+  }
+
+  def encodeSources(srcs: Array[String], n: Int): Array[Byte] = {
+    val dict = new java.util.LinkedHashMap[String, Integer]()
+    val idx = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      var id = dict.get(srcs(i))
+      if (id == null) { id = dict.size; dict.put(srcs(i), id) }
+      idx(i) = id
+      i += 1
+    }
+    val out = new ByteBuf(64)
+    out.writeVarInt(dict.size)
+    val it = dict.keySet().iterator()
+    while (it.hasNext) {
+      val b = it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeVarInt(b.length)
+      out.writeBytes(b)
+    }
+    // single-source blocks (the common case) need no index bytes
+    if (dict.size > 1) {
+      i = 0
+      while (i < n) { out.writeVarInt(idx(i)); i += 1 }
+    }
+    out.toArray
+  }
+
+  def decodeSources(enc: Array[Byte], n: Int): Array[String] = {
+    if (n == 0) return Array.empty
+    val r = new ByteReader(enc)
+    val k = r.readVarInt()
+    val dict = new Array[String](k)
+    var i = 0
+    while (i < k) {
+      val len = r.readVarInt()
+      dict(i) = new String(enc, r.pos, len, java.nio.charset.StandardCharsets.UTF_8)
+      r.pos += len
+      i += 1
+    }
+    val out = new Array[String](n)
+    if (k == 1) java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], dict(0))
+    else {
+      i = 0
+      while (i < n) { out(i) = dict(r.readVarInt()); i += 1 }
+    }
+    out
+  }
+}

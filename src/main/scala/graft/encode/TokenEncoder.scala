@@ -122,6 +122,7 @@ object TokenEncoder {
           private var blockSeq = 0
           def hasNext: Boolean = rows.hasNext
           def next(): EncodedBlock = {
+            val t0 = System.nanoTime()
             // pull rows until the block is full
             val docIds = new scala.collection.mutable.ArrayBuffer[String]()
             val srcs = new scala.collection.mutable.ArrayBuffer[String]()
@@ -145,6 +146,8 @@ object TokenEncoder {
             }
             val be = BlockCodec.encodeAuto(tokBuf, nTok, cfgB.zstd)
             val lensEnc = lens.toArray
+            val idsEnc = graft.codec.StringCols.encodeDocIds(docIds.toArray, nRows)
+            val srcsEnc = graft.codec.StringCols.encodeSources(srcs.toArray, nRows)
             val b = EncodedBlock(
               blockId = s"$runIdB-$partId-$blockSeq",
               runId = runIdB,
@@ -155,12 +158,14 @@ object TokenEncoder {
               symtab = be.symtab,
               payload = be.payload,
               lengthsEnc = lensEnc,
-              docIds = docIds.toArray,
-              sources = srcs.toArray,
+              docIdsEnc = idsEnc,
+              sourcesEnc = srcsEnc,
               blockRows = nRows,
               totalTokens = nTok.toLong,
               rawBytes = 4L * nTok,
               encodedBytes = be.encodedBytes + lensEnc.length,
+              metaBytes = idsEnc.length.toLong + srcsEnc.length,
+              encodeMillis = (System.nanoTime() - t0) / 1000000L,
               checksum = BlockCodec.checksum(tokBuf, nTok)
             )
             blockSeq += 1
@@ -218,7 +223,8 @@ object TokenEncoder {
         $"totalTokens", $"checksum", $"codecId", $"postCodec",
         $"rawBytes", $"encodedBytes",
         when($"encodedBytes" > 0, $"rawBytes".cast("double") / $"encodedBytes")
-          .otherwise(lit(1.0)).as("ratio")
+          .otherwise(lit(1.0)).as("ratio"),
+        $"encodeMillis"
       ).as[LineageRecord]
       lineage.write.mode("append").parquet(s"$outDir/lineage")
       spark.read.parquet(s"$outDir/lineage")
@@ -262,13 +268,15 @@ object TokenDecoder {
   def decodeBlock(b: EncodedBlock): Iterator[TokenRow] = {
     val tokens = BlockCodec.decode(b.codecId, b.postCodec, b.symtab, b.payload,
       b.totalTokens.toInt)
+    val docIds = graft.codec.StringCols.decodeDocIds(b.docIdsEnc, b.blockRows)
+    val sources = graft.codec.StringCols.decodeSources(b.sourcesEnc, b.blockRows)
     val lens = new ByteReader(b.lengthsEnc)
     var off = 0
     (0 until b.blockRows).iterator.map { i =>
       val n = lens.readVarInt()
       val arr = java.util.Arrays.copyOfRange(tokens, off, off + n)
       off += n
-      TokenRow(b.docIds(i), arr, n, b.sources(i))
+      TokenRow(docIds(i), arr, n, sources(i))
     }
   }
 

@@ -64,12 +64,15 @@ final case class EncodedBlock(
     symtab: Array[Byte],
     payload: Array[Byte],
     lengthsEnc: Array[Byte], // varint-encoded per-row token counts
-    docIds: Array[String],
-    sources: Array[String],
+    docIdsEnc: Array[Byte],  // zstd(newline-joined doc ids) — shared
+                             // prefixes compress to ~nothing
+    sourcesEnc: Array[Byte], // varint dict count + dict strings + varint ids
     blockRows: Int,
     totalTokens: Long,
     rawBytes: Long,       // 4 * totalTokens
     encodedBytes: Long,   // symtab + payload + lengthsEnc
+    metaBytes: Long,      // docIdsEnc + sourcesEnc
+    encodeMillis: Long,   // kernel time for this block (throughput metric)
     checksum: Long        // order-sensitive hash of the token stream
 )
 
@@ -89,5 +92,6 @@ final case class LineageRecord(
     postCodec: Int,
     rawBytes: Long,
     encodedBytes: Long,
-    ratio: Double
+    ratio: Double,
+    encodeMillis: Long
 )

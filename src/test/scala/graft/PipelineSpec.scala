@@ -59,7 +59,8 @@ class PipelineSpec extends SparkSpecBase {
       $"partId", $"blockId", $"blockRows".as("rowCount"),
       $"totalTokens", $"checksum", $"codecId", $"postCodec",
       $"rawBytes", $"encodedBytes",
-      org.apache.spark.sql.functions.lit(1.0).as("ratio")
+      org.apache.spark.sql.functions.lit(1.0).as("ratio"),
+      $"encodeMillis"
     ).write.mode("append").parquet(s"$out/lineage")
     assert(TokenEncoder.committedPartIds(spark, out) == half)
     // resume
