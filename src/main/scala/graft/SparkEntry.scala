@@ -130,6 +130,30 @@ object SparkEntry {
     "q_cosine_pairs" -> ((s, d) =>
       Similarity.cosinePairsWithin(t(s, d, "embeddings"), "embedding", "vec_id",
         "label", 0.35).orderBy("id_a", "id_b")),
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      val idx = graft.sim.Ivf.train(emb, "embedding", k = 8)
+      graft.sim.Ivf.search(graft.sim.Ivf.assign(emb, "embedding", idx),
+        "embedding", "vec_id", idx, q, 10, nprobe = 3)
+    }),
+    "q_window_hourly" -> ((s, d) =>
+      // event-time tumbling window as a batch query (EventStream runs
+      // the same plan under Structured Streaming with a watermark)
+      t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .orderBy("hr", "event_type")),
+    "q_sessions" -> ((s, d) => {
+      import s.implicits._
+      val evs = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[graft.streaming.EventStream.SessionEvent]
+      graft.streaming.EventStream.sessionize(evs, gapSecs = 3600)
+        .toDF().orderBy("user_id", "session_start")
+    }),
     // ---- encode engine gates (single-row, constant oracle) --------
     "q_codec_roundtrip" -> ((s, d) => {
       val rng = new scala.util.Random(7)
@@ -174,6 +198,41 @@ object SparkEntry {
         min("decoded_w").as("min_w"),
         max("decoded_w").as("max_w"))
         .orderBy("kind")
+    }),
+    "q_schema_fingerprint" -> ((s, d) =>
+      graft.operators.Analyzer.schemaFingerprint(t(s, d, "documents"))),
+    "q_stats_by_source" -> ((s, d) => {
+      // typed Dataset Aggregator over the synthetic token table
+      import s.implicits._
+      val ds = graft.synth.TokenSynth.dataset(s, 3000)
+      ds.groupByKey(_.source).agg(graft.stats.TokenStatsAgg.toColumn)
+        .toDF("source", "stats")
+        .select(col("source"), col("stats.rows").as("rows"),
+          col("stats.totalTokens").as("total_tokens"),
+          col("stats.minTok").as("min_tok"), col("stats.maxTok").as("max_tok"),
+          col("stats.maxRun").as("max_run"))
+        .orderBy("source")
+    }),
+    "q_encode_documents" -> ((s, d) => {
+      // integration: tokenize real text -> TokenRow -> encode -> decode
+      // -> roundtrip gate (tokens = xxhash-bucketed whitespace words)
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val rows = docs.select(
+        col("doc_id").cast("string").as("doc_id"),
+        expr("transform(filter(split(text, '\\\\s+'), x -> x != ''), " +
+          "w -> CAST(pmod(xxhash64(w), 50000) AS INT))").as("tokens"),
+        col("source"))
+        .withColumn("n_tok", size(col("tokens")))
+        .select("doc_id", "tokens", "n_tok", "source")
+        .as[graft.model.TokenRow]
+      val plan = graft.encode.TokenEncoder.partitionPlan(rows, 1000)
+      val blocks = graft.encode.TokenEncoder.encodeBlocks(
+        rows, plan, graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 1000))
+      val back = blocks.flatMap(graft.encode.TokenDecoder.decodeBlock)
+      val bad = rows.toDF().exceptAll(back.toDF()).count() +
+        back.toDF().exceptAll(rows.toDF()).count()
+      Seq(bad).toDF("n_mismatch")
     }),
     "q_encode_roundtrip" -> ((s, d) => {
       import s.implicits._
@@ -326,7 +385,13 @@ object SparkEntry {
         |CAST(max_w AS INT) AS max_w FROM (VALUES
         |('audio',100,32,144),('image',100,32,144),('video',100,32,144))
         |t(kind, n, min_w, max_w) ORDER BY kind""".stripMargin,
+    "q_window_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hr, event_type,
+        |CAST(count(*) AS BIGINT) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q_codec_roundtrip" -> "SELECT CAST(0 AS BIGINT) AS n_mismatch",
-    "q_encode_roundtrip" -> "SELECT CAST(0 AS BIGINT) AS n_mismatch"
+    "q_encode_roundtrip" -> "SELECT CAST(0 AS BIGINT) AS n_mismatch",
+    "q_encode_documents" -> "SELECT CAST(0 AS BIGINT) AS n_mismatch"
   )
 }

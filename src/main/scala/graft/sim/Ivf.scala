@@ -1,0 +1,107 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: k-means cells
+  * trained on a driver-side sample (the standard FAISS recipe —
+  * training on a bounded sample is how IVF scales to 10^12 vectors),
+  * then cell assignment as a columnar argmin and search restricted to
+  * the `nprobe` cells nearest the query.
+  *
+  * Complements sign-LSH (Similarity.annTopK): IVF adapts to the data
+  * distribution, LSH is data-independent.
+  */
+object Ivf {
+
+  final case class IvfIndex(centroids: Array[Array[Float]]) {
+    def k: Int = centroids.length
+  }
+
+  private def dist2(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < a.length) { val t = a(i).toDouble - b(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** Deterministic Lloyd k-means on a seeded sample. */
+  def train(df: DataFrame, vecCol: String, k: Int = 16,
+            sampleRows: Int = 4096, iters: Int = 8, seed: Long = 42L): IvfIndex = {
+    val sample = df.select(vecCol).orderBy(xxhash64(col(vecCol).cast("string")))
+      .limit(sampleRows)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val rng = new scala.util.Random(seed)
+    var centroids = Array.fill(math.min(k, sample.length))(
+      sample(rng.nextInt(sample.length)).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](sample(0).length))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        var best = 0
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          val d = dist2(v, centroids(c))
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < v.length) { sums(best)(j) += v(j); j += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }.toArray
+      it += 1
+    }
+    IvfIndex(centroids)
+  }
+
+  /** Columnar nearest-centroid assignment: argmin over k squared
+    * distances, each a zip_with+aggregate fold (codegen'd, no UDF).
+    */
+  def cellOf(vecCol: Column, idx: IvfIndex): Column = {
+    val dists = idx.centroids.map { c =>
+      val cl = array(c.map(lit(_)): _*)
+      aggregate(zip_with(vecCol, cl,
+          (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+    }
+    // index of the minimum distance
+    array_position(array(dists: _*), array_min(array(dists: _*))).cast("int") - 1
+  }
+
+  def cellOfLocal(v: Array[Float], idx: IvfIndex): Int = {
+    var best = 0
+    var bd = Double.MaxValue
+    var c = 0
+    while (c < idx.k) {
+      val d = dist2(v, idx.centroids(c))
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Materialize the cell assignment (the "index build" — at scale
+    * this is written back as a partition column so searches prune).
+    */
+  def assign(df: DataFrame, vecCol: String, idx: IvfIndex): DataFrame =
+    df.withColumn("ivf_cell", cellOf(col(vecCol), idx))
+
+  /** Top-k for one query scanning only the nprobe nearest cells. */
+  def search(assigned: DataFrame, vecCol: String, idCol: String,
+             idx: IvfIndex, query: Array[Float], topK: Int,
+             nprobe: Int = 2): DataFrame = {
+    val cells = idx.centroids.indices
+      .sortBy(c => dist2(query, idx.centroids(c)))
+      .take(nprobe)
+    Similarity.bruteTopK(
+      assigned.where(col("ivf_cell").isInCollection(cells.map(Int.box))),
+      vecCol, idCol, query, topK)
+  }
+}

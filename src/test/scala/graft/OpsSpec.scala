@@ -208,6 +208,33 @@ class OpsSpec extends SparkSpecBase {
     assert(recall >= 0.5, s"LSH recall $recall")
   }
 
+  test("IVF: columnar cell assignment matches local; search recalls planted clusters") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(13)
+    // 4 planted clusters in 16-dim
+    val centers = Array.fill(4)(Array.fill(16)(rng.nextGaussian().toFloat * 5))
+    val vecs = (0 until 400).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.zip(Array.fill(16)(rng.nextGaussian().toFloat * 0.3f)).map(p => p._1 + p._2))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val idx = graft.sim.Ivf.train(df, "embedding", k = 4)
+    // columnar argmin == driver-side argmin
+    val assigned = graft.sim.Ivf.assign(df, "embedding", idx)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    vecs.foreach { case (id, v) =>
+      assert(assigned(id) == graft.sim.Ivf.cellOfLocal(v, idx), s"vec $id")
+    }
+    // search with nprobe=1 finds cluster-mates of the query
+    val q = vecs(0)._2
+    val got = graft.sim.Ivf.search(graft.sim.Ivf.assign(df, "embedding", idx),
+      "embedding", "vec_id", idx, q, 10, nprobe = 1)
+      .collect().map(_.getLong(0))
+    // all results should come from the query's planted cluster (id % 4 == 0)
+    assert(got.count(_ % 4 == 0) >= 9, got.mkString(","))
+  }
+
   test("text ops: token counts, langid, fingerprint stability") {
     val s = spark
     import s.implicits._
