@@ -55,6 +55,35 @@ object SparkEntry {
       UndatumOps.headers(t(s, d, "documents")).orderBy("field")),
     "q_validate_text" -> ((s, d) =>
       UndatumOps.validateStats(t(s, d, "documents"), col("text").rlike("data"))),
+    "q_validate_invalid" -> ((s, d) =>
+      UndatumOps.validateInvalid(t(s, d, "documents"), col("text").rlike("data"))
+        .select("doc_id").orderBy("doc_id")),
+    "q_flatten" -> ((s, d) =>
+      UndatumOps.flattenCounts(t(s, d, "documents"))),
+    "q_type_hist" -> ((s, d) => {
+      // mixed-type string column built from events: ints (json k),
+      // floats (value), dates (ts date), strings (event_type)
+      val ev = t(s, d, "events").select(
+        get_json_object(col("props"), "$.k").as("k_str"),
+        col("event_type"),
+        col("ts").cast("date").cast("string").as("d_str"))
+      UndatumOps.typeHistogram(ev, Seq("k_str", "event_type", "d_str"))
+    }),
+    "q_field_types" -> ((s, d) => {
+      val ev = t(s, d, "events").select(
+        get_json_object(col("props"), "$.k").as("k_str"),
+        col("event_type"),
+        col("ts").cast("date").cast("string").as("d_str"))
+      UndatumOps.fieldTypes(ev, Seq("k_str", "event_type", "d_str"))
+    }),
+    "q_query_expr" -> ((s, d) =>
+      // the reference's experimental mistql `query` command
+      // (cmds/query.py) — record kept when the expression is truthy —
+      // is subsumed by selectExpr/filter on SQL expression text
+      t(s, d, "events")
+        .filter(expr("value > 900 AND event_type = 'purchase'"))
+        .selectExpr("event_id", "CAST(value AS DOUBLE) AS value")
+        .orderBy("event_id")),
     // ---- events: json, top-k, window ------------------------------
     "q_events_json" -> ((s, d) =>
       t(s, d, "events")
@@ -304,6 +333,55 @@ object SparkEntry {
         |CAST(sum(CASE WHEN regexp_matches(text,'data') THEN 0 ELSE 1 END) AS BIGINT) AS invalid,
         |round(100.0*sum(CASE WHEN regexp_matches(text,'data') THEN 0 ELSE 1 END)/count(*),4) AS share_invalid
         |FROM documents""".stripMargin,
+    "q_validate_invalid" ->
+      """SELECT doc_id FROM documents WHERE NOT regexp_matches(text, 'data')
+        |ORDER BY doc_id""".stripMargin,
+    "q_flatten" ->
+      """SELECT field, n FROM (
+        |  SELECT 'doc_id' AS field, CAST(count(doc_id) AS BIGINT) n FROM documents
+        |  UNION ALL SELECT 'lang', CAST(count(lang) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'n_chars', CAST(count(n_chars) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'source', CAST(count(source) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'text', CAST(count(text) AS BIGINT) FROM documents)
+        |ORDER BY field""".stripMargin,
+    "q_type_hist" ->
+      """WITH src AS (SELECT json_extract_string(props,'$.k') k_str, event_type,
+        |  CAST(CAST(ts AS DATE) AS VARCHAR) d_str FROM events),
+        |u AS (SELECT 'k_str' AS field, k_str AS v FROM src
+        |  UNION ALL SELECT 'event_type', event_type FROM src
+        |  UNION ALL SELECT 'd_str', d_str FROM src)
+        |SELECT field, CASE
+        |  WHEN v IS NULL OR v = '' THEN 'empty'
+        |  WHEN regexp_matches(v, '^[0-9]+$') THEN
+        |    CASE WHEN CAST(v AS BIGINT) < 255 THEN 'uint8'
+        |         WHEN CAST(v AS BIGINT) < 65535 THEN 'uint16'
+        |         ELSE 'uint32' END
+        |  WHEN regexp_matches(v, '^-?[0-9]+\.[0-9]+$') THEN 'float'
+        |  WHEN regexp_matches(v, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') THEN 'date'
+        |  ELSE 'str' END AS vtype,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM u GROUP BY 1,2 ORDER BY field, vtype""".stripMargin,
+    "q_field_types" ->
+      """WITH src AS (SELECT json_extract_string(props,'$.k') k_str, event_type,
+        |  CAST(CAST(ts AS DATE) AS VARCHAR) d_str FROM events),
+        |u AS (SELECT 'k_str' AS field, k_str AS v FROM src
+        |  UNION ALL SELECT 'event_type', event_type FROM src
+        |  UNION ALL SELECT 'd_str', d_str FROM src),
+        |typed AS (SELECT field, CASE
+        |  WHEN v IS NULL OR v = '' THEN 'empty'
+        |  WHEN regexp_matches(v, '^[0-9]+$') THEN
+        |    CASE WHEN CAST(v AS BIGINT) < 255 THEN 'uint8'
+        |         WHEN CAST(v AS BIGINT) < 65535 THEN 'uint16'
+        |         ELSE 'uint32' END
+        |  WHEN regexp_matches(v, '^-?[0-9]+\.[0-9]+$') THEN 'float'
+        |  WHEN regexp_matches(v, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') THEN 'date'
+        |  ELSE 'str' END AS vtype FROM u)
+        |SELECT field,
+        |  CASE WHEN count(DISTINCT vtype) = 1 THEN max(vtype) ELSE 'str' END AS field_type
+        |FROM typed WHERE vtype <> 'empty' GROUP BY field ORDER BY field""".stripMargin,
+    "q_query_expr" ->
+      """SELECT event_id, CAST(value AS DOUBLE) AS value FROM events
+        |WHERE value > 900 AND event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "q_events_json" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k

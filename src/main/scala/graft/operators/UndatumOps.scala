@@ -116,6 +116,62 @@ object UndatumOps {
       .orderBy("field")
   }
 
+  /** `undatum flatten` (undatum/cmds/textproc.py:18-54): leaf-path
+    * occurrence counts across all records — one output row per leaf
+    * key-path with the number of non-null values.
+    */
+  def flattenCounts(df: DataFrame): DataFrame = {
+    val paths = headerPaths(df.schema)
+    val perField = paths.map { p =>
+      df.agg(lit(p).as("field"), count(col(p)).cast(LongType).as("n"))
+    }
+    perField.reduce(_.unionAll(_)).orderBy("field")
+  }
+
+  /** Per-value type guessing — undatum/utils.py:113-151
+    * `guess_datatype`: empty, int (with uint8/uint16/uint32 subtype
+    * via guess_int_size, utils.py:106-111 — the reference uses
+    * strict `<` against 255/65535, an off-by-one vs the byte max that
+    * we replicate for fidelity), float, date (fixed ISO pattern in
+    * place of the qddate library), else str. The reference's numstr
+    * branch (digits with leading zero) is documented unreachable
+    * (utils.py:131 compares a string to int 0), so values like "007"
+    * classify as int here too.
+    */
+  def guessType(c: Column): Column =
+    when(c.isNull || c === "", "empty")
+      .when(c.rlike("^[0-9]+$"),
+        when(c.cast("long") < 255, "uint8")
+          .when(c.cast("long") < 65535, "uint16")
+          .otherwise("uint32"))
+      .when(c.rlike("^-?[0-9]+\\.[0-9]+$"), "float")
+      .when(c.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"), "date")
+      .otherwise("str")
+
+  /** Type histogram + majority vote per field — the per-field type
+    * decision of `undatum stats` (statistics.py:117-125: drop
+    * `empty`, mixed types -> str).
+    */
+  def typeHistogram(df: DataFrame, fields: Seq[String]): DataFrame = {
+    val perField = fields.map { f =>
+      df.select(lit(f).as("field"), guessType(col(f).cast(StringType)).as("vtype"))
+    }
+    perField.reduce(_.unionAll(_))
+      .groupBy("field", "vtype").agg(count(lit(1)).cast(LongType).as("n"))
+      .orderBy("field", "vtype")
+  }
+
+  /** Final per-field type: drop `empty`; a single surviving type wins,
+    * any mixture degrades to `str` (statistics.py:117-125).
+    */
+  def fieldTypes(df: DataFrame, fields: Seq[String]): DataFrame =
+    typeHistogram(df, fields)
+      .where(col("vtype") =!= "empty")
+      .groupBy("field")
+      .agg(when(countDistinct(col("vtype")) === 1, max(col("vtype")))
+        .otherwise(lit("str")).as("field_type"))
+      .orderBy("field")
+
   /** `undatum validate` (undatum/cmds/validator.py:47-119): rule over
     * a column; modes stats / invalid / all.
     */
