@@ -30,6 +30,15 @@ import graft.model.{EncodedBlock, LineageRecord, TokenRow}
   * value (undatum/cmds/selector.py:264-335); this is its scale-out
   * generalization.
   */
+/** Shuffle-side row shape: tokens pre-packed as zigzag varints on the
+  * map side, roughly halving shuffle volume (our regimes average ~2
+  * varint bytes/token vs 4 raw) — the shuffle is the encode pipeline's
+  * main memory-bandwidth consumer. Top-level: nested case classes
+  * break Catalyst's generated-code constructor calls.
+  */
+final case class PackedRow(partId: Int, doc_id: String,
+                           source: String, tok: Array[Byte], n_tok: Int)
+
 object TokenEncoder {
 
   final case class EncodeConfig(
@@ -101,6 +110,13 @@ object TokenEncoder {
   def newRunId(): String =
     f"r${System.currentTimeMillis()}%011x${scala.util.Random.nextInt(0xFFFF)}%04x"
 
+  private def packTokens(tokens: Array[Int], n: Int): Array[Byte] = {
+    val out = new ByteBuf(n * 2 + 8)
+    var i = 0
+    while (i < n) { out.writeZigZag(tokens(i)); i += 1 }
+    out.toArray
+  }
+
   def encodeBlocks(ds: Dataset[TokenRow], plan: Map[String, (Int, Int)],
                    cfg: EncodeConfig, only: Option[Set[Int]] = None,
                    runId: String = newRunId()): Dataset[EncodedBlock] = {
@@ -116,8 +132,10 @@ object TokenEncoder {
       case None => ds
     }
     filtered
-      .groupByKey(r => partIdOf(planB, r))
-      .flatMapGroups { (partId: Int, rows: Iterator[TokenRow]) =>
+      .map(r => PackedRow(partIdOf(planB, r), r.doc_id, r.source,
+        packTokens(r.tokens, r.n_tok), r.n_tok))
+      .groupByKey(_.partId)
+      .flatMapGroups { (partId: Int, rows: Iterator[PackedRow]) =>
         new Iterator[EncodedBlock] {
           private var blockSeq = 0
           def hasNext: Boolean = rows.hasNext
@@ -140,7 +158,9 @@ object TokenEncoder {
                 while (cap < nTok + r.n_tok) cap *= 2
                 tokBuf = java.util.Arrays.copyOf(tokBuf, cap)
               }
-              System.arraycopy(r.tokens, 0, tokBuf, nTok, r.n_tok)
+              val tr = new ByteReader(r.tok)
+              var k = 0
+              while (k < r.n_tok) { tokBuf(nTok + k) = tr.readZigZag(); k += 1 }
               nTok += r.n_tok
               nRows += 1
             }

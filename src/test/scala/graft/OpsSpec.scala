@@ -258,6 +258,25 @@ class OpsSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSeq)
   }
 
+  test("guessType boundaries replicate guess_int_size exactly (utils.py:106-111)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("", "0", "254", "255", "65534", "65535", "4000000000",
+      "3.14", "-2.5", "2024-01-31", "007", "abc", "12ab").toDF("v")
+    val out = df.select(col("v"), UndatumOps.guessType(col("v")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("") == "empty")
+    assert(out("0") == "uint8" && out("254") == "uint8")
+    // the reference uses strict < 255 / < 65535 (an off-by-one vs the
+    // byte max) — replicated for fidelity
+    assert(out("255") == "uint16" && out("65534") == "uint16")
+    assert(out("65535") == "uint32" && out("4000000000") == "uint32")
+    assert(out("3.14") == "float" && out("-2.5") == "float")
+    assert(out("2024-01-31") == "date")
+    assert(out("007") == "uint8") // numstr branch unreachable in the reference
+    assert(out("abc") == "str" && out("12ab") == "str")
+  }
+
   test("quality bp is integer-exact and bounded") {
     val s = spark
     import s.implicits._
