@@ -41,6 +41,16 @@ object SparkEntry {
     "q_uniq" -> ((s, d) =>
       UndatumOps.uniq(t(s, d, "orders"), Seq("o_orderstatus", "o_orderpriority"))
         .orderBy("o_orderstatus", "o_orderpriority")),
+    "q_uniq_explode" -> ((s, d) =>
+      // uniq over a list-valued path: the reference's get_dict_value
+      // fans list elements out (utils.py:46-57); in Spark that is
+      // explode-then-distinct
+      t(s, d, "documents")
+        .select(col("lang"),
+          explode(filter(split(col("text"), "\\s+"), w => w =!= lit(""))).as("word"))
+        .groupBy("lang")
+        .agg(countDistinct("word").cast("long").as("n_words"))
+        .orderBy("lang")),
     "q_stats_fields" -> ((s, d) =>
       UndatumOps.fieldStats(t(s, d, "documents"), Seq("lang", "source", "text"))),
     "q_select" -> ((s, d) =>
@@ -295,6 +305,11 @@ object SparkEntry {
     "q_uniq" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
         |ORDER BY 1,2""".stripMargin,
+    "q_uniq_explode" ->
+      """SELECT lang, CAST(count(DISTINCT w) AS BIGINT) AS n_words
+        |FROM (SELECT lang, unnest(list_filter(string_split_regex(text,'\s+'),
+        |  x -> x <> '')) AS w FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_stats_fields" ->
       """WITH f AS (
         |  SELECT 'lang' AS field, CAST(count(lang) AS BIGINT) total,

@@ -35,6 +35,9 @@ object BlockCodec {
 
   private val CardCap = 1 << 16
 
+  /** zstd post-pass level (env-overridable for experiments). */
+  val ZstdLevel: Int = sys.env.getOrElse("GRAFT_ZSTD_LEVEL", "3").toInt
+
   /** One pass over the block: min/max, capped exact cardinality, runs,
     * sampled 4-gram repetition share.
     */
@@ -149,7 +152,7 @@ object BlockCodec {
     }
     if (best == null) { best = PlainCodec.encode(values, n); bestId = CodecIds.Plain }
     if (zstd && best.payload.length > 64) {
-      val z = com.github.luben.zstd.Zstd.compress(best.payload, 3)
+      val z = com.github.luben.zstd.Zstd.compress(best.payload, ZstdLevel)
       if (z.length < best.payload.length)
         return BlockEncoded(bestId, 1, best.symtab, z, s)
     }
