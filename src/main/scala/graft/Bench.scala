@@ -65,6 +65,9 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the printed line must be valid JSON regardless of host locale
+    // (comma-decimal locales would break every %.3f)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpusHi = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val cpusLo = math.max(1, cpusHi / 4)

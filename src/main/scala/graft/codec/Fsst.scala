@@ -190,8 +190,10 @@ object FsstCodec extends IntCodec {
     val sample = java.util.Arrays.copyOf(values, sampleN)
     val e = encode(sample, sampleN)
     if (e == null) return Long.MaxValue
-    val perTok = (e.payload.length.toDouble + e.symtab.length) / sampleN
-    math.ceil(perTok * n).toLong
+    // extrapolate payload only; the symbol table is a fixed cost, not
+    // a per-token one
+    val perTok = e.payload.length.toDouble / sampleN
+    math.ceil(perTok * n).toLong + e.symtab.length
   }
 
   def encode(values: Array[Int], n: Int): Encoded = {

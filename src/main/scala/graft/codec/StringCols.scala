@@ -10,24 +10,33 @@ package graft.codec
 object StringCols {
 
   def encodeDocIds(ids: Array[String], n: Int): Array[Byte] = {
-    val sb = new java.lang.StringBuilder(n * 24)
+    // length-prefixed (not delimiter-joined): ids may contain ANY
+    // character, including newlines
+    val out = new ByteBuf(n * 24)
     var i = 0
     while (i < n) {
-      if (i > 0) sb.append('\n')
-      sb.append(ids(i))
+      val b = ids(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeVarInt(b.length)
+      out.writeBytes(b)
       i += 1
     }
-    val raw = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    com.github.luben.zstd.Zstd.compress(raw, 3)
+    com.github.luben.zstd.Zstd.compress(out.toArray, 3)
   }
 
   def decodeDocIds(enc: Array[Byte], n: Int): Array[String] = {
     if (n == 0) return Array.empty
     val size = com.github.luben.zstd.Zstd.getFrameContentSize(enc)
     val raw = com.github.luben.zstd.Zstd.decompress(enc, size.toInt)
-    val s = new String(raw, java.nio.charset.StandardCharsets.UTF_8)
-    val out = s.split("\n", -1)
-    require(out.length == n, s"docIds decode: ${out.length} != $n")
+    val r = new ByteReader(raw)
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val len = r.readVarInt()
+      out(i) = new String(raw, r.pos, len, java.nio.charset.StandardCharsets.UTF_8)
+      r.pos += len
+      i += 1
+    }
+    require(r.remaining == 0, s"docIds decode: ${r.remaining} trailing bytes")
     out
   }
 

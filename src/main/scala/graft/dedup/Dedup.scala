@@ -27,13 +27,19 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).cast("long").as("dupes"))
       .drop("__norm")
 
-  /** Distinct word n-gram shingles hashed to long. Fully columnar. */
+  /** Distinct word n-gram shingles hashed to long. Fully columnar.
+    * Documents with fewer than n words yield an EMPTY array (no
+    * partial/empty shingles — those would collide every empty doc
+    * into one flooded LSH bucket).
+    */
   def shingles(text: Column, n: Int): Column = {
     val words = filter(split(lower(text), "\\s+"), w => w =!= lit(""))
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(words) - n, lit(0))),
-        i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(n))))))
+    when(size(words) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(0), size(words) - n),
+          i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(n)))))))
+      .otherwise(array().cast("array<bigint>"))
   }
 
   /** k minhash values from a shingle array: h_j(s) = (a_j*s31 + b_j)
@@ -107,20 +113,26 @@ object Dedup {
                     threshold: Double = 0.0,
                     lengthBucket: Boolean = true): DataFrame = {
     // blocking on (key, log2 length bucket): docs with jaccard >= t
-    // have size ratio >= t, so near-dups land in the same or adjacent
-    // bucket; the bucket bounds block size and so pairwise cost
+    // have size ratio >= t, so near-dups land in the same or ADJACENT
+    // bucket — each doc is therefore probed into its own bucket and
+    // the next one up, so boundary-straddling pairs still meet
+    // (doubles candidate cost, preserves the exact-within-block
+    // contract)
     val blk0 = df.select(col(blockCol).as("blk0"), col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh"))
     val s =
-      if (lengthBucket)
-        blk0.withColumn("blk",
-          concat_ws("#", col("blk0"),
-            floor(log2(greatest(size(col("sh")), lit(1)))).cast("int")))
-          .drop("blk0")
-      else blk0.withColumnRenamed("blk0", "blk")
+      if (lengthBucket) {
+        val bkt = floor(log2(greatest(size(col("sh")), lit(1)))).cast("int")
+        blk0
+          .withColumn("__b", explode(array(bkt, bkt + 1)))
+          .withColumn("blk", concat_ws("#", col("blk0"), col("__b")))
+          .drop("blk0", "__b")
+      } else blk0.withColumnRenamed("blk0", "blk")
     val a = s.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = s.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+      // a pair sharing two probed buckets would otherwise emit twice
+      .dropDuplicates("id_a", "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)).cast("double"))

@@ -195,12 +195,48 @@ object TokenEncoder {
       }
   }
 
+  /** Partitions fully processed by earlier runs: the union of
+    * partitions with committed lineage and partitions recorded as
+    * completed-empty (overflow slots and empty salt slots produce no
+    * blocks, so they get an explicit completion marker instead —
+    * otherwise every idempotent re-run would re-scan the whole input
+    * just to rediscover they are empty).
+    */
   def committedPartIds(spark: SparkSession, outDir: String): Set[Int] = {
-    val path = s"$outDir/lineage"
-    if (!new java.io.File(path).exists()) Set.empty
-    else {
-      import spark.implicits._
-      spark.read.parquet(path).select("partId").distinct().as[Int].collect().toSet
+    import spark.implicits._
+    def readIds(path: String): Set[Int] =
+      if (!new java.io.File(path).exists()) Set.empty
+      else spark.read.parquet(path).select("partId").distinct().as[Int].collect().toSet
+    readIds(s"$outDir/lineage") ++ readIds(s"$outDir/completed")
+  }
+
+  /** The partition plan is pinned to the output directory: computed
+    * (from a sample) on the FIRST run and persisted as plan.json, then
+    * loaded verbatim on resume. A recomputed plan could differ when
+    * the input's partition layout changes (sampling is
+    * layout-sensitive), which would silently remap partIds and break
+    * exact resume — the plan on disk is the source of truth.
+    */
+  def loadOrCreatePlan(ds: Dataset[TokenRow], outDir: String,
+                       targetRowsPerPart: Int): Map[String, (Int, Int)] = {
+    val f = new java.io.File(s"$outDir/plan.json")
+    if (f.exists()) {
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      txt.linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(src, b, s) = line.split("\t")
+        (src, (b.toInt, s.toInt))
+      }.toMap
+    } else {
+      val plan = partitionPlan(ds, targetRowsPerPart)
+      f.getParentFile.mkdirs()
+      val tmp = new java.io.File(s"$outDir/plan.json.tmp")
+      java.nio.file.Files.write(tmp.toPath,
+        plan.toSeq.sortBy(_._1)
+          .map { case (src, (b, s)) => s"$src\t$b\t$s" }
+          .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      require(tmp.renameTo(f) || f.exists(), s"cannot commit plan.json in $outDir")
+      plan
     }
   }
 
@@ -217,7 +253,7 @@ object TokenEncoder {
     // this is a cheap re-scan; for a computed input it is not)
     val cached = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val plan = partitionPlan(cached, cfg.targetRowsPerPart)
+      val plan = loadOrCreatePlan(cached, outDir, cfg.targetRowsPerPart)
       val done = committedPartIds(spark, outDir)
       val allParts = allPartIds(plan)
       val pending = allParts -- done
@@ -247,6 +283,14 @@ object TokenEncoder {
         $"encodeMillis"
       ).as[LineageRecord]
       lineage.write.mode("append").parquet(s"$outDir/lineage")
+      // mark partitions that produced no blocks (empty salt/overflow
+      // slots) as completed so future runs hit the early return
+      val withBlocks = spark.read.parquet(s"$outDir/lineage")
+        .where($"partId".isInCollection(pending))
+        .select("partId").distinct().as[Int].collect().toSet
+      val emptyParts = (pending -- withBlocks).toSeq.sorted
+      if (emptyParts.nonEmpty)
+        emptyParts.toDF("partId").write.mode("append").parquet(s"$outDir/completed")
       spark.read.parquet(s"$outDir/lineage")
         .where($"partId".isInCollection(pending)).as[LineageRecord]
     } finally cached.unpersist(blocking = false)
@@ -268,11 +312,19 @@ object TokenEncoder {
     if (keep == total) return 0L
     val tmp = s"$outDir/blocks_vacuum_tmp"
     live.write.mode("overwrite").option("compression", "uncompressed").parquet(tmp)
-    // atomic-ish swap (single filesystem rename pair)
+    // readback validation BEFORE touching the live table
+    require(spark.read.parquet(tmp).count() == keep, "vacuum rewrite readback mismatch")
+    // two renames with checked results; on a failed second rename the
+    // original table is restored — committed data is never the only
+    // casualty of a partial swap
     val fs = new java.io.File(blocksPath)
     val bak = new java.io.File(s"$outDir/blocks_vacuum_old")
-    fs.renameTo(bak)
-    new java.io.File(tmp).renameTo(fs)
+    require(!bak.exists(), s"previous vacuum left $bak — resolve manually")
+    require(fs.renameTo(bak), s"cannot rename $blocksPath aside")
+    if (!new java.io.File(tmp).renameTo(fs)) {
+      require(bak.renameTo(fs), s"vacuum swap failed AND restore failed: blocks at $bak")
+      throw new IllegalStateException(s"vacuum swap failed; original restored at $blocksPath")
+    }
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete()

@@ -40,10 +40,26 @@ object UndatumOps {
     * AND/OR/NOT, string literals in single or double quotes.
     */
   def dictQueryToSql(q: String): String = {
-    // `field` -> field (Spark accepts bare or backtick-quoted names too)
-    var s = q
-    s = s.replaceAll("==", "=")
-    s
+    // rewrite == to = only OUTSIDE quoted string literals — a literal
+    // like 'a == b' must survive verbatim
+    val out = new StringBuilder(q.length)
+    var i = 0
+    var quote: Char = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (quote != 0) {
+        out.append(c)
+        if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"') {
+        quote = c
+        out.append(c)
+      } else if (c == '=' && i + 1 < q.length && q.charAt(i + 1) == '=') {
+        out.append('=')
+        i += 1
+      } else out.append(c)
+      i += 1
+    }
+    out.toString
   }
 
   def filterDsl(df: DataFrame, dictQuery: String): DataFrame =

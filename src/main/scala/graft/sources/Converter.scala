@@ -35,7 +35,11 @@ object Converter {
     o.format match {
       case "csv" =>
         // Spark 4 restricts charsets to a safe list unless the legacy
-        // flag is on; the reference's corpus includes CP1251 fixtures
+        // flag is on; the reference's corpus includes CP1251 fixtures.
+        // NOTE: this flips a session-level conf and leaves it on — the
+        // read is lazy, so restoring it here would break execution.
+        // The flag only WIDENS accepted charset names; documented
+        // side effect.
         if (!Set("utf-8", "us-ascii", "iso-8859-1", "utf-16", "utf-16be",
             "utf-16le", "utf-32").contains(o.encoding.toLowerCase))
           spark.conf.set("spark.sql.legacy.javaCharsets", "true")

@@ -111,6 +111,45 @@ class OpsSpec extends SparkSpecBase {
     assert(uok == Set("https://example.com/a?b=1", "http://x.io"))
   }
 
+  test("dictquery == inside string literals survives translation") {
+    assert(UndatumOps.dictQueryToSql("`text` == 'a == b'") == "`text` = 'a == b'")
+    assert(UndatumOps.dictQueryToSql("`a` == \"x==y\" AND `b` == 'z'") ==
+      "`a` = \"x==y\" AND `b` = 'z'")
+    val s = spark
+    import s.implicits._
+    val df = Seq("a == b", "a = b").toDF("text")
+    assert(UndatumOps.filterDsl(df, "`text` == 'a == b'").count() == 1)
+  }
+
+  test("shingles of empty/short docs are empty; no empty-doc LSH pairs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, ""), (2L, "   "), (3L, "one two"), (4L, ""),
+      (5L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+    val sh = df.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).length).toMap
+    assert(sh(1L) == 0 && sh(2L) == 0 && sh(3L) == 0) // < 3 words
+    assert(sh(5L) == 3)
+    val pairs = Dedup.minhashPairs(df, "doc_id", "text", shingleN = 3,
+      threshold = 0.1).collect()
+    assert(pairs.isEmpty, pairs.mkString(","))
+  }
+
+  test("jaccard length-bucket boundary pairs are not dropped") {
+    val s = spark
+    import s.implicits._
+    // A (41 words -> 40 2-shingles, log2 bucket 5) is a prefix of
+    // B (71 words -> 70 shingles, bucket 6): jaccard 40/70 = 0.571
+    val wordsB = (1 to 71).map(i => s"w$i")
+    val a = wordsB.take(41).mkString(" ")
+    val b = wordsB.mkString(" ")
+    val df = Seq((1L, a, "g"), (2L, b, "g")).toDF("doc_id", "text", "grp")
+    val out = Dedup.jaccardWithin(df, "doc_id", "text", "grp",
+      shingleN = 2, threshold = 0.5).collect()
+    assert(out.length == 1, out.mkString(","))
+    assert(math.abs(out(0).getDouble(2) - 40.0 / 70.0) < 1e-3)
+  }
+
   test("exact dedup keeps min id per normalized text") {
     val s = spark
     import s.implicits._

@@ -91,6 +91,39 @@ class PipelineSpec extends SparkSpecBase {
     assert(back.select("doc_id").distinct().count() == back.count())
   }
 
+  test("doc ids with newlines and odd characters survive block metadata") {
+    val ids = Array("a\nb", "", "tab\there", "unicode-ид", "plain-0001")
+    val enc = graft.codec.StringCols.encodeDocIds(ids, ids.length)
+    assert(graft.codec.StringCols.decodeDocIds(enc, ids.length).sameElements(ids))
+  }
+
+  test("resume uses the pinned plan even when input layout changes") {
+    import spark.implicits._
+    val out = tmpDir("pinned")
+    val cfg = EncodeConfig(targetRowsPerPart = 500)
+    // first run with one layout
+    val ds4 = TokenSynth.dataset(spark, N, parallelism = 4)
+    TokenEncoder.run(ds4, out, cfg)
+    val plan1 = TokenEncoder.loadOrCreatePlan(ds4, out, cfg.targetRowsPerPart)
+    // re-run with a very different partition layout: plan must load
+    // from disk, resume must do nothing, decode must stay exact
+    val ds13 = TokenSynth.dataset(spark, N, parallelism = 13)
+    val plan2 = TokenEncoder.loadOrCreatePlan(ds13, out, cfg.targetRowsPerPart)
+    assert(plan1 == plan2)
+    assert(TokenEncoder.run(ds13, out, cfg).count() == 0)
+    assertSameTable(ds13, TokenDecoder.read(spark, out))
+  }
+
+  test("idempotent re-run hits the early return (overflow slots marked complete)") {
+    val out = tmpDir("early")
+    val cfg = EncodeConfig(targetRowsPerPart = 1000)
+    TokenEncoder.run(synth, out, cfg)
+    val done = TokenEncoder.committedPartIds(spark, out)
+    val plan = TokenEncoder.loadOrCreatePlan(synth, out, cfg.targetRowsPerPart)
+    assert(TokenEncoder.allPartIds(plan).subsetOf(done),
+      s"uncommitted: ${TokenEncoder.allPartIds(plan) -- done}")
+  }
+
   test("vacuum removes uncommitted blocks and decode is unchanged") {
     val out = tmpDir("vacuum")
     val cfg = EncodeConfig(targetRowsPerPart = 2000)
@@ -128,6 +161,27 @@ class PipelineSpec extends SparkSpecBase {
       if (graft.codec.BlockCodec.checksum(toks, toks.length) == b.checksum) 0 else 1
     }.reduce(_ + _)
     assert(bad == 0)
+  }
+
+  test("salting splits a 90%-skewed source into balanced partitions") {
+    import spark.implicits._
+    // adversarial skew: one source dominates
+    val ds = spark.range(0, 4000, 1, 4).map { id =>
+      val src = if (id % 10 < 9) "mega" else s"tiny${id % 3}"
+      graft.model.TokenRow(f"$src-$id%08d", Array.fill(20)((id % 97).toInt), 20, src)
+    }
+    val target = 200
+    val plan = TokenEncoder.partitionPlan(ds, target)
+    // the dominant source must be salted into many partitions
+    assert(plan("mega")._2 >= 10, plan.toString)
+    val counts = ds.collect().groupBy(r => TokenEncoder.partIdOf(plan, r))
+      .map(_._2.length)
+    assert(counts.max <= target * 2,
+      s"max partition ${counts.max} rows exceeds 2x target (skew unhandled)")
+    // and the table still round-trips through the salted encode
+    val out = tmpDir("skew")
+    TokenEncoder.run(ds, out, EncodeConfig(targetRowsPerPart = target))
+    assertSameTable(ds, TokenDecoder.read(spark, out))
   }
 
   test("typed stats aggregator matches brute force") {
