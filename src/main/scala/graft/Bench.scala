@@ -44,19 +44,37 @@ object Bench {
     s
   }
 
-  /** One encode job: synth -> partition plan -> encode -> write blocks
-    * + lineage. Returns (tokens, rawBytes, encodedBytes, seconds).
+  /** Materialize the synthetic input ONCE as a parquet table — the
+    * north star encodes existing tables, so the timed job reads
+    * parquet (as production would), not a token-generating RNG.
+    */
+  private def ensureInput(spark: SparkSession, rows: Long): String = {
+    val path = s"${localDir()}/graft-input-$rows"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      TokenSynth.dataset(spark, rows, parallelism = 128)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** One encode job: parquet scan -> partition plan -> encode -> write
+    * blocks + lineage. Returns (tokens, rawBytes, encodedBytes, secs).
     */
   private def encodeJob(spark: SparkSession, rows: Long, cpus: Int): (Long, Long, Long, Double) = {
     val outDir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(localDir()), s"graft-bench-$cpus").toString
-    // the JOB is fixed (same input slices, same partition plan) at
+    // the JOB is fixed (same input files, same partition plan) at
     // both parallelism levels — only the executor-thread count varies,
     // mirroring the N-vs-4N-executors cluster criterion
-    val ds = TokenSynth.dataset(spark, rows, parallelism = 128)
+    val input = ensureInput(spark, rows)
+    val ds = {
+      import spark.implicits._
+      spark.read.parquet(input).as[graft.model.TokenRow]
+    }
     val target = math.max(1000L, rows / 128).toInt
     val t0 = System.nanoTime()
-    val lineage = TokenEncoder.run(ds, outDir, EncodeConfig(targetRowsPerPart = target))
+    val lineage = TokenEncoder.run(ds, outDir,
+      EncodeConfig(targetRowsPerPart = target, cacheInput = false))
     val agg = lineage.agg(
       sum("totalTokens"), sum("rawBytes"), sum("encodedBytes")).collect()(0)
     val secs = (System.nanoTime() - t0) / 1e9

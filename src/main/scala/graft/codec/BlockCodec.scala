@@ -127,16 +127,42 @@ object BlockCodec {
     def encodedBytes: Long = symtab.length.toLong + payload.length.toLong
   }
 
+  /** Closed-form encoded sizes from stats — BitPack and FOR are exact
+    * (their payloads are pure functions of n and the min/max widths);
+    * Dict is exact on the payload with a small symtab estimate. Lets
+    * selection skip full trials of codecs that provably lose.
+    */
+  private def sizeEstimate(cid: Int, s: ColumnStats): Long = {
+    val n = s.n
+    cid match {
+      case CodecIds.BitPack if s.min >= 0 =>
+        (n * Bits.widthInt(s.max) + 7) / 8 + 1
+      case CodecIds.For =>
+        (n * Bits.width(s.max.toLong - s.min.toLong) + 7) / 8 + 5
+      case CodecIds.Dict if s.cardExact =>
+        val w = Bits.widthInt(math.max(s.card.toInt - 1, 0))
+        (n * w + 7) / 8 + s.card * 3 + 4 // ~3B/entry delta-varint symtab
+      case CodecIds.Plain => 4L * n
+      case _ => Long.MaxValue
+    }
+  }
+
   /** Encode with auto-selection; optionally zstd the winning payload. */
   def encodeAuto(values: Array[Int], n: Int, zstd: Boolean = true): BlockEncoded = {
     val s = stats(values, n)
     var bestId = CodecIds.Plain
     var best: Encoded = null
     var bestSize = Long.MaxValue
-    // cheap single-pass codecs are trialed fully; FSST first gets a
-    // sampled estimate and only runs in full when competitive
-    val (fsstCands, cheapCands) = candidates(s).partition(_ == CodecIds.Fsst)
-    cheapCands.foreach { cid =>
+    // BitPack/FOR/Dict sizes are (near-)exact from stats: fully encode
+    // only the best of those three; RLE/DeltaFor are cheap single-pass
+    // trials; FSST gets a sampled estimate gate
+    val cands = candidates(s)
+    val (fsstCands, rest) = cands.partition(_ == CodecIds.Fsst)
+    val (formulaCands, trialCands) = rest.partition(c =>
+      c == CodecIds.BitPack || c == CodecIds.For || c == CodecIds.Dict ||
+        c == CodecIds.Plain)
+    val formulaBest = formulaCands.sortBy(sizeEstimate(_, s)).headOption
+    (formulaBest.toSeq ++ trialCands).foreach { cid =>
       val e = codecs(cid).encode(values, n)
       if (e != null) {
         val size = e.symtab.length.toLong + e.payload.length.toLong

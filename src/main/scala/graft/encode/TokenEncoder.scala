@@ -46,7 +46,11 @@ object TokenEncoder {
       blockTokens: Int = 1 << 21, // ~2M tokens = 8MB raw per block
       blockRows: Int = 1 << 16,
       zstd: Boolean = true,
-      inputFile: String = "synthetic"
+      inputFile: String = "synthetic",
+      // cache the input across the plan/encode passes; disable for
+      // parquet-backed inputs where a pruned re-scan is cheaper than
+      // materializing every column into executor memory
+      cacheInput: Boolean = true
   )
 
   /** Deterministic 64-bit string hash (FNV-1a) — stable across runs,
@@ -251,7 +255,10 @@ object TokenEncoder {
     // persist: the plan sample and the encode shuffle would otherwise
     // both recompute the input lineage (for a parquet-backed input
     // this is a cheap re-scan; for a computed input it is not)
-    val cached = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cached =
+      if (cfg.cacheInput)
+        ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else ds
     try {
       val plan = loadOrCreatePlan(cached, outDir, cfg.targetRowsPerPart)
       val done = committedPartIds(spark, outDir)
@@ -293,7 +300,7 @@ object TokenEncoder {
         emptyParts.toDF("partId").write.mode("append").parquet(s"$outDir/completed")
       spark.read.parquet(s"$outDir/lineage")
         .where($"partId".isInCollection(pending)).as[LineageRecord]
-    } finally cached.unpersist(blocking = false)
+    } finally if (cfg.cacheInput) cached.unpersist(blocking = false)
   }
 
   /** Garbage-collect blocks from crashed (uncommitted) runs: rewrite
