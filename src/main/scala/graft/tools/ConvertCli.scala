@@ -16,13 +16,7 @@ object ConvertCli {
       sys.exit(2)
     }
     val Array(in, inFmt, out, outFmt) = args.take(4)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .appName("graft-convert")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.create("graft-convert")
     try {
       val opts =
         if (inFmt == "csv" && new java.io.File(in).isFile) {

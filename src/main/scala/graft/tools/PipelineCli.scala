@@ -14,14 +14,7 @@ import graft.synth.TokenSynth
 object PipelineCli {
   def main(args: Array[String]): Unit = {
     val nRows = if (args.nonEmpty) args(0).toLong else 20000L
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .appName("graft-pipeline")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.create("graft-pipeline")
     import spark.implicits._
 
     val outDir =
