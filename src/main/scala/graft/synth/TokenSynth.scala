@@ -99,9 +99,20 @@ object TokenSynth {
         out
       case "random" =>
         Array.fill(len)(rng.nextInt(Int.MaxValue))
-      case _ => // mixed: half lowcard, half random
-        Array.tabulate(len)(i =>
-          if (i % 2 == 0) rng.nextInt(512) else rng.nextInt(1 << 24))
+      case _ => // boilerplate: FEW repeated phrases — few enough
+        // distinct subsequences for a 255-symbol FSST table to cover
+        // nearly all mass, where dict+zstd still pays per-token width
+        val nPhrases = 30
+        val out = new Array[Int](len)
+        var i = 0
+        while (i < len) {
+          val pid = rng.nextInt(nPhrases)
+          val plen = 3 + (pid % 6)
+          val prng = new scala.util.Random(mix(0xBEEFL ^ pid.toLong))
+          var k = 0
+          while (k < plen && i < len) { out(i) = prng.nextInt(30000); i += 1; k += 1 }
+        }
+        out
     }
 
   def dataset(spark: SparkSession, nRows: Long, seed: Long = 42L,
