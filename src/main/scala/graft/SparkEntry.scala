@@ -36,6 +36,34 @@ object SparkEntry {
           count(lit(1)).cast("long").as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
+    "q_join_revenue" -> ((s, d) => {
+      // 3-way star join: fact -> dim -> dim; nation/region are
+      // broadcast by Catalyst (PlanSpec asserts the strategy)
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(n("n_name").as("nation"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("nation")
+    }),
+    "q_semi_join" -> ((s, d) => {
+      // customers with at least one high-value order (EXISTS)
+      val o = t(s, d, "orders").where(col("o_totalprice") > 400000)
+      t(s, d, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+    "q_anti_join" -> ((s, d) => {
+      // customers with NO high-value order (NOT EXISTS over a filtered
+      // build side — the complement of q_semi_join)
+      val o = t(s, d, "orders").where(col("o_totalprice") > 400000)
+      t(s, d, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")
+    }),
     "q_frequency" -> ((s, d) =>
       UndatumOps.frequency(t(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"))),
     "q_uniq" -> ((s, d) =>
@@ -299,6 +327,22 @@ object SparkEntry {
         |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_join_revenue" ->
+      """SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_orders,
+        |CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
     "q_frequency" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS count
         |FROM lineitem GROUP BY 1,2 ORDER BY count, l_returnflag, l_linestatus""".stripMargin,
