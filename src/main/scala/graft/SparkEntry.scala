@@ -66,6 +66,13 @@ object SparkEntry {
     }),
     "q_frequency" -> ((s, d) =>
       UndatumOps.frequency(t(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"))),
+    "q_rollup" -> ((s, d) =>
+      // grouping-sets surface (absent in the reference; free in Spark)
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
     "q_uniq" -> ((s, d) =>
       UndatumOps.uniq(t(s, d, "orders"), Seq("o_orderstatus", "o_orderpriority"))
         .orderBy("o_orderstatus", "o_orderpriority")),
@@ -346,6 +353,10 @@ object SparkEntry {
     "q_frequency" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS count
         |FROM lineitem GROUP BY 1,2 ORDER BY count, l_returnflag, l_linestatus""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_uniq" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
         |ORDER BY 1,2""".stripMargin,
