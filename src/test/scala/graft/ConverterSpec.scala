@@ -44,11 +44,13 @@ class ConverterSpec extends SparkSpecBase {
     }
   }
 
-  test("csv round trip with gzip compression (compressed containers)") {
-    val dir = tmpDir("conv-gz")
-    Converter.write(fixture, dir, "csv", compression = "gzip")
-    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".csv.gz")))
-    assertSameRows(fixture, Converter.read(spark, dir, ReadOptions("csv")))
+  for ((codec, ext) <- Seq(("gzip", ".csv.gz"), ("bzip2", ".csv.bz2"))) {
+    test(s"csv round trip with $codec compression (compressed containers)") {
+      val dir = tmpDir(s"conv-$codec")
+      Converter.write(fixture, dir, "csv", compression = codec)
+      assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(ext)))
+      assertSameRows(fixture, Converter.read(spark, dir, ReadOptions("csv")))
+    }
   }
 
   test("json root array + tagname unwrap (2cols6rows_array/_tag)") {
