@@ -344,9 +344,11 @@ object TokenEncoder {
 /** Symmetric decode: blocks -> TokenRow, ignoring uncommitted blocks. */
 object TokenDecoder {
 
-  def decodeBlock(b: EncodedBlock): Iterator[TokenRow] = {
-    val tokens = BlockCodec.decode(b.codecId, b.postCodec, b.symtab, b.payload,
-      b.totalTokens.toInt)
+  def decodeBlock(b: EncodedBlock): Iterator[TokenRow] =
+    rows(b, BlockCodec.decode(b.codecId, b.postCodec, b.symtab, b.payload,
+      b.totalTokens.toInt))
+
+  private def rows(b: EncodedBlock, tokens: Array[Int]): Iterator[TokenRow] = {
     val docIds = graft.codec.StringCols.decodeDocIds(b.docIdsEnc, b.blockRows)
     val sources = graft.codec.StringCols.decodeSources(b.sourcesEnc, b.blockRows)
     val lens = new ByteReader(b.lengthsEnc)
@@ -359,13 +361,28 @@ object TokenDecoder {
     }
   }
 
-  /** Read an encode output dir back into rows (committed blocks only). */
-  def read(spark: SparkSession, outDir: String): Dataset[TokenRow] = {
+  /** Read an encode output dir back into rows (committed blocks only).
+    * With `verifyChecksums` every block's decoded token stream is
+    * re-hashed against the checksum sealed at encode time — bit rot or
+    * a codec defect surfaces as an exception naming the block, not as
+    * silently wrong tokens.
+    */
+  def read(spark: SparkSession, outDir: String,
+           verifyChecksums: Boolean = false): Dataset[TokenRow] = {
     import spark.implicits._
     val blocks = spark.read.parquet(s"$outDir/blocks").as[EncodedBlock]
     val committed = spark.read.parquet(s"$outDir/lineage")
       .select("blockId").distinct()
     val live = blocks.join(committed, Seq("blockId"), "left_semi").as[EncodedBlock]
-    live.flatMap(decodeBlock)
+    if (!verifyChecksums) live.flatMap(decodeBlock)
+    else live.flatMap { b =>
+      val tokens = BlockCodec.decode(b.codecId, b.postCodec, b.symtab, b.payload,
+        b.totalTokens.toInt)
+      val got = BlockCodec.checksum(tokens, tokens.length)
+      if (got != b.checksum)
+        throw new IllegalStateException(
+          s"checksum mismatch in block ${b.blockId}: got $got expected ${b.checksum}")
+      rows(b, tokens)
+    }
   }
 }

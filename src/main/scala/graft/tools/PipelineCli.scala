@@ -39,7 +39,8 @@ object PipelineCli {
       f"tokens=$toks encode_secs=$secs%.1f tokens_per_sec=${toks / secs}%.0f")
 
     // round-trip: decoded table must equal the source table
-    val back = TokenDecoder.read(spark, outDir)
+    // (checksum-verified read: corruption fails loudly, per block)
+    val back = TokenDecoder.read(spark, outDir, verifyChecksums = true)
     val orig = ds.select($"doc_id", $"tokens", $"n_tok", $"source")
     val dec = back.select($"doc_id", $"tokens", $"n_tok", $"source")
     val mism = orig.exceptAll(dec).count() + dec.exceptAll(orig).count()

@@ -150,6 +150,47 @@ class PipelineSpec extends SparkSpecBase {
     assert(out.collect().toSet == Set(("T1", 10), ("T2", 20)))
   }
 
+  test("checksum-verified read detects a corrupted block payload") {
+    import spark.implicits._
+    val out = tmpDir("corrupt")
+    TokenEncoder.run(synth, out, EncodeConfig(targetRowsPerPart = 2000))
+    // clean read passes with verification on
+    assert(TokenDecoder.read(spark, out, verifyChecksums = true).count() == N)
+    // flip one payload byte in one block and rewrite the blocks table
+    val blocks = spark.read.parquet(s"$out/blocks").as[graft.model.EncodedBlock].collect()
+    // pick a block WITHOUT the zstd post-pass so the corruption reaches
+    // our checksum rather than zstd's own frame check
+    val victim = blocks.indexWhere(b => b.postCodec == 0 && b.payload.length > 100)
+    assert(victim >= 0)
+    val corrupted = blocks.zipWithIndex.map { case (b, i) =>
+      if (i != victim) b
+      else {
+        val p = b.payload.clone()
+        p(p.length / 2) = (p(p.length / 2) ^ 0x5A).toByte
+        b.copy(payload = p)
+      }
+    }
+    spark.createDataset(corrupted.toIndexedSeq)
+      .write.mode("overwrite").option("compression", "uncompressed")
+      .parquet(s"$out/blocks2")
+    // swap dirs
+    val f = new java.io.File(s"$out/blocks")
+    val f2 = new java.io.File(s"$out/blocks2")
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(rm)
+      x.delete()
+    }
+    rm(f); f2.renameTo(f)
+    val ex = intercept[org.apache.spark.SparkException] {
+      TokenDecoder.read(spark, out, verifyChecksums = true).count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(5)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    val msgs = chain(ex).mkString(" | ")
+    assert(msgs.contains("checksum mismatch"), msgs)
+  }
+
   test("lineage checksums match decoded content per block") {
     import spark.implicits._
     val out = tmpDir("cksum")
