@@ -148,29 +148,43 @@ object Bench {
     val eff28 = thr8 / (thr2 * 4.0)
     val sHi = session(cpusHi)
 
-    // decode throughput (symmetric transform) at the high level
+    // decode throughput (symmetric transform) at both levels — the
+    // encoded dir is built once, then read under each parallelism
     val decDir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(localDir()), "graft-dec").toString
     TokenEncoder.run(TokenSynth.dataset(sHi, benchRows / 2, parallelism = 128),
       decDir, EncodeConfig(targetRowsPerPart = math.max(1000L, benchRows / 256).toInt))
-    graft.encode.TokenDecoder.read(sHi, decDir).count() // warm
-    val td0 = System.nanoTime()
-    val decTokens = graft.encode.TokenDecoder.read(sHi, decDir)
-      .agg(sum("n_tok")).collect()(0).getLong(0)
-    val thrDec = decTokens / ((System.nanoTime() - td0) / 1e9)
+    def decodeThr(s: SparkSession): Double = {
+      graft.encode.TokenDecoder.read(s, decDir).count() // warm
+      val t0 = System.nanoTime()
+      val tok = graft.encode.TokenDecoder.read(s, decDir)
+        .agg(sum("n_tok")).collect()(0).getLong(0)
+      tok / ((System.nanoTime() - t0) / 1e9)
+    }
+    val thrDec = decodeThr(sHi)
+    sHi.stop()
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val sLo2 = session(cpusLo)
+    val thrDecLo = decodeThr(sLo2)
+    sLo2.stop()
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val effDec = thrDec / (thrDecLo * (cpusHi.toDouble / cpusLo))
     new ProcessBuilder("rm", "-rf", decDir).start().waitFor()
+    val sHi2 = session(cpusHi)
 
     // --- query surface timings at the high parallelism level --------
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(sHi, sfDir).count() } catch { case _: Throwable => () }
+      try { fn(sHi2, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode":{"rows":$benchRows,"tokens":$tokHi,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"tokens_per_sec_lo":${thrLo.toLong},"tokens_per_sec_hi":${thrHi.toLong},"reps":$reps,"scaling_efficiency":$eff%.3f,"tokens_per_sec_c2":${thr2.toLong},"tokens_per_sec_c8":${thr8.toLong},"scaling_efficiency_2_8":$eff28%.3f,"decode_tokens_per_sec":${thrDec.toLong},"compression_ratio":$ratio%.3f}}""")
-    sHi.stop()
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode":{"rows":$benchRows,"tokens":$tokHi,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"tokens_per_sec_lo":${thrLo.toLong},"tokens_per_sec_hi":${thrHi.toLong},"reps":$reps,"scaling_efficiency":$eff%.3f,"tokens_per_sec_c2":${thr2.toLong},"tokens_per_sec_c8":${thr8.toLong},"scaling_efficiency_2_8":$eff28%.3f,"decode_tokens_per_sec":${thrDec.toLong},"decode_tokens_per_sec_lo":${thrDecLo.toLong},"decode_scaling_efficiency":$effDec%.3f,"compression_ratio":$ratio%.3f}}""")
+    sHi2.stop()
   }
 }

@@ -274,6 +274,24 @@ class OpsSpec extends SparkSpecBase {
     assert(got.count(_ % 4 == 0) >= 9, got.mkString(","))
   }
 
+  test("Analyzer.report flags flatness; applyRows maps with explicit schema") {
+    val s = spark
+    import s.implicits._
+    val flat = Seq((1, "a")).toDF("id", "v")
+    val nested = Seq((1, Seq("a"))).toDF("id", "arr")
+    assert(graft.operators.Analyzer.report(flat)
+      .select("table_is_flat").collect()(0).getBoolean(0))
+    assert(!graft.operators.Analyzer.report(nested, Seq("id"))
+      .select("table_is_flat").collect()(0).getBoolean(0))
+    // Row-level apply with declared output schema (transformer.py shape)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType)))
+    val out = graft.operators.Transform.applyRows(flat, schema,
+      r => org.apache.spark.sql.Row(r.getString(1).toUpperCase))
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("A"))
+  }
+
   test("text ops: token counts, langid, fingerprint stability") {
     val s = spark
     import s.implicits._
