@@ -100,7 +100,9 @@ object Bench {
     // hardware, which is what the N-vs-4N-executor criterion models
     // (4N executors bring 4x memory bandwidth; 4x threads on one bus
     // do not).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // 2 alternating reps per level by default: noise filtering vs
+    // total bench wall-time (~6 min with queries at sf0.1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     var tokHi = 0L; var rawHi = 0L; var encHi = 0L
     def oneRun(cpus: Int): Double = {
       val s = session(cpus)
