@@ -14,6 +14,15 @@ class PlanSpec extends SparkSpecBase {
     df.queryExecution.executedPlan.toString
   }
 
+  test("driver contract: entry() returns rows on sf0.001") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    // every query has either an oracle or an intentional rows-only role
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
+  }
+
   test("q_filter_dsl pushes predicates into the parquet scan") {
     val p = planOf("q_filter_dsl")
     assert(p.contains("PushedFilters"), p.take(500))
