@@ -93,14 +93,20 @@ object Dedup {
         org.apache.spark.sql.expressions.Window
           .partitionBy("band", "bucket").orderBy("id")))
       .where(col("rn") <= maxBucket)
-    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    // candidates as BARE id pairs: deduping rows that carry the
+    // shingle arrays would shuffle kilobytes per pair; the arrays are
+    // joined back once per unique pair instead
+    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
     val cand = a.join(b, Seq("band", "bucket")).where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val docs = withSig.select(col("id"), col("sh"))
+    graft.functions.JaccardSim.register(df.sparkSession)
     cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        graft.functions.JaccardSim.jaccardSim(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -128,14 +134,20 @@ object Dedup {
           .withColumn("blk", concat_ws("#", col("blk0"), col("__b")))
           .drop("blk0", "__b")
       } else blk0.withColumnRenamed("blk0", "blk")
-    val a = s.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = s.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+    // bare id-pair candidates first (see minhashPairs): pair dedupe
+    // must not shuffle the shingle arrays
+    val a = s.select(col("blk"), col("id").as("id_a"))
+    val b = s.select(col("blk"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
       // a pair sharing two probed buckets would otherwise emit twice
       .dropDuplicates("id_a", "id_b")
+    val docs = blk0.select(col("id"), col("sh")).dropDuplicates("id")
+    graft.functions.JaccardSim.register(df.sparkSession)
+    cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)).cast("double"))
+        graft.functions.JaccardSim.jaccardSim(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
