@@ -19,6 +19,19 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Side-channel for oracles over engine-internal intermediates
+    * (synth inputs, LSH candidate pairs, simhash values): the query
+    * materializes the intermediate here and the DuckDB oracle reads it
+    * back with read_parquet, so hash-seeded pipelines still get their
+    * deterministic tail verified value-for-value.
+    */
+  private val sideDir = "/tmp/graft_oracle_side"
+  private def dumpSide(df: DataFrame, name: String): DataFrame = {
+    val p = s"$sideDir/$name"
+    df.write.mode("overwrite").parquet(p)
+    df.sparkSession.read.parquet(p)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_agg_pricing")(spark, "/root/testdata/sf0.001")
@@ -64,6 +77,32 @@ object SparkEntry {
         .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey").orderBy("c_custkey")
     }),
+    "q_join_q5" -> ((s, d) => {
+      // TPC-H Q5-shaped 6-table join: lineitem->orders->customer plus
+      // supplier co-located by nation, nation/region broadcast
+      // (PlanSpec asserts), date-range filter pushed to the orders
+      // scan. Decimal arithmetic end-to-end so both engines sum
+      // exactly.
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val su = t(s, d, "supplier")
+      val n = t(s, d, "nation"); val r = t(s, d, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey")
+          && c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .where(r("r_name") === "ASIA"
+          && o("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && o("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .groupBy(n("n_name").as("n_name"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)")
+            * (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+            .cast("double").as("revenue"),
+          count(lit(1)).cast("long").as("n_lineitems"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
     "q_frequency" -> ((s, d) =>
       UndatumOps.frequency(t(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"))),
     "q_rollup" -> ((s, d) =>
@@ -107,19 +146,31 @@ object SparkEntry {
       UndatumOps.flattenCounts(t(s, d, "documents"))),
     "q_type_hist" -> ((s, d) => {
       // mixed-type string column built from events: ints (json k),
-      // floats (value), dates (ts date), strings (event_type)
+      // floats (value), dates (ISO + dotted-EU formats — exercises the
+      // multi-pattern detector), strings (event_type)
       val ev = t(s, d, "events").select(
         get_json_object(col("props"), "$.k").as("k_str"),
         col("event_type"),
-        col("ts").cast("date").cast("string").as("d_str"))
-      UndatumOps.typeHistogram(ev, Seq("k_str", "event_type", "d_str"))
+        col("ts").cast("date").cast("string").as("d_str"),
+        date_format(col("ts"), "dd.MM.yyyy").as("d2_str"))
+      UndatumOps.typeHistogram(ev, Seq("k_str", "event_type", "d_str", "d2_str"))
     }),
     "q_field_types" -> ((s, d) => {
       val ev = t(s, d, "events").select(
         get_json_object(col("props"), "$.k").as("k_str"),
         col("event_type"),
-        col("ts").cast("date").cast("string").as("d_str"))
-      UndatumOps.fieldTypes(ev, Seq("k_str", "event_type", "d_str"))
+        col("ts").cast("date").cast("string").as("d_str"),
+        date_format(col("ts"), "dd.MM.yyyy").as("d2_str"))
+      UndatumOps.fieldTypes(ev, Seq("k_str", "event_type", "d_str", "d2_str"))
+    }),
+    "q_date_scores" -> ((s, d) => {
+      // per-format parse-success counts over a mixed-format date
+      // column (even ids ISO, odd ids dotted-EU) — the qddate-style
+      // format detector's scoring pass
+      val ev = t(s, d, "events").select(
+        when(col("event_id") % 2 === 0, date_format(col("ts"), "yyyy-MM-dd"))
+          .otherwise(date_format(col("ts"), "dd.MM.yyyy")).as("dstr"))
+      UndatumOps.dateFormatScores(ev, "dstr")
     }),
     "q_query_expr" -> ((s, d) =>
       // the reference's experimental mistql `query` command
@@ -164,22 +215,34 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.qualityScoreBp(col("text")).as("quality_bp"))
         .orderBy("doc_id")),
     "q_fingerprint" -> ((s, d) =>
+      // portable md5 form so DuckDB verifies the values; the xxhash64
+      // variant (TextOps.fingerprint) is the 100-TB hot path
       t(s, d, "documents")
-        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), TextOps.fingerprintHex(col("text")).as("fp"))
         .orderBy("doc_id")),
     // ---- dedup ----------------------------------------------------
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactDedup(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")),
-    "q_minhash_pairs" -> ((s, d) =>
-      // 16 bands x 4 rows: candidate probability 1-(1-j^4)^16 stays
-      // selective on low-jaccard noise (the all-pairs word-salad
-      // baseline) while catching j >= ~0.5 near-dups reliably
-      Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
-        shingleN = 2, k = 64, bands = 16, threshold = 0.3)
-        .orderBy("id_a", "id_b")),
-    "q_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
-        .orderBy("id_a", "id_b")),
+    "q_minhash_pairs" -> ((s, d) => {
+      // banding derived from the threshold (k=64, t=0.3 -> 32 bands of
+      // 2 rows, ~95% candidate recall at j=t; round 1's fixed 16x4 had
+      // ~12% there). Candidates dump to the side-channel; the oracle
+      // recomputes exact jaccard for those pairs over raw string
+      // shingles in DuckDB, verifying the whole verification stage.
+      val docs = t(s, d, "documents")
+      val cand = dumpSide(Dedup.minhashCandidates(docs, "doc_id", "text",
+        shingleN = 2, k = 64, bands = 0, threshold = 0.3), "minhash_cand")
+      Dedup.minhashVerify(docs, cand, "doc_id", "text",
+        shingleN = 2, threshold = 0.3).orderBy("id_a", "id_b")
+    }),
+    "q_simhash_pairs" -> ((s, d) => {
+      // per-doc hashes dump to the side-channel; the oracle recomputes
+      // ALL hamming<=3 pairs from them (xor + bit_count self-join),
+      // verifying the pigeonhole blocking's completeness
+      val h = dumpSide(
+        Dedup.simhashOf(t(s, d, "documents"), "doc_id", "text"), "simhash")
+      Dedup.simhashPairsFromHashes(h, maxHamming = 3).orderBy("id_a", "id_b")
+    }),
     "q_jaccard_within" -> ((s, d) =>
       Dedup.jaccardWithin(t(s, d, "documents"), "doc_id", "text", "source",
         shingleN = 2, threshold = 0.05).orderBy("id_a", "id_b")),
@@ -220,14 +283,12 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n"),
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
         .orderBy("hr", "event_type")),
-    "q_sessions" -> ((s, d) => {
-      import s.implicits._
-      val evs = t(s, d, "events")
-        .select(col("user_id"), col("ts"), col("event_type"))
-        .as[graft.streaming.EventStream.SessionEvent]
-      graft.streaming.EventStream.sessionize(evs, gapSecs = 3600)
-        .toDF().orderBy("user_id", "session_start")
-    }),
+    "q_sessions" -> ((s, d) =>
+      // batch path: lag + cumulative-sum windows (fully SQL, DuckDB
+      // oracle below); the stateful streaming form
+      // (EventStream.sessionize) runs in StreamingSpec
+      graft.streaming.EventStream.sessionizeBatch(t(s, d, "events"), gapSecs = 3600)
+        .orderBy("user_id", "session_start")),
     // ---- encode engine gates (single-row, constant oracle) --------
     "q_codec_roundtrip" -> ((s, d) => {
       val rng = new scala.util.Random(7)
@@ -274,11 +335,18 @@ object SparkEntry {
         .orderBy("kind")
     }),
     "q_schema_fingerprint" -> ((s, d) =>
-      graft.operators.Analyzer.schemaFingerprint(t(s, d, "documents"))),
+      // md5 form (DuckDB-verifiable); Analyzer.schemaFingerprint keeps
+      // the reference's xxhash64 identity for the Spark-side hot path
+      graft.operators.Analyzer.schemaFingerprintPortable(t(s, d, "documents"))),
+    "q_scheme" -> ((s, d) =>
+      graft.operators.Analyzer.scheme(t(s, d, "documents")).orderBy("field")),
     "q_stats_by_source" -> ((s, d) => {
-      // typed Dataset Aggregator over the synthetic token table
+      // typed Dataset Aggregator over the synthetic token table; the
+      // input dumps to the side-channel so DuckDB recomputes the same
+      // stats (incl. max run length via windowed run-ids) from parquet
       import s.implicits._
-      val ds = graft.synth.TokenSynth.dataset(s, 3000)
+      val ds = dumpSide(graft.synth.TokenSynth.dataset(s, 3000).toDF(),
+        "token_synth").as[graft.model.TokenRow]
       ds.groupByKey(_.source).agg(graft.stats.TokenStatsAgg.toColumn)
         .toDF("source", "stats")
         .select(col("source"), col("stats.rows").as("rows"),
@@ -323,9 +391,11 @@ object SparkEntry {
   )
 
   /** DuckDB-dialect oracles. Tables are registered by bare name over
-    * the same parquet files. Omitted for hash-seeded ops
-    * (minhash/simhash/lsh/fingerprint) and synth-input engine gates
-    * that have constant oracles instead.
+    * the same parquet files; engine-internal intermediates are read
+    * back from the /tmp/graft_oracle_side parquet the queries dump
+    * (minhash candidates, simhash values, synth token table). Only
+    * ann_lsh / ann_ivf stay oracle-free: their recall-vs-exact
+    * contract is probabilistic and engine-specific by design.
     */
   def oracleSql: Map[String, String] = Map(
     "q_agg_pricing" ->
@@ -350,6 +420,21 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin,
+    "q_join_q5" ->
+      """SELECT n.n_name AS n_name,
+        |CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |  * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |CAST(count(*) AS BIGINT) AS n_lineitems
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
     "q_frequency" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS count
         |FROM lineitem GROUP BY 1,2 ORDER BY count, l_returnflag, l_linestatus""".stripMargin,
@@ -416,10 +501,12 @@ object SparkEntry {
         |ORDER BY field""".stripMargin,
     "q_type_hist" ->
       """WITH src AS (SELECT json_extract_string(props,'$.k') k_str, event_type,
-        |  CAST(CAST(ts AS DATE) AS VARCHAR) d_str FROM events),
+        |  CAST(CAST(ts AS DATE) AS VARCHAR) d_str,
+        |  strftime(ts, '%d.%m.%Y') d2_str FROM events),
         |u AS (SELECT 'k_str' AS field, k_str AS v FROM src
         |  UNION ALL SELECT 'event_type', event_type FROM src
-        |  UNION ALL SELECT 'd_str', d_str FROM src)
+        |  UNION ALL SELECT 'd_str', d_str FROM src
+        |  UNION ALL SELECT 'd2_str', d2_str FROM src)
         |SELECT field, CASE
         |  WHEN v IS NULL OR v = '' THEN 'empty'
         |  WHEN regexp_matches(v, '^[0-9]+$') THEN
@@ -427,16 +514,21 @@ object SparkEntry {
         |         WHEN CAST(v AS BIGINT) < 65535 THEN 'uint16'
         |         ELSE 'uint32' END
         |  WHEN regexp_matches(v, '^-?[0-9]+\.[0-9]+$') THEN 'float'
-        |  WHEN regexp_matches(v, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') THEN 'date'
+        |  WHEN regexp_matches(v, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+        |    OR regexp_matches(v, '^[0-9]{2}\.[0-9]{2}\.[0-9]{4}$')
+        |    OR regexp_matches(v, '^[0-9]{2}/[0-9]{2}/[0-9]{4}$')
+        |    OR regexp_matches(v, '^[0-9]{4}/[0-9]{2}/[0-9]{2}$') THEN 'date'
         |  ELSE 'str' END AS vtype,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM u GROUP BY 1,2 ORDER BY field, vtype""".stripMargin,
     "q_field_types" ->
       """WITH src AS (SELECT json_extract_string(props,'$.k') k_str, event_type,
-        |  CAST(CAST(ts AS DATE) AS VARCHAR) d_str FROM events),
+        |  CAST(CAST(ts AS DATE) AS VARCHAR) d_str,
+        |  strftime(ts, '%d.%m.%Y') d2_str FROM events),
         |u AS (SELECT 'k_str' AS field, k_str AS v FROM src
         |  UNION ALL SELECT 'event_type', event_type FROM src
-        |  UNION ALL SELECT 'd_str', d_str FROM src),
+        |  UNION ALL SELECT 'd_str', d_str FROM src
+        |  UNION ALL SELECT 'd2_str', d2_str FROM src),
         |typed AS (SELECT field, CASE
         |  WHEN v IS NULL OR v = '' THEN 'empty'
         |  WHEN regexp_matches(v, '^[0-9]+$') THEN
@@ -444,11 +536,28 @@ object SparkEntry {
         |         WHEN CAST(v AS BIGINT) < 65535 THEN 'uint16'
         |         ELSE 'uint32' END
         |  WHEN regexp_matches(v, '^-?[0-9]+\.[0-9]+$') THEN 'float'
-        |  WHEN regexp_matches(v, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') THEN 'date'
+        |  WHEN regexp_matches(v, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+        |    OR regexp_matches(v, '^[0-9]{2}\.[0-9]{2}\.[0-9]{4}$')
+        |    OR regexp_matches(v, '^[0-9]{2}/[0-9]{2}/[0-9]{4}$')
+        |    OR regexp_matches(v, '^[0-9]{4}/[0-9]{2}/[0-9]{2}$') THEN 'date'
         |  ELSE 'str' END AS vtype FROM u)
         |SELECT field,
         |  CASE WHEN count(DISTINCT vtype) = 1 THEN max(vtype) ELSE 'str' END AS field_type
         |FROM typed WHERE vtype <> 'empty' GROUP BY field ORDER BY field""".stripMargin,
+    "q_date_scores" ->
+      """WITH src AS (SELECT CASE WHEN event_id % 2 = 0
+        |  THEN strftime(ts, '%Y-%m-%d') ELSE strftime(ts, '%d.%m.%Y') END dstr
+        |  FROM events)
+        |SELECT fmt, n_parsed FROM (
+        |  SELECT 'yyyy-MM-dd' AS fmt,
+        |    CAST(count(try_strptime(dstr, '%Y-%m-%d')) AS BIGINT) AS n_parsed FROM src
+        |  UNION ALL SELECT 'dd.MM.yyyy',
+        |    CAST(count(try_strptime(dstr, '%d.%m.%Y')) AS BIGINT) FROM src
+        |  UNION ALL SELECT 'MM/dd/yyyy',
+        |    CAST(count(try_strptime(dstr, '%m/%d/%Y')) AS BIGINT) FROM src
+        |  UNION ALL SELECT 'yyyy/MM/dd',
+        |    CAST(count(try_strptime(dstr, '%Y/%m/%d')) AS BIGINT) FROM src)
+        |ORDER BY fmt""".stripMargin,
     "q_query_expr" ->
       """SELECT event_id, CAST(value AS DOUBLE) AS value FROM events
         |WHERE value > 900 AND event_type = 'purchase' ORDER BY event_id""".stripMargin,
@@ -493,6 +602,93 @@ object SparkEntry {
         |  + (1500 - CAST(floor(CAST(1500*least(4*p,L) AS DOUBLE)/L1) AS BIGINT))
         |  + (1500 - CAST(floor(CAST(1500*least(4*g,L) AS DOUBLE)/L1) AS BIGINT)) AS quality_bp
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_schema_fingerprint" ->
+      """SELECT 'doc_id|lang|n_chars|source|text' AS fields,
+        |md5('doc_id|lang|n_chars|source|text') AS schema_md5""".stripMargin,
+    "q_scheme" ->
+      """SELECT * FROM (VALUES
+        |('doc_id','integer',true),('lang','string',true),
+        |('n_chars','integer',true),('source','string',true),
+        |('text','string',true)) t(field, stype, nullable)
+        |ORDER BY field""".stripMargin,
+    "q_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |  CAST(floor(epoch(ts)) AS BIGINT) t FROM events),
+        |l AS (SELECT user_id, event_id, ts, t,
+        |  lag(t) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev FROM e),
+        |s AS (SELECT user_id, event_id, ts, t,
+        |  CASE WHEN prev IS NULL OR t - prev > 3600 THEN 1 ELSE 0 END ns FROM l),
+        |c AS (SELECT user_id, t, sum(ns) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) sid
+        |  FROM s)
+        |SELECT user_id, min(t) AS session_start, max(t) - min(t) AS session_secs,
+        |  CAST(count(*) AS BIGINT) AS events
+        |FROM c GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q_stats_by_source" ->
+      """WITH t AS (SELECT source, doc_id, tokens
+        |  FROM read_parquet('/tmp/graft_oracle_side/token_synth/*.parquet')),
+        |base AS (SELECT source, CAST(count(*) AS BIGINT) nrows,
+        |  CAST(sum(len(tokens)) AS BIGINT) total_tokens FROM t GROUP BY source),
+        |x AS (SELECT source, doc_id, unnest(tokens) tok,
+        |  unnest(range(1, len(tokens)+1)) pos FROM t),
+        |r AS (SELECT source, doc_id, tok, pos,
+        |  CASE WHEN lag(tok) OVER w IS NULL OR tok <> lag(tok) OVER w
+        |    THEN 1 ELSE 0 END ns
+        |  FROM x WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |rid AS (SELECT source, doc_id, tok, pos, sum(ns) OVER
+        |  (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) rid FROM r),
+        |runs AS (SELECT source, doc_id, rid, count(*) rl FROM rid GROUP BY 1,2,3),
+        |mm AS (SELECT source, CAST(min(tok) AS INT) min_tok,
+        |  CAST(max(tok) AS INT) max_tok FROM x GROUP BY source),
+        |mr AS (SELECT source, CAST(max(rl) AS INT) max_run FROM runs GROUP BY source)
+        |SELECT base.source, base.nrows AS "rows", base.total_tokens,
+        |  mm.min_tok, mm.max_tok, mr.max_run
+        |FROM base JOIN mm ON base.source = mm.source
+        |JOIN mr ON base.source = mr.source
+        |ORDER BY base.source""".stripMargin,
+    "q_jaccard_within" ->
+      """WITH w AS (SELECT doc_id, source,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id, source, CASE WHEN len(ws) >= 2
+        |  THEN list_distinct(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1]))
+        |  ELSE [] END sh FROM w),
+        |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) jac
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(a.sh) + len(b.sh) > 0)
+        |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM p
+        |WHERE jac >= 0.05 ORDER BY id_a, id_b""".stripMargin,
+    "q_minhash_pairs" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 2
+        |  THEN list_distinct(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1]))
+        |  ELSE [] END sh FROM w),
+        |c AS (SELECT id_a, id_b
+        |  FROM read_parquet('/tmp/graft_oracle_side/minhash_cand/*.parquet')),
+        |j AS (SELECT c.id_a, c.id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) jac
+        |  FROM c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+        |  WHERE len(a.sh) + len(b.sh) > 0)
+        |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j
+        |WHERE jac >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    "q_simhash_pairs" ->
+      """WITH h AS (SELECT id, h
+        |  FROM read_parquet('/tmp/graft_oracle_side/simhash/*.parquet'))
+        |SELECT a.id id_a, b.id id_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS INT) hamming
+        |FROM h a JOIN h b ON a.id < b.id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dupes
         |FROM documents GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g')

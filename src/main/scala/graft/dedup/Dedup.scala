@@ -63,52 +63,137 @@ object Dedup {
     array(hashes: _*)
   }
 
-  /** Near-duplicate pairs via MinHash LSH banding + exact-Jaccard
-    * verification. Returns (id_a, id_b, jaccard) with id_a < id_b and
-    * jaccard >= threshold.
+  /** Most selective banding (largest rows-per-band r, so fewest noise
+    * candidates) whose LSH candidate recall at j = threshold is still
+    * >= minRecall: recall(j) = 1 - (1 - j^r)^(k/r). Returns the band
+    * COUNT. Round 1 hardcoded 16 bands x 4 rows for a 0.3-threshold
+    * query — the S-curve midpoint sat at ~0.5 and recall at j=0.3 was
+    * ~12%; deriving (bands, r) from the threshold is the fix.
     */
-  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.7, maxBucket: Int = 64): DataFrame = {
-    require(k % bands == 0)
-    require(k == graft.functions.MinHashSig.K,
-      s"native signature kernel is fixed at k=${graft.functions.MinHashSig.K}")
+  def bandsForThreshold(k: Int, threshold: Double,
+                        minRecall: Double = 0.95): Int = {
+    val r = (1 to k).filter(k % _ == 0).reverse.find { r =>
+      1.0 - math.pow(1.0 - math.pow(threshold, r), (k / r).toDouble) >= minRecall
+    }.getOrElse(1)
+    k / r
+  }
+
+  private def withSignatures(df: DataFrame, idCol: String, textCol: String,
+                             shingleN: Int): DataFrame = {
     graft.functions.MinHashSig.register(df.sparkSession)
-    val rowsPerBand = k / bands
-    val withSig = df
-      .select(col(idCol).as("id"), col(textCol).as("text"))
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sh", shingles(col("text"), shingleN))
       .where(size(col("sh")) > 0)
       .withColumn("sig", graft.functions.MinHashSig.minhashSig(col("sh")))
-    val banded = withSig.select(
-      col("id"), col("sh"),
+  }
+
+  private def bandedBuckets(withSig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    withSig.select(
+      col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    // cap pathological buckets (boilerplate text floods a bucket)
+  }
+
+  /** Candidate id pairs from LSH banding + a minhash-ESTIMATE
+    * pre-filter: matching-signature-position fraction estimates
+    * jaccard (stddev sqrt(j(1-j)/k) ~ 0.06 at k=64), so pairs whose
+    * estimate falls below threshold - estMargin are pruned BEFORE the
+    * expensive exact-verify join ships shingle arrays. 64 long
+    * compares per pair vs ~|shingles| hash probes — the pre-filter is
+    * ~10x cheaper than verification and kills most banding noise.
+    * estMargin = 3 sigma by default; negative margin disables.
+    * bands = 0 derives the banding from the threshold.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, k: Int = 64, bands: Int = 0,
+                        threshold: Double = 0.7, maxBucket: Int = 64,
+                        estMargin: Double = 0.18): DataFrame = {
+    val nBands = if (bands > 0) bands else bandsForThreshold(k, threshold)
+    require(k % nBands == 0)
+    require(k == graft.functions.MinHashSig.K,
+      s"native signature kernel is fixed at k=${graft.functions.MinHashSig.K}")
+    val withSig = withSignatures(df, idCol, textCol, shingleN)
+    val banded = bandedBuckets(withSig, k, nBands)
+    // cap pathological buckets (boilerplate text floods a bucket);
+    // minhashBucketDiag reports what the cap drops
     val capped = banded
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("band", "bucket").orderBy("id")))
       .where(col("rn") <= maxBucket)
     // candidates as BARE id pairs: deduping rows that carry the
-    // shingle arrays would shuffle kilobytes per pair; the arrays are
-    // joined back once per unique pair instead
+    // shingle arrays would shuffle kilobytes per pair; arrays join
+    // back once per unique pair instead
     val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
     val cand = a.join(b, Seq("band", "bucket")).where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
-    val docs = withSig.select(col("id"), col("sh"))
+    val cut = threshold - estMargin
+    if (estMargin < 0 || cut <= 0) cand
+    else {
+      val sigs = withSig.select(col("id"), col("sig"))
+      cand
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .withColumn("__est",
+          aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / lit(k.toDouble))
+        .where(col("__est") >= cut)
+        .select("id_a", "id_b")
+    }
+  }
+
+  /** Exact-Jaccard verification of candidate id pairs against the
+    * documents: returns (id_a, id_b, jaccard) with jaccard >= threshold.
+    */
+  def minhashVerify(df: DataFrame, cand: DataFrame, idCol: String,
+                    textCol: String, shingleN: Int,
+                    threshold: Double): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
     graft.functions.JaccardSim.register(df.sparkSession)
-    cand
+    cand.select("id_a", "id_b")
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         graft.functions.JaccardSim.jaccardSim(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Near-duplicate pairs via MinHash LSH banding + estimate
+    * pre-filter + exact-Jaccard verification. Returns
+    * (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, k: Int = 64, bands: Int = 0,
+                   threshold: Double = 0.7, maxBucket: Int = 64,
+                   estMargin: Double = 0.18): DataFrame =
+    minhashVerify(df,
+      minhashCandidates(df, idCol, textCol, shingleN, k, bands, threshold,
+        maxBucket, estMargin),
+      idCol, textCol, shingleN, threshold)
+
+  /** Diagnostic: what the maxBucket skew cap silently drops — bucket
+    * count, capped-bucket count, and rows over the cap. Surfaces the
+    * recall cost of the cap as a metric instead of a silent truncation.
+    */
+  def minhashBucketDiag(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, k: Int = 64, bands: Int = 0,
+                        threshold: Double = 0.7,
+                        maxBucket: Int = 64): DataFrame = {
+    val nBands = if (bands > 0) bands else bandsForThreshold(k, threshold)
+    bandedBuckets(withSignatures(df, idCol, textCol, shingleN), k, nBands)
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).cast("long").as("n_buckets"),
+        sum(when(col("n") > maxBucket, 1L).otherwise(0L)).as("n_capped"),
+        sum(greatest(col("n") - maxBucket, lit(0L))).as("rows_dropped"))
   }
 
   /** Exact n-gram Jaccard for all pairs within a blocking key (small
@@ -118,19 +203,24 @@ object Dedup {
                     blockCol: String, shingleN: Int = 3,
                     threshold: Double = 0.0,
                     lengthBucket: Boolean = true): DataFrame = {
-    // blocking on (key, log2 length bucket): docs with jaccard >= t
-    // have size ratio >= t, so near-dups land in the same or ADJACENT
-    // bucket — each doc is therefore probed into its own bucket and
-    // the next one up, so boundary-straddling pairs still meet
-    // (doubles candidate cost, preserves the exact-within-block
-    // contract)
+    // blocking on (key, log2 length bucket): jaccard >= t implies
+    // |small|/|large| >= t, so with buckets floor(log2 size) a
+    // qualifying pair's bucket gap is < log2(1/t) + 1, i.e. at most
+    // maxGap = ceil(log2(1/t)). Each doc probes its own bucket plus
+    // maxGap buckets UP; the smaller doc of any qualifying pair then
+    // reaches the larger doc's home bucket, so recall is exact at any
+    // t > 0 (round-1 probed only +1, silently dropping pairs at
+    // t < 0.5 — e.g. |A|=16, |B|=64, j=0.053 >= 0.05, buckets 4 vs 6).
+    // t = 0 bounds nothing, so bucketing is disabled there.
     val blk0 = df.select(col(blockCol).as("blk0"), col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh"))
     val s =
-      if (lengthBucket) {
+      if (lengthBucket && threshold > 0) {
+        val maxGap = math.max(1,
+          math.ceil(math.log(1.0 / threshold) / math.log(2.0) - 1e-9).toInt)
         val bkt = floor(log2(greatest(size(col("sh")), lit(1)))).cast("int")
         blk0
-          .withColumn("__b", explode(array(bkt, bkt + 1)))
+          .withColumn("__b", explode(sequence(bkt, bkt + maxGap)))
           .withColumn("blk", concat_ws("#", col("blk0"), col("__b")))
           .drop("blk0", "__b")
       } else blk0.withColumnRenamed("blk0", "blk")
@@ -157,12 +247,23 @@ object Dedup {
     * blocking on chunk value finds all such pairs without a cross
     * join.
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
-    require(maxHamming < 4)
+  /** Per-doc 64-bit simhash as (id, h) — reusable as a side table (the
+    * DuckDB oracle recomputes all hamming<=k pairs from it, verifying
+    * the blocking's completeness).
+    */
+  def simhashOf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     SimHash.register(df.sparkSession)
-    val withH = df.select(col(idCol).as("id"),
-      SimHash.simhash(col(textCol)).as("h"))
+    df.select(col(idCol).as("id"), SimHash.simhash(col(textCol)).as("h"))
+  }
+
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, maxBucket: Int = 256): DataFrame =
+    simhashPairsFromHashes(simhashOf(df, idCol, textCol), maxHamming, maxBucket)
+
+  /** Pair generation from a precomputed (id, h) simhash table. */
+  def simhashPairsFromHashes(withH: DataFrame, maxHamming: Int = 3,
+                             maxBucket: Int = 256): DataFrame = {
+    require(maxHamming < 4)
     val chunked = withH.select(col("id"), col("h"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("h"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))

@@ -111,20 +111,32 @@ object UndatumOps {
     * scans).
     */
   def fieldStats(df: DataFrame, fields: Seq[String], dictShare: Double = 70.0): DataFrame = {
-    val spark = df.sparkSession
-    val perField = fields.map { f =>
+    // ONE wide aggregate over ONE scan (round 1 unioned an agg per
+    // field — F full scans of the table; fatal at 100 TB), then an
+    // explode-unpivot back to one row per field. Distinct counts hash
+    // the value first: counting distinct 64-bit hashes equals counting
+    // distinct strings modulo negligible collision, and the shuffle
+    // carries 8 bytes instead of arbitrary-width strings.
+    val aggCols = fields.zipWithIndex.flatMap { case (f, i) =>
       val c = col(f).cast(StringType)
-      df.agg(
-        lit(f).as("field"),
-        count(c).cast(LongType).as("total"),
-        countDistinct(c).cast(LongType).as("n_uniq"),
-        min(length(c)).cast(LongType).as("minlen"),
-        max(length(c)).cast(LongType).as("maxlen"),
-        round(avg(length(c)), 4).as("avglen")
-      )
+      Seq(
+        count(c).cast(LongType).as(s"__t_$i"),
+        countDistinct(when(c.isNotNull, xxhash64(c))).cast(LongType).as(s"__u_$i"),
+        min(length(c)).cast(LongType).as(s"__mn_$i"),
+        max(length(c)).cast(LongType).as(s"__mx_$i"),
+        avg(length(c)).as(s"__av_$i"))
     }
-    val unioned = perField.reduce(_.unionAll(_))
-    unioned
+    val row = df.agg(aggCols.head, aggCols.tail: _*)
+    val structs = fields.zipWithIndex.map { case (f, i) =>
+      struct(
+        lit(f).as("field"),
+        col(s"__t_$i").as("total"),
+        col(s"__u_$i").as("n_uniq"),
+        col(s"__mn_$i").as("minlen"),
+        col(s"__mx_$i").as("maxlen"),
+        round(col(s"__av_$i"), 4).as("avglen"))
+    }
+    row.select(explode(array(structs: _*)).as("s")).select("s.*")
       .withColumn("share_uniq",
         round(lit(100.0) * col("n_uniq") / col("total"), 4))
       .withColumn("is_uniq", col("n_uniq") === col("total"))
@@ -137,11 +149,17 @@ object UndatumOps {
     * key-path with the number of non-null values.
     */
   def flattenCounts(df: DataFrame): DataFrame = {
+    // one agg, one scan (was one scan PER leaf path), explode-unpivot
     val paths = headerPaths(df.schema)
-    val perField = paths.map { p =>
-      df.agg(lit(p).as("field"), count(col(p)).cast(LongType).as("n"))
+    val aggCols = paths.zipWithIndex.map { case (p, i) =>
+      count(col(p)).cast(LongType).as(s"__n_$i")
     }
-    perField.reduce(_.unionAll(_)).orderBy("field")
+    val row = df.agg(aggCols.head, aggCols.tail: _*)
+    val structs = paths.zipWithIndex.map { case (p, i) =>
+      struct(lit(p).as("field"), col(s"__n_$i").as("n"))
+    }
+    row.select(explode(array(structs: _*)).as("s")).select("s.*")
+      .orderBy("field")
   }
 
   /** Per-value type guessing — undatum/utils.py:113-151
@@ -154,25 +172,66 @@ object UndatumOps {
     * (utils.py:131 compares a string to int 0), so values like "007"
     * classify as int here too.
     */
-  def guessType(c: Column): Column =
+  /** Date-shaped string patterns, most-specific first — the fixed-ISO
+    * round-1 detector widened to the common qddate pattern families
+    * (the reference's qddate fallback tries pattern lists —
+    * utils.py:142-147, constants.py:2-4): ISO, dotted European,
+    * slashed US, slashed ISO. Pure regex shape checks, portable to
+    * any engine's regex (the oracle uses the same set).
+    */
+  val datePatterns: Seq[String] = Seq(
+    "^[0-9]{4}-[0-9]{2}-[0-9]{2}$",
+    "^[0-9]{2}\\.[0-9]{2}\\.[0-9]{4}$",
+    "^[0-9]{2}/[0-9]{2}/[0-9]{4}$",
+    "^[0-9]{4}/[0-9]{2}/[0-9]{2}$")
+
+  def guessType(c: Column): Column = {
+    val isDate = datePatterns.map(c.rlike).reduce(_ || _)
     when(c.isNull || c === "", "empty")
       .when(c.rlike("^[0-9]+$"),
         when(c.cast("long") < 255, "uint8")
           .when(c.cast("long") < 65535, "uint16")
           .otherwise("uint32"))
       .when(c.rlike("^-?[0-9]+\\.[0-9]+$"), "float")
-      .when(c.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"), "date")
+      .when(isDate, "date")
       .otherwise("str")
+  }
+
+  /** Candidate datetime formats for `dateFormatScores`, Spark pattern
+    * syntax. Mirrors the role of the reference's qddate pattern bank.
+    */
+  val dateFormats: Seq[String] =
+    Seq("yyyy-MM-dd", "dd.MM.yyyy", "MM/dd/yyyy", "yyyy/MM/dd")
+
+  /** Score candidate date formats for a string field: non-null
+    * `try_to_date` parse counts per format, one scan. The
+    * highest-scoring format is the field's detected date format — the
+    * distributed form of qddate's per-value pattern cascade.
+    */
+  def dateFormatScores(df: DataFrame, field: String,
+                       formats: Seq[String] = dateFormats): DataFrame = {
+    val c = col(field).cast(StringType)
+    val aggCols = formats.zipWithIndex.map { case (fmt, i) =>
+      count(try_to_timestamp(c, lit(fmt))).cast(LongType).as(s"__c_$i")
+    }
+    val row = df.agg(aggCols.head, aggCols.tail: _*)
+    val structs = formats.zipWithIndex.map { case (fmt, i) =>
+      struct(lit(fmt).as("fmt"), col(s"__c_$i").as("n_parsed"))
+    }
+    row.select(explode(array(structs: _*)).as("s")).select("s.*")
+      .orderBy("fmt")
+  }
 
   /** Type histogram + majority vote per field — the per-field type
     * decision of `undatum stats` (statistics.py:117-125: drop
     * `empty`, mixed types -> str).
     */
   def typeHistogram(df: DataFrame, fields: Seq[String]): DataFrame = {
-    val perField = fields.map { f =>
-      df.select(lit(f).as("field"), guessType(col(f).cast(StringType)).as("vtype"))
+    // one scan with an F-way explode (was F scans via unionAll)
+    val structs = fields.map { f =>
+      struct(lit(f).as("field"), guessType(col(f).cast(StringType)).as("vtype"))
     }
-    perField.reduce(_.unionAll(_))
+    df.select(explode(array(structs: _*)).as("s")).select("s.*")
       .groupBy("field", "vtype").agg(count(lit(1)).cast(LongType).as("n"))
       .orderBy("field", "vtype")
   }

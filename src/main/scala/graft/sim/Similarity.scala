@@ -37,14 +37,36 @@ object Similarity {
 
   /** All pairs with cosine >= threshold within a blocking column
     * (e.g. a label or an LSH bucket) — embedding-cosine near-dup.
+    *
+    * Each vector is normalized ONCE before the self-join, so the
+    * per-pair work is a single dot fold (round 1 evaluated
+    * dot/(norm*norm) per joined row — 3 array passes per pair, and
+    * the worst query in BENCH_r01 at 36.3s).
+    *
+    * maxPerBlock > 0 caps a block's row count (row_number over id) —
+    * the pressure valve for one hot block going |block|^2 at scale, at
+    * a documented recall cost. 0 = exact all-pairs-within-block.
     */
   def cosinePairsWithin(df: DataFrame, vecCol: String, idCol: String,
-                        blockCol: String, threshold: Double): DataFrame = {
-    val s = df.select(col(blockCol).as("blk"), col(idCol).as("id"), col(vecCol).as("v"))
-    val a = s.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = s.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"))
+                        blockCol: String, threshold: Double,
+                        maxPerBlock: Int = 0): DataFrame = {
+    val s0 = df.select(col(blockCol).as("blk"), col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("nv", transform(col("v"), x => x.cast("double") / col("nrm")))
+      .select("blk", "id", "nv")
+    val s =
+      if (maxPerBlock > 0)
+        s0.withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("blk").orderBy("id")))
+          .where(col("__rn") <= maxPerBlock).drop("__rn")
+      else s0
+    val a = s.select(col("blk"), col("id").as("id_a"), col("nv").as("nv_a"))
+    val b = s.select(col("blk"), col("id").as("id_b"), col("nv").as("nv_b"))
     a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("v_a"), col("v_b")))
+      .withColumn("sim",
+        aggregate(zip_with(col("nv_a"), col("nv_b"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v))
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 3).as("sim"))
   }

@@ -113,6 +113,60 @@ object Converter {
               readOpts: ReadOptions, outFormat: String,
               compression: String = ""): Unit =
     write(read(spark, in, readOpts), out, outFormat, compression)
+
+  /** Container formats Hadoop's codec registry does NOT handle
+    * transparently (it covers gz/bz2/xz by extension): zip, zstd, lz4
+    * — the reference treats these as first-class input containers
+    * (undatum/common/iterable.py:10-27; fixtures
+    * 2cols6rows.csv.{zip,lz4,zst}). A driver-side unpack to a temp
+    * file, then the normal distributed read. Single-archive,
+    * driver-bandwidth-bound by design: at scale the unpacked file
+    * should be re-staged once, not unpacked per query (the reference
+    * has the same single-stream constraint). zip: FIRST entry only
+    * (matches the reference's single-member assumption).
+    */
+  def unpackToTemp(path: String): String = {
+    import java.io.{BufferedInputStream, FileInputStream, FileOutputStream}
+    val lower = path.toLowerCase
+    val raw = new BufferedInputStream(new FileInputStream(path))
+    val (in, innerName) =
+      if (lower.endsWith(".zip")) {
+        val z = new java.util.zip.ZipInputStream(raw)
+        val e = z.getNextEntry
+        require(e != null, s"empty zip archive: $path")
+        (z: java.io.InputStream, e.getName)
+      } else if (lower.endsWith(".zst")) {
+        // zstd-jni ships with Spark (/opt/spark/jars)
+        (new com.github.luben.zstd.ZstdInputStream(raw): java.io.InputStream,
+          path.replaceAll("\\.zst$", ""))
+      } else if (lower.endsWith(".lz4")) {
+        // lz4-java frame format, also a Spark-bundled jar
+        (new net.jpountz.lz4.LZ4FrameInputStream(raw): java.io.InputStream,
+          path.replaceAll("\\.lz4$", ""))
+      } else throw new IllegalArgumentException(s"unsupported container: $path")
+    val suffix = {
+      val n = innerName.substring(innerName.lastIndexOf('/') + 1)
+      val dot = n.lastIndexOf('.')
+      if (dot >= 0) n.substring(dot) else ".dat"
+    }
+    val tmp = java.io.File.createTempFile("graft-unpack", suffix)
+    tmp.deleteOnExit()
+    val out = new FileOutputStream(tmp)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+    } finally { out.close(); in.close() }
+    tmp.getAbsolutePath
+  }
+
+  /** Read through a container when the extension calls for it. */
+  def readContainer(spark: SparkSession, path: String, o: ReadOptions): DataFrame = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".zip") || lower.endsWith(".zst") || lower.endsWith(".lz4"))
+      read(spark, unpackToTemp(path), o)
+    else read(spark, path, o)
+  }
 }
 
 /** Driver-side sniffing helpers — the reference detects encoding with

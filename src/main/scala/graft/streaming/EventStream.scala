@@ -27,6 +27,34 @@ object EventStream {
         col("n"), col("sum_value"))
   }
 
+  /** Gap-based sessionization as a BATCH plan: lag + cumulative-sum
+    * window, then one aggregate per session — the scale-correct batch
+    * form (two window passes over a user-partitioned sort, no state
+    * buffering; `sessionize` below buffers a user's whole batch in
+    * memory, which is only safe under streaming micro-batches).
+    * Emits ALL sessions including each user's last; epoch-second
+    * timestamps (cast truncates, matching DuckDB floor(epoch(ts))).
+    */
+  def sessionizeBatch(events: DataFrame, gapSecs: Long = 1800): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      // NTZ parquet timestamps need the intermediate cast (session tz
+      // is pinned UTC, so this equals DuckDB's epoch(ts))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("ts").cast("timestamp").cast("long").as("t"))
+      .withColumn("__new",
+        when(col("t") - lag("t", 1).over(byUser) > gapSecs
+          || lag("t", 1).over(byUser).isNull, 1).otherwise(0))
+      .withColumn("__sid", sum("__new").over(cum))
+      .groupBy("user_id", "__sid")
+      .agg(min("t").as("session_start"),
+        (max("t") - min("t")).as("session_secs"),
+        count(lit(1)).cast("long").as("events"))
+      .select("user_id", "session_start", "session_secs", "events")
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class SessionOut(user_id: Long, session_start: Long,

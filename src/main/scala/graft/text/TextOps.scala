@@ -98,6 +98,14 @@ object TextOps {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(trim(text), "\\s+", " "))
 
+  /** Portable content fingerprint: md5 hex of the same normalized
+    * text. Slower than xxhash64 but computable by any engine, so the
+    * DuckDB oracle can verify it value-for-value (xxhash64 exists only
+    * on the Spark side). Use `fingerprint` in 100-TB hot paths.
+    */
+  def fingerprintHex(text: Column): Column =
+    md5(regexp_replace(trim(text), "\\s+", " "))
+
   /** Rolling polynomial hash over words (order-sensitive), as a
     * fold — stays columnar via `aggregate` higher-order function.
     */
