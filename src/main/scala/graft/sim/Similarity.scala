@@ -38,10 +38,15 @@ object Similarity {
   /** All pairs with cosine >= threshold within a blocking column
     * (e.g. a label or an LSH bucket) — embedding-cosine near-dup.
     *
-    * Each vector is normalized ONCE before the self-join, so the
-    * per-pair work is a single dot fold (round 1 evaluated
-    * dot/(norm*norm) per joined row — 3 array passes per pair, and
-    * the worst query in BENCH_r01 at 36.3s).
+    * Each vector's norm is computed ONCE below the self-join and
+    * carried as a scalar column, so the per-pair work is a single dot
+    * fold plus one divide (round 1 evaluated dot/(norm*norm) per
+    * joined row — 3 array passes per pair, the worst query in
+    * BENCH_r01 at 36.3s). The norm stays a separate column rather
+    * than a pre-normalized array because CollapseProject inlines
+    * single-use aliases into HOF lambdas — a `transform(v, x/nrm)`
+    * formulation gets its SQRT re-evaluated PER ELEMENT; the join
+    * boundary here is the barrier that keeps the norm per-row.
     *
     * maxPerBlock > 0 caps a block's row count (row_number over id) —
     * the pressure valve for one hot block going |block|^2 at scale, at
@@ -50,10 +55,8 @@ object Similarity {
   def cosinePairsWithin(df: DataFrame, vecCol: String, idCol: String,
                         blockCol: String, threshold: Double,
                         maxPerBlock: Int = 0): DataFrame = {
-    val s0 = df.select(col(blockCol).as("blk"), col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("nrm", norm(col("v")))
-      .withColumn("nv", transform(col("v"), x => x.cast("double") / col("nrm")))
-      .select("blk", "id", "nv")
+    val s0 = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     val s =
       if (maxPerBlock > 0)
         s0.withColumn("__rn", row_number().over(
@@ -61,12 +64,13 @@ object Similarity {
               .partitionBy("blk").orderBy("id")))
           .where(col("__rn") <= maxPerBlock).drop("__rn")
       else s0
-    val a = s.select(col("blk"), col("id").as("id_a"), col("nv").as("nv_a"))
-    val b = s.select(col("blk"), col("id").as("id_b"), col("nv").as("nv_b"))
+    val a = s.select(col("blk"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val b = s.select(col("blk"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
       .withColumn("sim",
-        aggregate(zip_with(col("nv_a"), col("nv_b"), (x, y) => x * y),
-          lit(0.0), (acc, v) => acc + v))
+        dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 3).as("sim"))
   }

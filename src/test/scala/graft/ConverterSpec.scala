@@ -53,6 +53,34 @@ class ConverterSpec extends SparkSpecBase {
     }
   }
 
+  test("zip/zstd/lz4 container round trips (iterable.py:10-27 containers)") {
+    // write one plain csv part, re-pack it into each container format,
+    // read back through the driver-side unpack helper
+    val dir = tmpDir("conv-container")
+    Converter.write(fixture.coalesce(1), s"$dir/plain", "csv")
+    val part = new java.io.File(s"$dir/plain").listFiles()
+      .find(_.getName.endsWith(".csv")).get
+    val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+
+    val zip = s"$dir/data.csv.zip"
+    val zo = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(zip))
+    zo.putNextEntry(new java.util.zip.ZipEntry("data.csv"))
+    zo.write(bytes); zo.closeEntry(); zo.close()
+
+    val zst = s"$dir/data.csv.zst"
+    val so = new com.github.luben.zstd.ZstdOutputStream(
+      new java.io.FileOutputStream(zst))
+    so.write(bytes); so.close()
+
+    val lz4 = s"$dir/data.csv.lz4"
+    val lo = new net.jpountz.lz4.LZ4FrameOutputStream(
+      new java.io.FileOutputStream(lz4))
+    lo.write(bytes); lo.close()
+
+    for (p <- Seq(zip, zst, lz4))
+      assertSameRows(fixture, Converter.readContainer(spark, p, ReadOptions("csv")))
+  }
+
   test("json root array + tagname unwrap (2cols6rows_array/_tag)") {
     val dir = tmpDir("conv-json")
     // root array document

@@ -57,6 +57,43 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("stats-family ops scan the table exactly once (single wide agg)") {
+    // round 1 unioned one aggregate per field -> F full scans; at
+    // 100 TB that is F reads of the table. The rewrite must show ONE
+    // parquet scan in every plan.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def scans(p: String): Int = "Scan parquet|FileScan parquet".r.findAllIn(p).size
+    val stats = graft.operators.UndatumOps
+      .fieldStats(docs, Seq("lang", "source", "text"))
+      .queryExecution.executedPlan.toString
+    assert(scans(stats) == 1, stats.take(1200))
+    val flat = graft.operators.UndatumOps.flattenCounts(docs)
+      .queryExecution.executedPlan.toString
+    assert(scans(flat) == 1, flat.take(1200))
+    val hist = graft.operators.UndatumOps
+      .typeHistogram(docs, Seq("lang", "source"))
+      .queryExecution.executedPlan.toString
+    assert(scans(hist) == 1, hist.take(1200))
+  }
+
+  test("q_join_q5 broadcasts the dimension tables") {
+    val p = planOf("q_join_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(1500))
+    // date-range predicate reaches the orders scan
+    assert(p.contains("o_orderdate"), p.take(1500))
+    assert(p.contains("PushedFilters"), p.take(1500))
+  }
+
+  test("q_cosine_pairs computes norms below the join, not per pair") {
+    val p = planOf("q_cosine_pairs")
+    // per-pair expressions reference v_a/v_b; SQRT there would mean
+    // norms recomputed per joined row (the round-1 plan). Norms must
+    // only appear below the join (per-side scalar columns nrm_a/nrm_b).
+    val perPair = p.linesIterator.filter(_.contains("zip_with(v_a")).mkString("\n")
+    assert(perPair.nonEmpty && !perPair.contains("SQRT"), perPair.take(800))
+    assert(p.contains("nrm_a") && p.contains("SQRT"), p.take(800))
+  }
+
   test("simhash native expression participates in codegen") {
     graft.functions.SimHash.register(spark)
     val df = spark.read.parquet(s"$dir/documents.parquet")
