@@ -27,10 +27,15 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).cast("long").as("dupes"))
       .drop("__norm")
 
-  /** Distinct word n-gram shingles hashed to long. Fully columnar.
-    * Documents with fewer than n words yield an EMPTY array (no
-    * partial/empty shingles — those would collide every empty doc
-    * into one flooded LSH bucket).
+  /** Distinct word n-gram shingles hashed to long — declarative
+    * reference formulation. Documents with fewer than n words yield an
+    * EMPTY array (no partial/empty shingles — those would collide
+    * every empty doc into one flooded LSH bucket).
+    *
+    * The pipelines below use the native one-pass kernel
+    * (functions.Shingles), which Round2Spec property-checks against
+    * this formulation; the HOF chain here is interpreted and was the
+    * hottest stage of every dedup query (10s of 17s at sf0.1).
     */
   def shingles(text: Column, n: Int): Column = {
     val words = filter(split(lower(text), "\\s+"), w => w =!= lit(""))
@@ -81,8 +86,9 @@ object Dedup {
   private def withSignatures(df: DataFrame, idCol: String, textCol: String,
                              shingleN: Int): DataFrame = {
     graft.functions.MinHashSig.register(df.sparkSession)
+    graft.functions.Shingles.register(df.sparkSession)
     df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", shingles(col("text"), shingleN))
+      .withColumn("sh", graft.functions.Shingles.shinglesNative(col("text"), shingleN))
       .where(size(col("sh")) > 0)
       .withColumn("sig", graft.functions.MinHashSig.minhashSig(col("sh")))
   }
@@ -135,15 +141,12 @@ object Dedup {
     val cut = threshold - estMargin
     if (estMargin < 0 || cut <= 0) cand
     else {
+      graft.functions.SigAgree.register(df.sparkSession)
       val sigs = withSig.select(col("id"), col("sig"))
       cand
         .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
         .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-        .withColumn("__est",
-          aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-            lit(0), (acc, v) => acc + v).cast("double") / lit(k.toDouble))
-        .where(col("__est") >= cut)
+        .where(graft.functions.SigAgree.sigAgree(col("sig_a"), col("sig_b")) >= cut)
         .select("id_a", "id_b")
     }
   }
@@ -154,8 +157,9 @@ object Dedup {
   def minhashVerify(df: DataFrame, cand: DataFrame, idCol: String,
                     textCol: String, shingleN: Int,
                     threshold: Double): DataFrame = {
+    graft.functions.Shingles.register(df.sparkSession)
     val docs = df.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
+      graft.functions.Shingles.shinglesNative(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
     graft.functions.JaccardSim.register(df.sparkSession)
     cand.select("id_a", "id_b")
@@ -212,8 +216,9 @@ object Dedup {
     // t > 0 (round-1 probed only +1, silently dropping pairs at
     // t < 0.5 — e.g. |A|=16, |B|=64, j=0.053 >= 0.05, buckets 4 vs 6).
     // t = 0 bounds nothing, so bucketing is disabled there.
+    graft.functions.Shingles.register(df.sparkSession)
     val blk0 = df.select(col(blockCol).as("blk0"), col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
+      graft.functions.Shingles.shinglesNative(col(textCol), shingleN).as("sh"))
     val s =
       if (lengthBucket && threshold > 0) {
         val maxGap = math.max(1,

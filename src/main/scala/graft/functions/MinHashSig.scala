@@ -57,6 +57,58 @@ object MinHashSig {
   def minhashSig(c: Column): Column = call_function("minhash_sig", c)
 }
 
+/** Fraction of agreeing positions between two minhash signatures —
+  * the unbiased jaccard estimate used as the LSH candidate pre-filter.
+  * One native loop over 2*K longs per pair; the declarative
+  * `aggregate(zip_with(...))` form is a HigherOrderFunction, which
+  * never enters whole-stage codegen and boxes per element (measured
+  * 17s -> ~6s on q_minhash_pairs at sf0.1).
+  */
+object SigAgree {
+
+  /** Static kernel called from generated code. */
+  def agree(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sig_agree", exprs => SigAgreeExpr(exprs(0), exprs(1)), "built-in")
+
+  def sigAgree(a: Column, b: Column): Column = call_function("sig_agree", a, b)
+}
+
+case class SigAgreeExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sig_agree needs two ARRAY<BIGINT>, got $l / $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SigAgree.agree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SigAgree.agree($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class MinHashSigExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc per-query timing: runMain graft.tools.QueryTime <sfDir> <q>...
+  * Times each named SparkEntry query twice (cold, warm) at local[32] —
+  * the iterate-fast complement to the full Bench.
+  */
+object QueryTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else graft.SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-qtime")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      val fn = graft.SparkEntry.queries(n)
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"QTIME $n%-24s cold=${times(0)}%7.2fs warm=${times(1)}%7.2fs")
+    }
+    spark.stop()
+  }
+}

@@ -15,6 +15,27 @@ class Round2Spec extends SparkSpecBase {
   private def words(n: Int, offset: Int = 0): String =
     (offset until offset + n).map(i => f"t$i%04d").mkString(" ")
 
+  test("native shingle kernel equals the declarative formulation bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    graft.functions.Shingles.register(spark)
+    val rng = new scala.util.Random(13)
+    val alphabet = "abc XYZ   0189 \t\n кирилл ürsچ .,;!? \r "
+    val docs = (0 until 200).map { i =>
+      val len = rng.nextInt(120)
+      (i.toLong, (0 until len).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    } ++ Seq((200L, ""), (201L, "one"), (202L, "  two words  "),
+      (203L, "ПРИВЕТ Мир ПРИВЕТ мир"), (204L, "a b a b a b"))
+    val df = docs.toDF("id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val native = df.select(col("id"),
+        graft.functions.Shingles.shinglesNative(col("text"), n).as("sh"))
+      val decl = df.select(col("id"), Dedup.shingles(col("text"), n).as("sh"))
+      val diff = native.exceptAll(decl).count() + decl.exceptAll(native).count()
+      assert(diff == 0, s"n=$n differs")
+    }
+  }
+
   test("jaccardWithin at t<0.5 keeps pairs spanning distant length buckets") {
     val s = spark
     import s.implicits._
