@@ -28,7 +28,10 @@ object Ivf {
   /** Deterministic Lloyd k-means on a seeded sample. */
   def train(df: DataFrame, vecCol: String, k: Int = 16,
             sampleRows: Int = 4096, iters: Int = 8, seed: Long = 42L): IvfIndex = {
-    val sample = df.select(vecCol).orderBy(xxhash64(col(vecCol).cast("string")))
+    // deterministic pseudo-random sample via per-partition top-k on the
+    // vector hash (no global sort, no string materialization — Spark's
+    // xxhash64 hashes array<float> directly)
+    val sample = df.select(vecCol).orderBy(xxhash64(col(vecCol)))
       .limit(sampleRows)
       .collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "empty training sample")
@@ -89,9 +92,24 @@ object Ivf {
 
   /** Materialize the cell assignment (the "index build" — at scale
     * this is written back as a partition column so searches prune).
+    * The k distance folds land in a named column referenced twice
+    * (argmin = position of min), which keeps CollapseProject from
+    * inlining them — cellOf's single-expression form evaluates every
+    * fold twice unless codegen CSE catches it, and HOF folds are
+    * interpreted, so it never does.
     */
-  def assign(df: DataFrame, vecCol: String, idx: IvfIndex): DataFrame =
-    df.withColumn("ivf_cell", cellOf(col(vecCol), idx))
+  def assign(df: DataFrame, vecCol: String, idx: IvfIndex): DataFrame = {
+    val dists = idx.centroids.map { c =>
+      val cl = array(c.map(lit(_)): _*)
+      aggregate(zip_with(col(vecCol), cl,
+          (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+    }
+    df.withColumn("__ivf_d", array(dists.toIndexedSeq: _*))
+      .withColumn("ivf_cell",
+        (array_position(col("__ivf_d"), array_min(col("__ivf_d"))) - 1).cast("int"))
+      .drop("__ivf_d")
+  }
 
   /** Top-k for one query scanning only the nprobe nearest cells. */
   def search(assigned: DataFrame, vecCol: String, idCol: String,
