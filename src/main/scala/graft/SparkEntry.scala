@@ -267,6 +267,16 @@ object SparkEntry {
     "q_cosine_pairs" -> ((s, d) =>
       Similarity.cosinePairsWithin(t(s, d, "embeddings"), "embedding", "vec_id",
         "label", 0.35).orderBy("id_a", "id_b")),
+    "q_cosine_lsh" -> ((s, d) => {
+      // LSH-bucketed within-label cosine pairs — the scale path when a
+      // hot block makes exact |block|^2 infeasible. Candidates dump to
+      // the side-channel; the oracle rescored them exactly in DuckDB.
+      val emb = t(s, d, "embeddings")
+      val cand = dumpSide(Similarity.cosineLshCandidates(
+        emb, "embedding", "vec_id", "label"), "coslsh_cand")
+      Similarity.cosineScorePairs(emb, cand, "embedding", "vec_id", 0.35)
+        .orderBy("id_a", "id_b")
+    }),
     "q_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val q = emb.where(col("vec_id") === 0)
@@ -723,6 +733,20 @@ object SparkEntry {
         |   * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
         |                           list_transform(b.embedding, x -> CAST(x AS DOUBLE))))) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_cosine_lsh" ->
+      """WITH c AS (SELECT id_a, id_b
+        |  FROM read_parquet('/tmp/graft_oracle_side/coslsh_cand/*.parquet')),
+        |j AS (SELECT c.id_a, c.id_b,
+        |  list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |                   list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+        |  / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |                           list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+        |   * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+        |                           list_transform(b.embedding, x -> CAST(x AS DOUBLE))))) AS sim
+        |  FROM c JOIN embeddings a ON a.vec_id = c.id_a
+        |  JOIN embeddings b ON b.vec_id = c.id_b)
+        |SELECT id_a, id_b, round(sim, 3) AS sim FROM j
+        |WHERE sim >= 0.35 ORDER BY id_a, id_b""".stripMargin,
     "q_convert_roundtrip" -> "SELECT CAST(0 AS BIGINT) AS n_mismatch",
     "q_multimodal_features" ->
       """SELECT kind, CAST(n AS BIGINT) AS n, CAST(min_w AS INT) AS min_w,

@@ -101,4 +101,43 @@ object Analyzer {
     UndatumOps.fieldStats(df, fs)
       .withColumn("table_is_flat", lit(isFlat))
   }
+
+  /** Rendered report — the reference's text/json output modes
+    * (undatum/cmds/analyzer.py:424-471 renders the analyze dict as
+    * text or json/yaml). The profile stays a distributed job; only the
+    * bounded per-field summary rows are collected for rendering.
+    */
+  def renderReport(df: DataFrame, format: String = "text",
+                   fields: Seq[String] = Nil): String = {
+    val rows = report(df, fields).collect()
+    val cols = Seq("field", "total", "n_uniq", "minlen", "maxlen",
+      "avglen", "share_uniq", "is_uniq", "is_dictkey")
+    format match {
+      case "json" =>
+        rows.map { r =>
+          cols.map { c =>
+            val v = r.getAs[Any](c)
+            val vs = v match {
+              case s: String => "\"" + s + "\""
+              case other => String.valueOf(other)
+            }
+            "\"" + c + "\": " + vs
+          }.mkString("{", ", ", "}")
+        }.mkString("[", ",\n ", "]")
+      case _ =>
+        val header = f"${"field"}%-12s ${"total"}%10s ${"n_uniq"}%10s " +
+          f"${"minlen"}%7s ${"maxlen"}%7s ${"avglen"}%9s ${"share"}%8s  flags"
+        val lines = rows.map { r =>
+          val flags = Seq(
+            if (r.getAs[Boolean]("is_uniq")) Some("uniq") else None,
+            if (r.getAs[Boolean]("is_dictkey")) Some("dictkey") else None)
+            .flatten.mkString(",")
+          f"${r.getAs[String]("field")}%-12s ${r.getAs[Long]("total")}%10d " +
+            f"${r.getAs[Long]("n_uniq")}%10d ${r.getAs[Long]("minlen")}%7d " +
+            f"${r.getAs[Long]("maxlen")}%7d ${r.getAs[Double]("avglen")}%9.2f " +
+            f"${r.getAs[Double]("share_uniq")}%8.2f  $flags"
+        }
+        (header +: lines.toSeq).mkString("\n")
+    }
+  }
 }

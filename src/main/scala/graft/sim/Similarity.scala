@@ -75,6 +75,59 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 3).as("sim"))
   }
 
+  /** Approximate all-pairs cosine at scale: blocks on
+    * (blockCol, sign-LSH bucket) instead of blockCol alone, so a hot
+    * block's |block|^2 becomes sum over buckets of |bucket|^2 — the
+    * 100-TB path when exact within-block pairs would blow up. Probing
+    * each vector into its own bucket plus all hamming-1 neighbors
+    * keeps recall high at the usual LSH cost/recall trade (both sides
+    * probe, so only pairs hashing more than 2 of the nPlanes bits
+    * apart are missed; P(miss) falls with cosine similarity). Pairs
+    * dedupe on bare ids before scoring.
+    */
+  def cosineLshCandidates(df: DataFrame, vecCol: String, idCol: String,
+                          blockCol: String, nPlanes: Int = 6,
+                          seed: Long = 42L): DataFrame = {
+    val dim = df.select(col(vecCol)).head().getSeq[Float](0).length
+    val ps = planes(nPlanes, dim, seed)
+    val base = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        col(vecCol).as("v"))
+      .withColumn("b0", lshBucket(col("v"), ps))
+    // probe set: own bucket + hamming-1 neighbors (multi-probe LSH)
+    val probed = base.withColumn("bkt",
+      explode(array((col("b0") +: (0 until nPlanes)
+        .map(i => col("b0").bitwiseXOR(lit(1L << i)))): _*)))
+    val a = probed.select(col("blk"), col("bkt"), col("id").as("id_a"))
+    val b = probed.select(col("blk"), col("bkt"), col("id").as("id_b"))
+    a.join(b, Seq("blk", "bkt")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+  }
+
+  /** Score bare candidate id pairs: cosine >= threshold, norms
+    * computed once per vector below the join (see cosinePairsWithin).
+    */
+  def cosineScorePairs(df: DataFrame, cand: DataFrame, vecCol: String,
+                       idCol: String, threshold: Double): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"))
+    cand.select("id_a", "id_b")
+      .join(docs.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("nrm").as("nrm_b")), Seq("id_b"))
+      .withColumn("sim",
+        dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 3).as("sim"))
+  }
+
+  def cosinePairsLsh(df: DataFrame, vecCol: String, idCol: String,
+                     blockCol: String, threshold: Double,
+                     nPlanes: Int = 6, seed: Long = 42L): DataFrame =
+    cosineScorePairs(df,
+      cosineLshCandidates(df, vecCol, idCol, blockCol, nPlanes, seed),
+      vecCol, idCol, threshold)
+
   /** Deterministic random hyperplanes for sign-LSH. */
   def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] = {
     val rng = new scala.util.Random(seed)

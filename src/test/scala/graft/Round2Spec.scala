@@ -204,6 +204,39 @@ class Round2Spec extends SparkSpecBase {
     assert(merged.contains(("b.c", "string")))
   }
 
+  test("renderReport emits text and json forms of the field profile") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 10).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "parity")
+    val text = Analyzer.renderReport(df)
+    assert(text.contains("parity") && text.contains("dictkey"))
+    assert(text.linesIterator.size == 3) // header + 2 fields
+    val json = Analyzer.renderReport(df, format = "json")
+    assert(json.contains("\"field\": \"parity\"") && json.contains("\"n_uniq\": 2"))
+  }
+
+  test("cosinePairsLsh recalls high-similarity pairs with bounded buckets") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(9)
+    // 20 planted near-identical pairs (cos ~ 0.99) + 60 random vectors
+    val base = (0 until 20).map(_ => Array.fill(16)(rng.nextGaussian().toFloat))
+    val vecs = base.zipWithIndex.flatMap { case (v, i) =>
+      val tweaked = v.map(x => x + 0.02f * rng.nextGaussian().toFloat)
+      Seq((i * 2L, v, 0), (i * 2L + 1, tweaked, 0))
+    } ++ (0 until 60).map(i => (100L + i, Array.fill(16)(rng.nextGaussian().toFloat), 0))
+    val df = vecs.toDF("id", "v", "lab")
+    val exact = Similarity.cosinePairsWithin(df, "v", "id", "lab", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosinePairsLsh(df, "v", "id", "lab", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // never invents pairs
+    assert(exact.size >= 20)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
   test("cosinePairsWithin: normalized-join values match direct cosine; cap bounds pairs") {
     val s = spark
     import s.implicits._
