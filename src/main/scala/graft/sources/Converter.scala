@@ -183,12 +183,21 @@ object Sniff {
     cands.maxBy(d => firstLine.count(_ == d.charAt(0)))
   }
 
-  /** Cheap charset detection on a byte prefix: UTF-8 validity test,
-    * else CP1251 when Cyrillic-range bytes dominate, else ISO-8859-1.
-    * (The reference delegates to chardet; we implement the two cases
-    * its fixtures exercise — ru_cp1251 / ru_utf8.)
+  /** Cheap charset detection on a byte prefix: BOM sniff first
+    * (UTF-8/16/32 variants), then UTF-8 validity test, else CP1251
+    * when Cyrillic-range bytes dominate, else ISO-8859-1. (The
+    * reference delegates to chardet, which covers dozens of charsets;
+    * this covers the BOM'd unicode family plus the two cases the
+    * reference's fixtures exercise — ru_cp1251 / ru_utf8. The claim
+    * stays scoped to these.)
     */
   def encoding(prefix: Array[Byte]): String = {
+    def b(i: Int) = if (i < prefix.length) prefix(i) & 0xFF else -1
+    if (b(0) == 0xEF && b(1) == 0xBB && b(2) == 0xBF) return "UTF-8"
+    if (b(0) == 0xFF && b(1) == 0xFE && b(2) == 0x00 && b(3) == 0x00) return "UTF-32LE"
+    if (b(0) == 0x00 && b(1) == 0x00 && b(2) == 0xFE && b(3) == 0xFF) return "UTF-32BE"
+    if (b(0) == 0xFF && b(1) == 0xFE) return "UTF-16LE"
+    if (b(0) == 0xFE && b(1) == 0xFF) return "UTF-16BE"
     val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
     try {
       dec.decode(java.nio.ByteBuffer.wrap(prefix))

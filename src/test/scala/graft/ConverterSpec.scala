@@ -53,6 +53,16 @@ class ConverterSpec extends SparkSpecBase {
     }
   }
 
+  test("BOM-based encoding sniff (utf-8/16/32 variants)") {
+    def enc(bytes: Int*): String = Sniff.encoding(bytes.map(_.toByte).toArray)
+    assert(enc(0xEF, 0xBB, 0xBF, 'a') == "UTF-8")
+    assert(enc(0xFF, 0xFE, 'a', 0x00) == "UTF-16LE")
+    assert(enc(0xFE, 0xFF, 0x00, 'a') == "UTF-16BE")
+    assert(enc(0xFF, 0xFE, 0x00, 0x00) == "UTF-32LE")
+    assert(enc(0x00, 0x00, 0xFE, 0xFF) == "UTF-32BE")
+    assert(Sniff.encoding("plain ascii".getBytes) == "UTF-8")
+  }
+
   test("zip/zstd/lz4 container round trips (iterable.py:10-27 containers)") {
     // write one plain csv part, re-pack it into each container format,
     // read back through the driver-side unpack helper

@@ -94,6 +94,21 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("nrm_a") && p.contains("SQRT"), p.take(800))
   }
 
+  test("shingle + sig-agree native expressions participate in codegen") {
+    graft.functions.Shingles.register(spark)
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("shingles_ll(text, 2) AS sh")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project [shingleexpr"), p.take(500))
+    assert(df.limit(3).collect().forall(_.getSeq[Long](0) != null))
+    graft.functions.SigAgree.register(spark)
+    val q = spark.range(2).selectExpr(
+      "sig_agree(array(id,2L,3L,4L), array(id,9L,3L,4L)) AS a")
+    val qp = q.queryExecution.executedPlan.toString
+    assert(qp.contains("*(1) Project [sigagreeexpr"), qp.take(500))
+    assert(q.collect().forall(_.getDouble(0) == 0.75))
+  }
+
   test("simhash native expression participates in codegen") {
     graft.functions.SimHash.register(spark)
     val df = spark.read.parquet(s"$dir/documents.parquet")
