@@ -197,6 +197,24 @@ object SparkEntry {
       t(s, d, "events").withColumn("rn", row_number().over(w))
         .where(col("rn") === 1).select("user_id", "event_id").orderBy("user_id")
     }),
+    "q_asof_join" -> ((s, d) => {
+      // as-of join: each purchase picks up the most recent prior view
+      // value for the same user (union + one sorted window pass — the
+      // scale form; DuckDB's native ASOF JOIN is the oracle)
+      val ev = t(s, d, "events")
+      val views = ev.where(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("value").as("view_value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      graft.operators.AsofJoin.asofJoin(purchases, views, "user_id", "ts")
+        .select(col("event_id"), col("user_id"), col("view_value_asof"))
+        .orderBy("event_id")
+    }),
+    "q_stratified_sample" -> ((s, d) =>
+      // reproducible per-source quota sample (training-data mixing):
+      // min(k,|group|) rows per source by smallest md5(doc_id)
+      UndatumOps.stratifiedSample(t(s, d, "documents"), "source", "doc_id", 5)
+        .select("doc_id", "source").orderBy("doc_id")),
     // ---- text analysis --------------------------------------------
     "q_token_count" -> ((s, d) =>
       t(s, d, "documents")
@@ -583,6 +601,21 @@ object SparkEntry {
         |  SELECT user_id, event_id,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_asof_join" ->
+      """WITH v AS (SELECT user_id, ts, max(value) view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, v.view_value AS view_value_asof
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY event_id""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rn
+        |  FROM documents) WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id, CAST(len(list_filter(string_split_regex(text,'\s+'), x -> x <> '')) AS BIGINT) AS n_tok
         |FROM documents ORDER BY doc_id""".stripMargin,

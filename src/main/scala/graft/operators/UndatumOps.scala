@@ -247,6 +247,22 @@ object UndatumOps {
         .otherwise(lit("str")).as("field_type"))
       .orderBy("field")
 
+  /** Deterministic stratified sample: exactly min(k, |group|) rows per
+    * value of `field`, selected by smallest md5 of the id column — a
+    * training-pipeline quota sampler (cap each source's contribution)
+    * that is reproducible across engines and runs (no RNG state; any
+    * engine with md5 picks the identical rows). One shuffle on the
+    * stratum key; per-group top-k, never a full sort.
+    */
+  def stratifiedSample(df: DataFrame, field: String, idCol: String,
+                       k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(field).orderBy(md5(col(idCol).cast(StringType)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** `undatum validate` (undatum/cmds/validator.py:47-119): rule over
     * a column; modes stats / invalid / all.
     */

@@ -204,6 +204,40 @@ class Round2Spec extends SparkSpecBase {
     assert(merged.contains(("b.c", "string")))
   }
 
+  test("asofJoin picks the latest right row at or before each left ts") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val left = Seq((1L, 10L, ts(100)), (2L, 10L, ts(250)), (3L, 10L, ts(50)),
+      (4L, 20L, ts(500))).toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, ts(100), 1.0), (10L, ts(200), 2.0),
+      (30L, ts(10), 9.0)).toDF("user_id", "ts", "v")
+    val got = graft.operators.AsofJoin.asofJoin(left, right, "user_id", "ts")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1.0),   // tie at ts=100 matches (inclusive)
+      (2L, 2.0),   // latest of the two prior views
+      (3L, -1.0),  // nothing at or before ts=50
+      (4L, -1.0))) // user 20 has no right rows
+  }
+
+  test("stratifiedSample takes exactly min(k,|group|) reproducible rows per stratum") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 100).map(i => (i.toLong, s"src${i % 3}")).toDF("doc_id", "source")
+    val a = UndatumOps.stratifiedSample(df, "source", "doc_id", 7)
+    val counts = a.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 7L) && counts.size == 3)
+    // reproducible: second run picks identical rows
+    val b = UndatumOps.stratifiedSample(df, "source", "doc_id", 7)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // small stratum: min(k, |group|)
+    val tiny = (0 until 4).map(i => (i.toLong, "only")).toDF("doc_id", "source")
+    assert(UndatumOps.stratifiedSample(tiny, "source", "doc_id", 7).count() == 4)
+  }
+
   test("renderReport emits text and json forms of the field profile") {
     val s = spark
     import s.implicits._
