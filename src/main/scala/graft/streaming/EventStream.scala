@@ -60,6 +60,53 @@ object EventStream {
   final case class SessionOut(user_id: Long, session_start: Long,
                               session_secs: Long, events: Int)
 
+  /** Streaming sessionize with an EVENT-TIME TIMEOUT: like
+    * `sessionize` below, but an open session also emits once the
+    * watermark passes its last event + gap — without this, a user who
+    * stops sending events leaves a session stuck in state forever
+    * (exactly what `sessionize`'s NoTimeout form does; kept for batch
+    * tests). State is bounded by the watermark: timed-out sessions
+    * are removed.
+    */
+  def sessionizeStream(events: Dataset[SessionEvent], gapSecs: Long = 1800,
+                       watermark: String = "2 hours"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, evs: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator(SessionOut(uid, st.start, st.last - st.start, st.n))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            sorted.foreach { e =>
+              val t = e.ts.getTime / 1000
+              if (st == null) st = SessionState(t, t, 1)
+              else if (t - st.last > gapSecs) {
+                out += SessionOut(uid, st.start, st.last - st.start, st.n)
+                st = SessionState(t, t, 1)
+              } else st = SessionState(st.start, t, st.n + 1)
+            }
+            if (st != null) {
+              state.update(st)
+              // close the session when the watermark passes last+gap;
+              // Spark requires the timeout to sit beyond the current
+              // watermark, so clamp upward if this batch already passed it
+              val target = st.last * 1000 + gapSecs * 1000
+              state.setTimeoutTimestamp(
+                math.max(target, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState — the custom
     * stateful-operator surface. Emits a session when `gapSecs` of
     * silence passes between a user's consecutive events.

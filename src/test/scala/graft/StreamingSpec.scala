@@ -66,6 +66,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(!out.contains(("click", 3L)), out.mkString(","))
   }
 
+  test("sessionizeStream emits open sessions once the watermark passes the gap") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val q = EventStream.sessionizeStream(mem.toDS(), gapSecs = 1800,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessout")
+      .outputMode("append").start()
+    try {
+      mem.addData(SessionEvent(1L, ts(0), "a"), SessionEvent(1L, ts(5), "b"))
+      q.processAllAvailable()
+      assert(spark.table("sessout").count() == 0) // session still open
+      // watermark jumps far past last+gap (ts(5)+30min) via user 2
+      mem.addData(SessionEvent(2L, ts(300), "x"))
+      q.processAllAvailable()
+      // one more micro-batch so the timeout fires after the watermark advance
+      mem.addData(SessionEvent(2L, ts(301), "y"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sessout").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    assert(out.toSet == Set((1L, 300L, 2))) // user 1's session, 5 min, 2 events
+  }
+
   test("sessionize groups events by inactivity gap (batch mode)") {
     val s = spark
     import s.implicits._
