@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** Session-extension packaging for the native expressions, so a
+  * cluster user gets them in plain SQL without touching library code:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  * Functions: shingles_ll, minhash_sig, sig_agree, jaccard_ll,
+  * simhash64.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    def info(name: String, usage: String) =
+      new ExpressionInfo("graft", name, usage)
+    ext.injectFunction((FunctionIdentifier("shingles_ll"),
+      info("shingles_ll", "distinct hashed word n-gram shingles"),
+      (es: Seq[Expression]) => graft.functions.ShingleExpr(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "64-permutation minhash signature"),
+      (es: Seq[Expression]) => graft.functions.MinHashSigExpr(es.head)))
+    ext.injectFunction((FunctionIdentifier("sig_agree"),
+      info("sig_agree", "minhash signature agreement fraction"),
+      (es: Seq[Expression]) => graft.functions.SigAgreeExpr(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("jaccard_ll"),
+      info("jaccard_ll", "exact jaccard of two long-array sets"),
+      (es: Seq[Expression]) => graft.functions.JaccardSimExpr(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "64-bit simhash of text"),
+      (es: Seq[Expression]) => graft.functions.SimHash64Expr(es.head)))
+  }
+}
+
+object GraftExtensions {
+  /** Imperative form for an already-built session. */
+  def registerAll(spark: SparkSession): Unit = {
+    graft.functions.Shingles.register(spark)
+    graft.functions.MinHashSig.register(spark)
+    graft.functions.SigAgree.register(spark)
+    graft.functions.JaccardSim.register(spark)
+    graft.functions.SimHash.register(spark)
+  }
+}

@@ -20,12 +20,19 @@ import graft.functions.SimHash
   */
 object Dedup {
 
-  /** Exact dedup: one survivor (min id) per normalized text. */
+  /** Exact dedup: one survivor (min id) per normalized text. Groups on
+    * the 64-bit hash of the normalized text, NOT the text itself — at
+    * 100 TB the groupBy shuffle then carries 8 bytes + id per row
+    * instead of the whole corpus (equal results modulo a ~n^2/2^65
+    * birthday collision; at 10^12 docs that is ~1 expected collision —
+    * switch to a 128-bit hash column if that matters for the corpus).
+    */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.withColumn("__norm", regexp_replace(trim(lower(col(textCol))), "\\s+", " "))
-      .groupBy(col("__norm"))
+    df.withColumn("__normh",
+        xxhash64(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")))
+      .groupBy(col("__normh"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).cast("long").as("dupes"))
-      .drop("__norm")
+      .drop("__normh")
 
   /** Distinct word n-gram shingles hashed to long — declarative
     * reference formulation. Documents with fewer than n words yield an

@@ -238,6 +238,20 @@ class Round2Spec extends SparkSpecBase {
     assert(UndatumOps.stratifiedSample(tiny, "source", "doc_id", 7).count() == 4)
   }
 
+  test("GraftExtensions exposes all native functions to plain SQL") {
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT size(shingles_ll('a b c', 2)) AS n_sh,
+        |size(minhash_sig(shingles_ll('a b c', 1))) AS n_sig,
+        |sig_agree(array(1L,2L), array(1L,3L)) AS agree,
+        |jaccard_ll(array(1L,2L,3L), array(2L,3L,4L)) AS jac,
+        |simhash64('hello world') AS h""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 2 && r.getInt(1) == 64)
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 0.5)
+    // the extension class itself wires the same factories without error
+    new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("renderReport emits text and json forms of the field profile") {
     val s = spark
     import s.implicits._
