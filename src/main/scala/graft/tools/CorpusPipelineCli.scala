@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus pipeline over the documents table — the
+  * composition story: every stage is one of the engine's operators,
+  * all declarative, one narrow pipeline of shuffles.
+  *
+  *   runMain graft.tools.CorpusPipelineCli [sfDir] [outDir]
+  *
+  * quality filter -> exact dedup -> minhash near-dup removal ->
+  * per-source quota sample -> tokenize -> encode (salted, resumable)
+  * -> checksum-verified decode -> roundtrip gate. Prints one line per
+  * stage and PIPELINE-OK on a clean roundtrip.
+  */
+object CorpusPipelineCli {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val outDir = if (args.length > 1) args(1)
+      else java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-corpus-pipeline")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    println(s"STAGE ingest            rows=${docs.count()}")
+
+    // 1. quality + language gate (columnar text ops)
+    val scored = docs.withColumn("quality_bp",
+        graft.text.TextOps.qualityScoreBp(col("text")))
+      .withColumn("lang_pred", graft.text.TextOps.langId(col("text")))
+    val kept = scored.where(col("quality_bp") >= 3000)
+    println(s"STAGE quality_gate      rows=${kept.count()}")
+
+    // 2. exact dedup survivors (hash-grouped shuffle)
+    val survivors = graft.dedup.Dedup.exactDedup(kept, "doc_id", "text")
+      .select("doc_id")
+    val exactDeduped = kept.join(survivors, Seq("doc_id"), "left_semi")
+    println(s"STAGE exact_dedup       rows=${exactDeduped.count()}")
+
+    // 3. near-dup removal: drop the larger id of each verified pair
+    val nearPairs = graft.dedup.Dedup.minhashPairs(exactDeduped,
+      "doc_id", "text", shingleN = 2, k = 64, bands = 0, threshold = 0.6)
+    val losers = nearPairs.select(col("id_b").as("doc_id")).distinct()
+    val nearDeduped = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
+    println(s"STAGE near_dedup        rows=${nearDeduped.count()}")
+
+    // 4. per-source quota (reproducible stratified sample)
+    val sampled = graft.operators.UndatumOps.stratifiedSample(
+      nearDeduped, "source", "doc_id", 20)
+    println(s"STAGE quota_sample      rows=${sampled.count()}")
+
+    // 5. tokenize (hash-bucketed words) into the encode input shape
+    val rows = sampled.select(
+        col("doc_id").cast("string").as("doc_id"),
+        expr("transform(filter(split(text, '\\\\s+'), x -> x != ''), " +
+          "w -> CAST(pmod(xxhash64(w), 50000) AS INT))").as("tokens"),
+        col("source"))
+      .withColumn("n_tok", size(col("tokens")))
+      .select("doc_id", "tokens", "n_tok", "source")
+      .as[graft.model.TokenRow]
+
+    // 6. encode: salted partitions, lineage commit log
+    val lineage = graft.encode.TokenEncoder.run(rows, outDir,
+      graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 200))
+    val (blocks, toks, raw, enc) = lineage
+      .agg(count(lit(1)), sum("totalTokens"), sum("rawBytes"), sum("encodedBytes"))
+      .as[(Long, Long, Long, Long)].collect()(0)
+    println(f"STAGE encode            blocks=$blocks tokens=$toks ratio=${raw.toDouble / math.max(1L, enc)}%.2fx")
+
+    // 7. checksum-verified decode + exact roundtrip gate
+    val back = graft.encode.TokenDecoder.read(spark, outDir, verifyChecksums = true)
+    val bad = rows.toDF().exceptAll(back.toDF()).count() +
+      back.toDF().exceptAll(rows.toDF()).count()
+    println(s"STAGE decode_verify     rows=${back.count()} mismatches=$bad")
+    println(if (bad == 0) "PIPELINE-OK" else "PIPELINE-MISMATCH")
+    spark.stop()
+    if (bad != 0) sys.exit(1)
+  }
+}
