@@ -86,6 +86,8 @@ object Bench {
     // the printed line must be valid JSON regardless of host locale
     // (comma-decimal locales would break every %.3f)
     java.util.Locale.setDefault(java.util.Locale.ROOT)
+    // keep bench query runs from clobbering Verify's oracle side files
+    sys.props("graft.side.dir") = s"${localDir()}/graft-bench-side"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpusHi = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val cpusLo = math.max(1, cpusHi / 4)

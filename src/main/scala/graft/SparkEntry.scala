@@ -25,7 +25,14 @@ object SparkEntry {
     * back with read_parquet, so hash-seeded pipelines still get their
     * deterministic tail verified value-for-value.
     */
-  private val sideDir = "/tmp/graft_oracle_side"
+  /** The DEFAULT path is what the static oracle SQL references, so it
+    * must stay fixed for Verify runs. Every OTHER runner that executes
+    * these queries (Bench, QueryTime, ExplainCli, the test suite)
+    * overrides `graft.side.dir` so a later bench/test run can never
+    * clobber the side files a pending DuckDB compare still needs.
+    */
+  private def sideDir: String =
+    sys.props.getOrElse("graft.side.dir", "/tmp/graft_oracle_side")
   private def dumpSide(df: DataFrame, name: String): DataFrame = {
     val p = s"$sideDir/$name"
     df.write.mode("overwrite").parquet(p)

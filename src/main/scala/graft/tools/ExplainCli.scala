@@ -11,6 +11,10 @@ import org.apache.spark.sql.SparkSession
   */
 object ExplainCli {
   def main(args: Array[String]): Unit = {
+    // query CONSTRUCTION already materializes side-channel dumps
+    // (dumpSide is eager), so redirect them away from Verify's files
+    sys.props("graft.side.dir") =
+      java.nio.file.Files.createTempDirectory("graft-explain-side").toString
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val outFile = if (args.length > 1) args(1) else "/tmp/graft_plans.txt"
     val spark = SparkSession.builder()

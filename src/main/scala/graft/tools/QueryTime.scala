@@ -8,6 +8,8 @@ import org.apache.spark.sql.SparkSession
   */
 object QueryTime {
   def main(args: Array[String]): Unit = {
+    sys.props("graft.side.dir") = // don't clobber Verify's oracle side files
+      java.nio.file.Files.createTempDirectory("graft-qtime-side").toString
     val sfDir = args(0)
     val names = if (args.length > 1) args.drop(1).toSeq
       else graft.SparkEntry.queries.keys.toSeq.sorted

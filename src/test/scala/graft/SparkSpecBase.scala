@@ -19,6 +19,11 @@ trait SparkSpecBase extends AnyFunSuite {
 }
 
 object SparkSpecBase {
+  // tests exercising SparkEntry queries must not clobber the oracle
+  // side-channel a pending Verify->DuckDB compare may still read
+  sys.props("graft.side.dir") =
+    java.nio.file.Files.createTempDirectory("graft-test-side").toString
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
