@@ -226,6 +226,31 @@ object Dedup {
     graft.functions.Shingles.register(df.sparkSession)
     val blk0 = df.select(col(blockCol).as("blk0"), col(idCol).as("id"),
       graft.functions.Shingles.shinglesNative(col(textCol), shingleN).as("sh"))
+    jaccardWithinShingled(blk0, threshold, lengthBucket)
+  }
+
+  /** Stage the shingled projection once, then block + verify against
+    * the staged table. The unstaged form's plan branches (two probe
+    * sides + two verify joins) each re-scan the corpus and recompute
+    * shingles — ~8 corpus reads; at 100 TB staging is not optional
+    * (one read + one bounded write, every branch reads the small
+    * staged table).
+    */
+  def jaccardWithinStaged(df: DataFrame, idCol: String, textCol: String,
+                          blockCol: String, stagePath: String,
+                          shingleN: Int = 3, threshold: Double = 0.0,
+                          lengthBucket: Boolean = true): DataFrame = {
+    graft.functions.Shingles.register(df.sparkSession)
+    df.select(col(blockCol).as("blk0"), col(idCol).as("id"),
+        graft.functions.Shingles.shinglesNative(col(textCol), shingleN).as("sh"))
+      .write.mode("overwrite").parquet(stagePath)
+    jaccardWithinShingled(df.sparkSession.read.parquet(stagePath),
+      threshold, lengthBucket)
+  }
+
+  /** Blocking + exact verify over a pre-shingled (blk0, id, sh) table. */
+  def jaccardWithinShingled(blk0: DataFrame, threshold: Double,
+                            lengthBucket: Boolean): DataFrame = {
     val s =
       if (lengthBucket && threshold > 0) {
         val maxGap = math.max(1,
@@ -244,7 +269,7 @@ object Dedup {
       // a pair sharing two probed buckets would otherwise emit twice
       .dropDuplicates("id_a", "id_b")
     val docs = blk0.select(col("id"), col("sh")).dropDuplicates("id")
-    graft.functions.JaccardSim.register(df.sparkSession)
+    graft.functions.JaccardSim.register(blk0.sparkSession)
     cand
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

@@ -76,6 +76,30 @@ class Round2Spec extends SparkSpecBase {
     assert(bucketed == exact && exact.nonEmpty)
   }
 
+  test("jaccardWithinStaged equals the unstaged form (one corpus read)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(17)
+    val docs = (0 until 30).map { i =>
+      (i.toLong, words(5 + rng.nextInt(80), rng.nextInt(20)), s"b${i % 2}")
+    }
+    val df = docs.toDF("id", "text", "src")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val stage = tmpDir("jac-stage") + "/sh"
+    val staged = canon(Dedup.jaccardWithinStaged(df, "id", "text", "src",
+      stage, shingleN = 2, threshold = 0.05))
+    val direct = canon(Dedup.jaccardWithin(df, "id", "text", "src",
+      shingleN = 2, threshold = 0.05))
+    assert(staged == direct && direct.nonEmpty)
+    // and the staged plan reads the staged table, not the corpus
+    val plan = Dedup.jaccardWithinShingled(
+      spark.read.parquet(stage), 0.05, lengthBucket = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("shingleexpr"), plan.take(600))
+  }
+
   test("bandsForThreshold picks the most selective >=95%-recall banding") {
     // t=0.3, k=64: r=2 gives recall 1-(1-0.09)^32 ~ 0.951; r=4 ~ 0.12
     assert(Dedup.bandsForThreshold(64, 0.3) == 32)
