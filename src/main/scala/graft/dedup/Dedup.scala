@@ -124,12 +124,53 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, k: Int = 64, bands: Int = 0,
                         threshold: Double = 0.7, maxBucket: Int = 64,
-                        estMargin: Double = 0.18): DataFrame = {
+                        estMargin: Double = 0.18): DataFrame =
+    minhashCandidatesSigned(withSignatures(df, idCol, textCol, shingleN),
+      k, bands, threshold, maxBucket, estMargin)
+
+  /** Stage the (id, sh, sig) projection once at stagePath and return
+    * it. The unstaged pipeline's plan branches (banding, the estimate
+    * pre-filter's two signature joins, the verify's two shingle joins)
+    * each re-scan the corpus and recompute shingles+signatures — at
+    * 100 TB stage first, then run candidates/verify off the staged
+    * table (one corpus read total).
+    */
+  def stageSignatures(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int, stagePath: String): DataFrame = {
+    withSignatures(df, idCol, textCol, shingleN)
+      .write.mode("overwrite").parquet(stagePath)
+    df.sparkSession.read.parquet(stagePath)
+  }
+
+  /** Full minhash near-dup pipeline over ONE staged corpus read. */
+  def minhashPairsStaged(df: DataFrame, idCol: String, textCol: String,
+                         stagePath: String, shingleN: Int = 3, k: Int = 64,
+                         bands: Int = 0, threshold: Double = 0.7,
+                         maxBucket: Int = 64,
+                         estMargin: Double = 0.18): DataFrame = {
+    val staged = stageSignatures(df, idCol, textCol, shingleN, stagePath)
+    graft.functions.JaccardSim.register(df.sparkSession)
+    val cand = minhashCandidatesSigned(staged, k, bands, threshold,
+      maxBucket, estMargin)
+    val docs = staged.select(col("id"), col("sh"))
+    cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        graft.functions.JaccardSim.jaccardSim(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Candidate generation over a prepared (id, sh, sig) table. */
+  def minhashCandidatesSigned(withSig: DataFrame, k: Int = 64,
+                              bands: Int = 0, threshold: Double = 0.7,
+                              maxBucket: Int = 64,
+                              estMargin: Double = 0.18): DataFrame = {
     val nBands = if (bands > 0) bands else bandsForThreshold(k, threshold)
     require(k % nBands == 0)
     require(k == graft.functions.MinHashSig.K,
       s"native signature kernel is fixed at k=${graft.functions.MinHashSig.K}")
-    val withSig = withSignatures(df, idCol, textCol, shingleN)
     val banded = bandedBuckets(withSig, k, nBands)
     // cap pathological buckets (boilerplate text floods a bucket);
     // minhashBucketDiag reports what the cap drops
@@ -148,7 +189,7 @@ object Dedup {
     val cut = threshold - estMargin
     if (estMargin < 0 || cut <= 0) cand
     else {
-      graft.functions.SigAgree.register(df.sparkSession)
+      graft.functions.SigAgree.register(withSig.sparkSession)
       val sigs = withSig.select(col("id"), col("sig"))
       cand
         .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))

@@ -137,6 +137,27 @@ class Round2Spec extends SparkSpecBase {
     assert(recall >= 0.95, s"recall $recall over ${truth.size} true pairs")
   }
 
+  test("minhashPairsStaged equals the unstaged pipeline") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(23)
+    val docs = (0 until 20).flatMap { p =>
+      val base = (0 until 30).map(_ => f"w${p}_${rng.nextInt(40)}%02d")
+      val variant = base.map(w =>
+        if (rng.nextDouble() < 0.2) f"w${p}_x${rng.nextInt(99)}%02d" else w)
+      Seq((p * 2L, base.mkString(" ")), (p * 2L + 1, variant.mkString(" ")))
+    }
+    val df = docs.toDF("id", "text")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val staged = canon(Dedup.minhashPairsStaged(df, "id", "text",
+      tmpDir("mh-stage") + "/sig", shingleN = 2, threshold = 0.3))
+    val direct = canon(Dedup.minhashPairs(df, "id", "text",
+      shingleN = 2, threshold = 0.3))
+    assert(staged == direct && direct.nonEmpty)
+  }
+
   test("minhashBucketDiag surfaces what the skew cap drops") {
     val s = spark
     import s.implicits._
