@@ -254,11 +254,14 @@ object SparkEntry {
       // ~12% there). Candidates dump to the side-channel; the oracle
       // recomputes exact jaccard for those pairs over raw string
       // shingles in DuckDB, verifying the whole verification stage.
-      val docs = t(s, d, "documents")
-      val cand = dumpSide(Dedup.minhashCandidates(docs, "doc_id", "text",
-        shingleN = 2, k = 64, bands = 0, threshold = 0.3), "minhash_cand")
-      Dedup.minhashVerify(docs, cand, "doc_id", "text",
-        shingleN = 2, threshold = 0.3).orderBy("id_a", "id_b")
+      // staged form: ONE corpus read (shingles+signatures staged to
+      // the side dir), then banding/pre-filter/verify off the stage
+      val staged = Dedup.stageSignatures(t(s, d, "documents"),
+        "doc_id", "text", 2, s"$sideDir/minhash_stage")
+      val cand = dumpSide(Dedup.minhashCandidatesSigned(staged,
+        k = 64, bands = 0, threshold = 0.3), "minhash_cand")
+      Dedup.minhashVerifyShingled(staged, cand, threshold = 0.3)
+        .orderBy("id_a", "id_b")
     }),
     "q_simhash_pairs" -> ((s, d) => {
       // per-doc hashes dump to the side-channel; the oracle recomputes

@@ -149,11 +149,19 @@ object Dedup {
                          maxBucket: Int = 64,
                          estMargin: Double = 0.18): DataFrame = {
     val staged = stageSignatures(df, idCol, textCol, shingleN, stagePath)
-    graft.functions.JaccardSim.register(df.sparkSession)
-    val cand = minhashCandidatesSigned(staged, k, bands, threshold,
-      maxBucket, estMargin)
-    val docs = staged.select(col("id"), col("sh"))
-    cand
+    minhashVerifyShingled(staged,
+      minhashCandidatesSigned(staged, k, bands, threshold, maxBucket, estMargin),
+      threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against a prepared
+    * (id, sh, ...) table.
+    */
+  def minhashVerifyShingled(docsSh: DataFrame, cand: DataFrame,
+                            threshold: Double): DataFrame = {
+    graft.functions.JaccardSim.register(docsSh.sparkSession)
+    val docs = docsSh.select(col("id"), col("sh"))
+    cand.select("id_a", "id_b")
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
