@@ -372,6 +372,17 @@ object SparkEntry {
         max("decoded_w").as("max_w"))
         .orderBy("kind")
     }),
+    "q_multimodal_frames" -> ((s, d) => {
+      // frame-sampling plumbing: 100 synthetic videos x 4 sampled
+      // frames, resized first so the header rewrite path runs too
+      val media = graft.multimodal.Multimodal.synthMedia(s, 300, parallelism = 4)
+      val resized = graft.multimodal.Multimodal.resize(media, 64, 64)
+      graft.multimodal.Multimodal.frameSample(resized, 4)
+        .groupBy("frame_idx")
+        .agg(count(lit(1)).cast("long").as("n"),
+          min(length(col("frame_bytes"))).cast("int").as("min_len"))
+        .orderBy("frame_idx")
+    }),
     "q_schema_fingerprint" -> ((s, d) =>
       // md5 form (DuckDB-verifiable); Analyzer.schemaFingerprint keeps
       // the reference's xxhash64 identity for the Spark-side hot path
@@ -796,6 +807,10 @@ object SparkEntry {
         |CAST(max_w AS INT) AS max_w FROM (VALUES
         |('audio',100,32,144),('image',100,32,144),('video',100,32,144))
         |t(kind, n, min_w, max_w) ORDER BY kind""".stripMargin,
+    "q_multimodal_frames" ->
+      """SELECT frame_idx, CAST(n AS BIGINT) AS n, CAST(min_len AS INT) AS min_len
+        |FROM (VALUES (0,100,16),(1,100,16),(2,100,16),(3,100,16))
+        |t(frame_idx, n, min_len) ORDER BY frame_idx""".stripMargin,
     "q_window_hourly" ->
       """SELECT date_trunc('hour', ts) AS hr, event_type,
         |CAST(count(*) AS BIGINT) AS n,
