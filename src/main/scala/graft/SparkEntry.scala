@@ -272,8 +272,10 @@ object SparkEntry {
       Dedup.simhashPairsFromHashes(h, maxHamming = 3).orderBy("id_a", "id_b")
     }),
     "q_jaccard_within" -> ((s, d) =>
-      Dedup.jaccardWithin(t(s, d, "documents"), "doc_id", "text", "source",
-        shingleN = 2, threshold = 0.05).orderBy("id_a", "id_b")),
+      // staged: shingle the corpus once, then probe/verify off the stage
+      Dedup.jaccardWithinStaged(t(s, d, "documents"), "doc_id", "text",
+        "source", s"$sideDir/jaccard_stage", shingleN = 2, threshold = 0.05)
+        .orderBy("id_a", "id_b")),
     // ---- embeddings / similarity ----------------------------------
     "q_embed_norm" -> ((s, d) =>
       t(s, d, "embeddings")
