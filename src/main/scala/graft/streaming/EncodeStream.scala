@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.encode.{TokenDecoder, TokenEncoder}
+import graft.encode.TokenEncoder.EncodeConfig
+import graft.model.TokenRow
+
+/** Continuous ingestion into the encoded columnar store: a streaming
+  * Dataset[TokenRow] lands via foreachBatch into one encode-pipeline
+  * output dir PER micro-batch (`outDir/batch=N/`).
+  *
+  * Exactly-once comes from composing two at-least-once layers:
+  * Structured Streaming re-runs a failed micro-batch under the SAME
+  * batchId, and TokenEncoder.run's lineage commit log skips partitions
+  * the previous attempt already committed — so a retried batch
+  * re-encodes only its uncommitted remainder, never duplicating rows
+  * (the same argument as the batch kill-and-resume test, per batch).
+  * Batch dirs are independent: no cross-batch compaction is needed for
+  * correctness, and a periodic re-encode of many small batch dirs into
+  * one (read all + encode) is an offline maintenance job, not part of
+  * the ingest path.
+  */
+object EncodeStream {
+
+  def streamingEncode(stream: Dataset[TokenRow], outDir: String,
+                      cfg: EncodeConfig = EncodeConfig()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch { (batch: Dataset[TokenRow], batchId: Long) =>
+        TokenEncoder.run(batch, s"$outDir/batch=$batchId",
+          cfg.copy(inputFile = s"batch-$batchId"))
+        ()
+      }
+      .start()
+
+  /** Decode every committed batch dir back to rows. */
+  def readAll(spark: SparkSession, outDir: String,
+              verifyChecksums: Boolean = false): Dataset[TokenRow] = {
+    import spark.implicits._
+    val dirs = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getAbsolutePath)
+      .filter(d => new java.io.File(s"$d/lineage").exists())
+    if (dirs.isEmpty) spark.emptyDataset[TokenRow]
+    else dirs.map(d => TokenDecoder.read(spark, d, verifyChecksums))
+      .reduce(_ union _)
+  }
+}

@@ -91,6 +91,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.toSet == Set((1L, 300L, 2))) // user 1's session, 5 min, 2 events
   }
 
+  test("streaming encode lands micro-batches in the columnar store exactly") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val outDir = tmpDir("enc-stream")
+    val mem = MemoryStream[graft.model.TokenRow]
+    val rows1 = (0 until 50).map(i =>
+      graft.model.TokenRow(s"d$i", Array.tabulate(20)(j => (i + j) % 97), 20, s"s${i % 3}"))
+    val rows2 = (50 until 90).map(i =>
+      graft.model.TokenRow(s"d$i", Array.fill(15)(i % 11), 15, s"s${i % 3}"))
+    val q = graft.streaming.EncodeStream.streamingEncode(mem.toDS(), outDir,
+      graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 20))
+    try {
+      mem.addData(rows1: _*)
+      q.processAllAvailable()
+      mem.addData(rows2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = graft.streaming.EncodeStream.readAll(spark, outDir,
+      verifyChecksums = true)
+    val want = (rows1 ++ rows2).toDS()
+    assert(back.count() == 90)
+    assert(want.toDF().exceptAll(back.toDF()).count() == 0)
+    assert(back.toDF().exceptAll(want.toDF()).count() == 0)
+    // re-running an already-committed batch dir is a no-op (the
+    // exactly-once argument: retried micro-batches resume, not re-add)
+    val again = graft.encode.TokenEncoder.run(rows1.toDS(), s"$outDir/batch=0",
+      graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 20))
+    assert(again.count() == 0)
+    assert(graft.streaming.EncodeStream.readAll(spark, outDir).count() == 90)
+  }
+
   test("sessionize groups events by inactivity gap (batch mode)") {
     val s = spark
     import s.implicits._
