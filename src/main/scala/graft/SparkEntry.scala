@@ -140,6 +140,24 @@ object SparkEntry {
     "q_filter_dsl" -> ((s, d) =>
       UndatumOps.filterDsl(t(s, d, "documents"), "`lang` == 'en' AND `n_chars` > 200")
         .select("doc_id").orderBy("doc_id")),
+    "q_filter_dsl_ops" -> ((s, d) =>
+      // dictquery's LIKE / IN / OR surface through the same translator
+      UndatumOps.filterDsl(t(s, d, "documents"),
+        "(`lang` IN ('en', 'ru') AND `text` LIKE '%data%') OR `n_chars` >= 950")
+        .select("doc_id").orderBy("doc_id")),
+    "q_apply" -> ((s, d) => {
+      // the reference's `apply` user-map (transformer.py): rename +
+      // derive, as a typed Row map with an explicit output schema
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("language", StringType),
+        StructField("chars_kb", DoubleType)))
+      graft.operators.Transform.applyRows(
+        t(s, d, "documents").select("doc_id", "lang", "n_chars"), schema,
+        r => org.apache.spark.sql.Row(
+          r.getLong(0), r.getString(1), r.getLong(2).toDouble / 1024.0))
+        .orderBy("id")
+    }),
     "q_split_counts" -> ((s, d) =>
       UndatumOps.splitCounts(t(s, d, "documents"), "source")),
     "q_headers" -> ((s, d) =>
@@ -529,6 +547,14 @@ object SparkEntry {
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
     "q_filter_dsl" ->
       "SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars > 200 ORDER BY doc_id",
+    "q_filter_dsl_ops" ->
+      """SELECT doc_id FROM documents
+        |WHERE (lang IN ('en', 'ru') AND text LIKE '%data%') OR n_chars >= 950
+        |ORDER BY doc_id""".stripMargin,
+    "q_apply" ->
+      """SELECT doc_id AS id, lang AS language,
+        |CAST(n_chars AS DOUBLE) / 1024.0 AS chars_kb
+        |FROM documents ORDER BY id""".stripMargin,
     "q_split_counts" ->
       "SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source ORDER BY source",
     "q_headers" ->
