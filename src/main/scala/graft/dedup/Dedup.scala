@@ -240,6 +240,22 @@ object Dedup {
         maxBucket, estMargin),
       idCol, textCol, shingleN, threshold)
 
+  /** Near-duplicate REMOVAL: keep one representative per verified
+    * near-dup pair (the smaller id survives; transitive chains
+    * collapse toward their minimum because every non-minimal member
+    * loses at least one pairing). The composition CorpusPipelineCli
+    * runs, packaged: pairs -> loser ids -> anti-join.
+    */
+  def removeNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 3, k: Int = 64, bands: Int = 0,
+                           threshold: Double = 0.7,
+                           maxBucket: Int = 64): DataFrame = {
+    val losers = minhashPairs(df, idCol, textCol, shingleN, k, bands,
+      threshold, maxBucket)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Diagnostic: what the maxBucket skew cap silently drops — bucket
     * count, capped-bucket count, and rows over the cap. Surfaces the
     * recall cost of the cap as a metric instead of a silent truncation.

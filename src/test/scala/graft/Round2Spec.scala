@@ -297,6 +297,36 @@ class Round2Spec extends SparkSpecBase {
     new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("int8 quantization roundtrip keeps cosine within 1%") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(31)
+    val vecs = (0 until 50).map(i => (i.toLong, Array.fill(32)(rng.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "v")
+    val rt = df.select(col("id"), col("v"),
+        Similarity.dequantizeInt8(Similarity.quantizeInt8(col("v"))).as("vq"))
+      .withColumn("cos", Similarity.cosine(col("v"), col("vq")))
+      .select("cos").as[Double].collect()
+    assert(rt.forall(c => c > 0.99), s"min cos ${rt.min}")
+    // storage shape: byte codes + one float scale
+    val q = df.select(Similarity.quantizeInt8(col("v")).as("q")).schema("q")
+    assert(q.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .apply("codes").dataType.toString.contains("ByteType"))
+  }
+
+  test("removeNearDuplicates keeps one representative per near-dup group") {
+    val s = spark
+    import s.implicits._
+    val base = (0 until 40).map(i => f"tok$i%03d").mkString(" ")
+    val near = base.replace("tok001", "changed")
+    val df = Seq((1L, base), (2L, near), (3L, words(40, 500)))
+      .toDF("id", "text")
+    val kept = Dedup.removeNearDuplicates(df, "id", "text",
+        shingleN = 2, threshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L)) // 2 lost to 1; 3 unrelated survives
+  }
+
   test("renderReport emits text and json forms of the field profile") {
     val s = spark
     import s.implicits._
