@@ -8,6 +8,35 @@ import graft.operators.Bucketing
   */
 class BucketingSpec extends SparkSpecBase {
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    val s = spark
+    import s.implicits._
+    // one hot key carries ~95% of the fact side
+    val fact = ((0 until 60000).map(_ => 7L) ++ (0 until 3000).map(i => (i % 50).toLong))
+      .zipWithIndex.map { case (k, i) => (k, s"payload-$i-${"x" * 64}") }
+      .toDF("k", "payload")
+    val dim = (0 until 64).map(i => (i.toLong, s"dim$i")).toDF("k", "name")
+    val conf = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      val j = fact.join(dim, "k")
+      // execute THIS DataFrame's plan so its AQE run finalizes
+      // (count() would spawn a separate QueryExecution)
+      assert(j.collect().length == 63000)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p.take(1500))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("same-bucketed tables join without an Exchange") {
     val s = spark
     import s.implicits._
