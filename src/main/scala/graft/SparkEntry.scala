@@ -307,10 +307,18 @@ object SparkEntry {
       Similarity.bruteTopK(emb, "embedding", "vec_id", q, 10)
     }),
     "q_ann_lsh" -> ((s, d) => {
+      // the SCANNED subset (query bucket + hamming-1 probes) dumps to
+      // the side-channel; the oracle brute-forces top-k over exactly
+      // that subset in DuckDB — scoring, ordering, and the bucket
+      // restriction verify deterministically, leaving only recall
+      // (probabilistic by design; covered by the unit recall checks)
       val emb = t(s, d, "embeddings")
       val q = emb.where(col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0).toArray
-      Similarity.annTopK(emb, "embedding", "vec_id", q, 10)
+      val scanned = dumpSide(
+        Similarity.annScan(emb, "embedding", q).select("vec_id", "embedding"),
+        "annlsh_scan")
+      Similarity.bruteTopK(scanned, "embedding", "vec_id", q, 10)
     }),
     "q_cosine_pairs" -> ((s, d) =>
       Similarity.cosinePairsWithin(t(s, d, "embeddings"), "embedding", "vec_id",
@@ -326,12 +334,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "q_ann_ivf" -> ((s, d) => {
+      // same side-channel scheme as q_ann_lsh: the nprobe-cell subset
+      // dumps, DuckDB brute-forces top-k over it
       val emb = t(s, d, "embeddings")
       val q = emb.where(col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0).toArray
       val idx = graft.sim.Ivf.train(emb, "embedding", k = 8)
-      graft.sim.Ivf.search(graft.sim.Ivf.assign(emb, "embedding", idx),
-        "embedding", "vec_id", idx, q, 10, nprobe = 3)
+      val probed = dumpSide(
+        graft.sim.Ivf.probe(graft.sim.Ivf.assign(emb, "embedding", idx),
+          idx, q, nprobe = 3).select("vec_id", "embedding"),
+        "annivf_scan")
+      Similarity.bruteTopK(probed, "embedding", "vec_id", q, 10)
     }),
     "q_window_hourly" -> ((s, d) =>
       // event-time tumbling window as a batch query (EventStream runs
@@ -462,9 +475,14 @@ object SparkEntry {
   /** DuckDB-dialect oracles. Tables are registered by bare name over
     * the same parquet files; engine-internal intermediates are read
     * back from the /tmp/graft_oracle_side parquet the queries dump
-    * (minhash candidates, simhash values, synth token table). Only
-    * ann_lsh / ann_ivf stay oracle-free: their recall-vs-exact
-    * contract is probabilistic and engine-specific by design.
+    * (minhash candidates, simhash values, ANN scan subsets, synth
+    * token table). Every query has an oracle; for the probabilistic
+    * ANN paths the oracle verifies scoring/ordering/subset-restriction
+    * exactly over the dumped scanned subset, with candidate recall
+    * covered by the seeded property tests (the minhash sig-agreement
+    * pre-filter has the same split: pairs it prunes never reach the
+    * dumped candidate set, so ITS recall is property-test-covered, not
+    * DuckDB-covered).
     */
   def oracleSql: Map[String, String] = Map(
     "q_agg_pricing" ->
@@ -798,6 +816,28 @@ object SparkEntry {
         |                           list_transform(b.embedding, x -> CAST(x AS DOUBLE))))
         |     * sqrt(list_dot_product(q.qe, q.qe))), 3) AS sim
         |FROM embeddings b, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_lsh" ->
+      """WITH s AS (SELECT vec_id, embedding
+        |  FROM read_parquet('/tmp/graft_oracle_side/annlsh_scan/*.parquet')),
+        |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) qe
+        |      FROM embeddings WHERE vec_id = 0)
+        |SELECT s.vec_id, round(
+        |  list_dot_product(list_transform(s.embedding, x -> CAST(x AS DOUBLE)), q.qe)
+        |  / (sqrt(list_dot_product(list_transform(s.embedding, x -> CAST(x AS DOUBLE)),
+        |                           list_transform(s.embedding, x -> CAST(x AS DOUBLE))))
+        |     * sqrt(list_dot_product(q.qe, q.qe))), 3) AS sim
+        |FROM s, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_ivf" ->
+      """WITH s AS (SELECT vec_id, embedding
+        |  FROM read_parquet('/tmp/graft_oracle_side/annivf_scan/*.parquet')),
+        |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) qe
+        |      FROM embeddings WHERE vec_id = 0)
+        |SELECT s.vec_id, round(
+        |  list_dot_product(list_transform(s.embedding, x -> CAST(x AS DOUBLE)), q.qe)
+        |  / (sqrt(list_dot_product(list_transform(s.embedding, x -> CAST(x AS DOUBLE)),
+        |                           list_transform(s.embedding, x -> CAST(x AS DOUBLE))))
+        |     * sqrt(list_dot_product(q.qe, q.qe))), 3) AS sim
+        |FROM s, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(
         |  list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),

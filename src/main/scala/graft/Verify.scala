@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated query subset (local iteration)
+    val onlyQ: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,7 +18,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Harden the oracle side-channel: the static path baked into the
+    // oracle SQL is predictable, so wipe anything pre-existing (stale
+    // dumps from a prior run, or a pre-created dir) and recreate it
+    // owner-only before any query dumps into it. Skipped when running
+    // a query subset — a full prior dump set may still be compared.
+    if (onlyQ.isEmpty) {
+      val side = java.nio.file.Paths.get(
+        sys.props.getOrElse("graft.side.dir", "/tmp/graft_oracle_side"))
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+          Files.list(p).forEach(rm(_))
+        Files.deleteIfExists(p)
+      }
+      rm(side)
+      Files.createDirectories(side,
+        java.nio.file.attribute.PosixFilePermissions.asFileAttribute(
+          java.nio.file.attribute.PosixFilePermissions.fromString("rwx------")))
+    }
+    SparkEntry.queries
+      .filter { case (name, _) => onlyQ.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -111,15 +111,24 @@ object Ivf {
       .drop("__ivf_d")
   }
 
-  /** Top-k for one query scanning only the nprobe nearest cells. */
-  def search(assigned: DataFrame, vecCol: String, idCol: String,
-             idx: IvfIndex, query: Array[Float], topK: Int,
-             nprobe: Int = 2): DataFrame = {
+  /** The subset of rows an IVF search actually scans: the rows of the
+    * `nprobe` cells nearest the query. Exposed separately from
+    * `search` so the scanned set can be materialized and verified
+    * externally (brute-force top-k over this subset must equal the
+    * IVF result exactly; recall stays probabilistic by design).
+    */
+  def probe(assigned: DataFrame, idx: IvfIndex, query: Array[Float],
+            nprobe: Int = 2): DataFrame = {
     val cells = idx.centroids.indices
       .sortBy(c => dist2(query, idx.centroids(c)))
       .take(nprobe)
-    Similarity.bruteTopK(
-      assigned.where(col("ivf_cell").isInCollection(cells.map(Int.box))),
-      vecCol, idCol, query, topK)
+    assigned.where(col("ivf_cell").isInCollection(cells.map(Int.box)))
   }
+
+  /** Top-k for one query scanning only the nprobe nearest cells. */
+  def search(assigned: DataFrame, vecCol: String, idCol: String,
+             idx: IvfIndex, query: Array[Float], topK: Int,
+             nprobe: Int = 2): DataFrame =
+    Similarity.bruteTopK(probe(assigned, idx, query, nprobe),
+      vecCol, idCol, query, topK)
 }

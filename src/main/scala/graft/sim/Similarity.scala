@@ -162,12 +162,16 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** ANN top-k for one query via LSH: scan only the query's bucket
-    * (and optionally hamming-1 neighbor buckets for recall).
+  /** The subset of rows an LSH ANN search actually scans: the query's
+    * bucket plus (optionally) all hamming-1 neighbor buckets. Exposed
+    * separately from `annTopK` so the scanned set can be materialized
+    * and verified externally — a brute-force top-k over this subset
+    * must equal the ANN result exactly, leaving only recall (which is
+    * probabilistic by design) outside the deterministic contract.
     */
-  def annTopK(df: DataFrame, vecCol: String, idCol: String,
-              query: Array[Float], k: Int, nPlanes: Int = 8,
-              probeNeighbors: Boolean = true, seed: Long = 42L): DataFrame = {
+  def annScan(df: DataFrame, vecCol: String, query: Array[Float],
+              nPlanes: Int = 8, probeNeighbors: Boolean = true,
+              seed: Long = 42L): DataFrame = {
     val ps = planes(nPlanes, query.length, seed)
     def bucketOf(v: Array[Float]): Long = {
       var b = 0L
@@ -183,8 +187,17 @@ object Similarity {
     val probes: Seq[Long] =
       if (probeNeighbors) qb +: (0 until nPlanes).map(i => qb ^ (1L << i))
       else Seq(qb)
-    val bucketed = df.withColumn("__bucket", lshBucket(col(vecCol), ps))
+    df.withColumn("__bucket", lshBucket(col(vecCol), ps))
       .where(col("__bucket").isInCollection(probes))
-    bruteTopK(bucketed, vecCol, idCol, query, k)
+      .drop("__bucket")
   }
+
+  /** ANN top-k for one query via LSH: scan only the query's bucket
+    * (and optionally hamming-1 neighbor buckets for recall).
+    */
+  def annTopK(df: DataFrame, vecCol: String, idCol: String,
+              query: Array[Float], k: Int, nPlanes: Int = 8,
+              probeNeighbors: Boolean = true, seed: Long = 42L): DataFrame =
+    bruteTopK(annScan(df, vecCol, query, nPlanes, probeNeighbors, seed),
+      vecCol, idCol, query, k)
 }
