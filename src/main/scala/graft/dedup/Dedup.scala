@@ -147,10 +147,12 @@ object Dedup {
                          stagePath: String, shingleN: Int = 3, k: Int = 64,
                          bands: Int = 0, threshold: Double = 0.7,
                          maxBucket: Int = 64,
-                         estMargin: Double = 0.18): DataFrame = {
+                         estMargin: Double = 0.18,
+                         capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val staged = stageSignatures(df, idCol, textCol, shingleN, stagePath)
     minhashVerifyShingled(staged,
-      minhashCandidatesSigned(staged, k, bands, threshold, maxBucket, estMargin),
+      minhashCandidatesSigned(staged, k, bands, threshold, maxBucket,
+        estMargin, capObs),
       threshold)
   }
 
@@ -170,23 +172,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Candidate generation over a prepared (id, sh, sig) table. */
+  /** Candidate generation over a prepared (id, sh, sig) table.
+    *
+    * `capObs`: an [[org.apache.spark.sql.Observation]] that surfaces
+    * what the maxBucket skew cap drops FROM THE QUERY ITSELF —
+    * `rows_dropped` (bucket rows truncated) and `max_bucket_rows`
+    * (hottest bucket observed) become available via `obs.get` after
+    * any action on the returned plan, with no second job (the
+    * standalone minhashBucketDiag re-scans; this doesn't). A non-zero
+    * rows_dropped means the cap cost candidate recall on this corpus.
+    */
   def minhashCandidatesSigned(withSig: DataFrame, k: Int = 64,
                               bands: Int = 0, threshold: Double = 0.7,
                               maxBucket: Int = 64,
-                              estMargin: Double = 0.18): DataFrame = {
+                              estMargin: Double = 0.18,
+                              capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val nBands = if (bands > 0) bands else bandsForThreshold(k, threshold)
     require(k % nBands == 0)
     require(k == graft.functions.MinHashSig.K,
       s"native signature kernel is fixed at k=${graft.functions.MinHashSig.K}")
     val banded = bandedBuckets(withSig, k, nBands)
     // cap pathological buckets (boilerplate text floods a bucket);
-    // minhashBucketDiag reports what the cap drops
-    val capped = banded
+    // capObs reports what the cap drops (minhashBucketDiag is the
+    // standalone form)
+    val ranked = banded
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("band", "bucket").orderBy("id")))
-      .where(col("rn") <= maxBucket)
+    val observed = capObs.fold(ranked)(o => ranked.observe(o,
+      sum(when(col("rn") > maxBucket, 1L).otherwise(0L)).as("rows_dropped"),
+      max(col("rn")).cast("long").as("max_bucket_rows")))
+    val capped = observed.where(col("rn") <= maxBucket)
     // candidates as BARE id pairs: deduping rows that carry the
     // shingle arrays would shuffle kilobytes per pair; arrays join
     // back once per unique pair instead
@@ -234,10 +250,11 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, k: Int = 64, bands: Int = 0,
                    threshold: Double = 0.7, maxBucket: Int = 64,
-                   estMargin: Double = 0.18): DataFrame =
+                   estMargin: Double = 0.18,
+                   capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame =
     minhashVerify(df,
-      minhashCandidates(df, idCol, textCol, shingleN, k, bands, threshold,
-        maxBucket, estMargin),
+      minhashCandidatesSigned(withSignatures(df, idCol, textCol, shingleN),
+        k, bands, threshold, maxBucket, estMargin, capObs),
       idCol, textCol, shingleN, threshold)
 
   /** Near-duplicate REMOVAL: keep one representative per verified
@@ -359,21 +376,30 @@ object Dedup {
   }
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucket: Int = 256): DataFrame =
-    simhashPairsFromHashes(simhashOf(df, idCol, textCol), maxHamming, maxBucket)
+                   maxHamming: Int = 3, maxBucket: Int = 256,
+                   capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame =
+    simhashPairsFromHashes(simhashOf(df, idCol, textCol), maxHamming,
+      maxBucket, capObs)
 
-  /** Pair generation from a precomputed (id, h) simhash table. */
+  /** Pair generation from a precomputed (id, h) simhash table.
+    * `capObs` surfaces the skew cap's drops in-query — see
+    * minhashCandidatesSigned.
+    */
   def simhashPairsFromHashes(withH: DataFrame, maxHamming: Int = 3,
-                             maxBucket: Int = 256): DataFrame = {
+                             maxBucket: Int = 256,
+                             capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(maxHamming < 4)
     val chunked = withH.select(col("id"), col("h"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("h"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
-    val capped = chunked.withColumn("rn", row_number().over(
+    val ranked = chunked.withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("chunk", "ck").orderBy("id")))
-      .where(col("rn") <= maxBucket)
+    val observed = capObs.fold(ranked)(o => ranked.observe(o,
+      sum(when(col("rn") > maxBucket, 1L).otherwise(0L)).as("rows_dropped"),
+      max(col("rn")).cast("long").as("max_bucket_rows")))
+    val capped = observed.where(col("rn") <= maxBucket)
     val a = capped.select(col("chunk"), col("ck"), col("id").as("id_a"), col("h").as("h_a"))
     val b = capped.select(col("chunk"), col("ck"), col("id").as("id_b"), col("h").as("h_b"))
     a.join(b, Seq("chunk", "ck")).where(col("id_a") < col("id_b"))

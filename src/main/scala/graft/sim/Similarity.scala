@@ -50,11 +50,34 @@ object Similarity {
     *
     * maxPerBlock > 0 caps a block's row count (row_number over id) —
     * the pressure valve for one hot block going |block|^2 at scale, at
-    * a documented recall cost. 0 = exact all-pairs-within-block.
+    * a documented recall cost. 0 = exact all-pairs-within-block,
+    * guarded by `autoLshBlockLimit`: a cheap driver-side
+    * groupBy(blk).count() probe (one agg over 8-byte keys — O(rows)
+    * map-side-combined, never materializing pairs) checks the largest
+    * block, and when it exceeds the limit the call auto-diverts to
+    * `cosinePairsLsh`, whose (block, sign-LSH bucket) keys turn the
+    * hot block's |block|^2 into a sum of |bucket|^2 — the 100-TB-safe
+    * default. The divert is logged; recall then follows the LSH
+    * contract instead of exact. autoLshBlockLimit <= 0 disables the
+    * guard (explicit exact-at-any-cost). Default 4096: 4096^2 = 16.7M
+    * pairs x ~0.5KB/pair of shuffled vectors ~ 8GB for ONE block —
+    * about the most a single task group should ever carry.
     */
   def cosinePairsWithin(df: DataFrame, vecCol: String, idCol: String,
                         blockCol: String, threshold: Double,
-                        maxPerBlock: Int = 0): DataFrame = {
+                        maxPerBlock: Int = 0,
+                        autoLshBlockLimit: Int = 4096): DataFrame = {
+    if (maxPerBlock <= 0 && autoLshBlockLimit > 0) {
+      val hottest = df.groupBy(col(blockCol)).count()
+        .agg(max(col("count"))).head()
+      val maxBlock = if (hottest.isNullAt(0)) 0L else hottest.getLong(0)
+      if (maxBlock > autoLshBlockLimit) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"cosinePairsWithin: hottest '$blockCol' block has $maxBlock rows " +
+          s"(> $autoLshBlockLimit); diverting to the LSH-bucketed path")
+        return cosinePairsLsh(df, vecCol, idCol, blockCol, threshold)
+      }
+    }
     val s0 = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
       col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     val s =

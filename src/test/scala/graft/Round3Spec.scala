@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.sim.Similarity
+
+/** Round-3 behaviors: the exact-cosine hot-block guard and the
+  * in-query skew-cap drop metrics.
+  */
+class Round3Spec extends SparkSpecBase {
+
+  private def vecs(rows: Seq[(Long, String, Array[Float])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "label", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+  }
+
+  private def randVecs(n: Int, label: String, dim: Int = 16,
+                       seed: Long = 11L): Seq[(Long, String, Array[Float])] = {
+    val rng = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, label, Array.fill(dim)(rng.nextGaussian().toFloat)))
+  }
+
+  test("cosinePairsWithin diverts a hot block to the LSH path") {
+    val df = vecs(randVecs(60, "hot"))
+    // limit 20 < 60-row block: must take the LSH-bucketed plan —
+    // result is exactly what cosinePairsLsh produces
+    val auto = Similarity.cosinePairsWithin(df, "embedding", "vec_id",
+      "label", 0.2, maxPerBlock = 0, autoLshBlockLimit = 20)
+      .orderBy("id_a", "id_b").collect()
+    val lsh = Similarity.cosinePairsLsh(df, "embedding", "vec_id", "label", 0.2)
+      .orderBy("id_a", "id_b").collect()
+    assert(auto.toSeq == lsh.toSeq)
+    // and the divert is a real restriction: the exact path finds at
+    // least as many pairs (strictly more on random vectors)
+    val exact = Similarity.cosinePairsWithin(df, "embedding", "vec_id",
+      "label", 0.2, maxPerBlock = 0, autoLshBlockLimit = 0).collect()
+    assert(exact.length >= auto.length)
+  }
+
+  test("cosinePairsWithin stays exact under the block limit") {
+    val df = vecs(randVecs(30, "cool"))
+    val auto = Similarity.cosinePairsWithin(df, "embedding", "vec_id",
+      "label", 0.2).orderBy("id_a", "id_b").collect()
+    val exact = Similarity.cosinePairsWithin(df, "embedding", "vec_id",
+      "label", 0.2, autoLshBlockLimit = 0).orderBy("id_a", "id_b").collect()
+    assert(auto.toSeq == exact.toSeq)
+  }
+
+  test("minhash cap drops are reported from the query itself") {
+    import spark.implicits._
+    // 100 IDENTICAL docs flood every (band, bucket) past maxBucket=16;
+    // plus distinct docs that stay under the cap
+    val flood = (0L until 100L).map(i => (i, "common prefix words repeated " * 5))
+    val distinct = (100L until 110L).map(i => (i, s"unique document $i with words ${i * 7}"))
+    val docs = (flood ++ distinct).toDF("doc_id", "text")
+    val obs = Observation("minhash_cap")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", shingleN = 2,
+      threshold = 0.3, maxBucket = 16, capObs = Some(obs))
+    pairs.count() // any action over the plan materializes the metrics
+    val m = obs.get
+    assert(m("rows_dropped").asInstanceOf[Long] > 0L)
+    assert(m("max_bucket_rows").asInstanceOf[Long] >= 100L)
+  }
+
+  test("minhash cap reports zero drops on an uncapped corpus") {
+    import spark.implicits._
+    val docs = (0L until 20L)
+      .map(i => (i, s"every doc here is fully distinct $i ${i * 13} ${i * 31}"))
+      .toDF("doc_id", "text")
+    val obs = Observation("minhash_cap_zero")
+    Dedup.minhashPairs(docs, "doc_id", "text", shingleN = 2,
+      threshold = 0.3, maxBucket = 64, capObs = Some(obs)).count()
+    assert(obs.get("rows_dropped").asInstanceOf[Long] == 0L)
+  }
+
+  test("simhash cap drops are reported from the query itself") {
+    import spark.implicits._
+    val flood = (0L until 50L).map(i => (i, "same text every time " * 8))
+    val docs = flood.toDF("doc_id", "text")
+    val obs = Observation("simhash_cap")
+    Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3,
+      maxBucket = 8, capObs = Some(obs)).count()
+    val m = obs.get
+    assert(m("rows_dropped").asInstanceOf[Long] > 0L)
+    assert(m("max_bucket_rows").asInstanceOf[Long] == 50L)
+  }
+}
