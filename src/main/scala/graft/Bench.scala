@@ -125,12 +125,14 @@ object Bench {
     def best(cpus: Int) = samples.collect { case (c, t) if c == cpus => t }.max
     // hi < lo is physically an inversion (more threads, same job, less
     // throughput) — on this shared VM it means a noise burst hit every
-    // hi rep (round 1: 5.4x inversion in the official run). Re-measure
-    // up to 2 extra alternating pairs before accepting it.
-    var retries = 0
-    while (best(cpusHi) < best(cpusLo) && retries < 2) {
+    // hi rep (round 1: 5.4x inversion in the official run). When that
+    // happens, re-measure BOTH arms a FIXED 2 extra alternating pairs
+    // — unconditionally, not until the favorable ordering appears (a
+    // one-sided stopping rule would bias hi upward) — and record the
+    // retry count in the JSON so the extra sampling is visible.
+    val inversionRetries = if (best(cpusHi) < best(cpusLo)) 2 else 0
+    (1 to inversionRetries).foreach { _ =>
       samples ++= Seq(cpusLo -> oneRun(cpusLo), cpusHi -> oneRun(cpusHi))
-      retries += 1
     }
     val thrLo = best(cpusLo)
     val thrHi = best(cpusHi)
@@ -184,19 +186,30 @@ object Bench {
     sLo2.stop()
     org.apache.spark.sql.SparkSession.clearActiveSession()
     org.apache.spark.sql.SparkSession.clearDefaultSession()
-    if (thrDec < thrDecLo) { // same inversion guard as encode
+    // decode inversion guard: one fixed extra rep of BOTH arms
+    // (recorded below), not a hi-only retry
+    var thrDecLoF = thrDecLo
+    val decodeRetries = if (thrDec < thrDecLo) 1 else 0
+    if (decodeRetries > 0) {
       val sHiR = session(cpusHi)
       thrDec = math.max(thrDec, decodeThr(sHiR))
       sHiR.stop()
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()
+      val sLoR = session(cpusLo)
+      thrDecLoF = math.max(thrDecLoF, decodeThr(sLoR))
+      sLoR.stop()
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
     }
-    val effDec = thrDec / (thrDecLo * (cpusHi.toDouble / cpusLo))
+    val effDec = thrDec / (thrDecLoF * (cpusHi.toDouble / cpusLo))
     new ProcessBuilder("rm", "-rf", decDir).start().waitFor()
     val sHi2 = session(cpusHi)
 
     // --- query surface timings at the high parallelism level --------
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // benchQueries = same engine plans minus oracle side-channel
+    // dump+re-read I/O (Verify still times/checks the dumping forms)
+    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(sHi2, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
@@ -205,7 +218,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode":{"rows":$benchRows,"tokens":$tokHi,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"tokens_per_sec_lo":${thrLo.toLong},"tokens_per_sec_hi":${thrHi.toLong},"reps":$reps,"scaling_efficiency":$eff%.3f,"tokens_per_sec_c2":${thr2.toLong},"tokens_per_sec_c8":${thr8.toLong},"scaling_efficiency_2_8":$eff28%.3f,"decode_tokens_per_sec":${thrDec.toLong},"decode_tokens_per_sec_lo":${thrDecLo.toLong},"decode_scaling_efficiency":$effDec%.3f,"compression_ratio":$ratio%.3f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode":{"rows":$benchRows,"tokens":$tokHi,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"tokens_per_sec_lo":${thrLo.toLong},"tokens_per_sec_hi":${thrHi.toLong},"reps":$reps,"inversion_retries":$inversionRetries,"decode_retries":$decodeRetries,"scaling_efficiency":$eff%.3f,"tokens_per_sec_c2":${thr2.toLong},"tokens_per_sec_c8":${thr8.toLong},"scaling_efficiency_2_8":$eff28%.3f,"decode_tokens_per_sec":${thrDec.toLong},"decode_tokens_per_sec_lo":${thrDecLo.toLong},"decode_scaling_efficiency":$effDec%.3f,"compression_ratio":$ratio%.3f}}""")
     sHi2.stop()
   }
 }

@@ -472,6 +472,58 @@ object SparkEntry {
     })
   )
 
+  /** Bench-mode variants: identical engine plans MINUS the oracle
+    * side-channel dump + re-read — that parquet round-trip is pure
+    * verification I/O and inflated the r2 BENCH numbers for these
+    * queries (part of q_minhash_pairs' 19.4s driver time was dump
+    * I/O). Staging writes that are part of the engine's own design
+    * (the one-corpus-read signature/shingle stages) remain timed.
+    * Verify keeps using `queries`, so correctness coverage is
+    * unchanged.
+    */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ Map[String, (SparkSession, String) => DataFrame](
+      "q_minhash_pairs" -> ((s, d) => {
+        val staged = Dedup.stageSignatures(t(s, d, "documents"),
+          "doc_id", "text", 2, s"$sideDir/minhash_stage")
+        Dedup.minhashVerifyShingled(staged,
+          Dedup.minhashCandidatesSigned(staged, k = 64, bands = 0, threshold = 0.3),
+          threshold = 0.3)
+          .orderBy("id_a", "id_b")
+      }),
+      "q_simhash_pairs" -> ((s, d) =>
+        Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+          .orderBy("id_a", "id_b")),
+      "q_cosine_lsh" -> ((s, d) =>
+        Similarity.cosinePairsLsh(t(s, d, "embeddings"), "embedding", "vec_id",
+          "label", 0.35).orderBy("id_a", "id_b")),
+      "q_ann_lsh" -> ((s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.where(col("vec_id") === 0)
+          .select("embedding").collect()(0).getSeq[Float](0).toArray
+        Similarity.annTopK(emb, "embedding", "vec_id", q, 10)
+      }),
+      "q_ann_ivf" -> ((s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.where(col("vec_id") === 0)
+          .select("embedding").collect()(0).getSeq[Float](0).toArray
+        val idx = graft.sim.Ivf.train(emb, "embedding", k = 8)
+        graft.sim.Ivf.search(graft.sim.Ivf.assign(emb, "embedding", idx),
+          "embedding", "vec_id", idx, q, 10, nprobe = 3)
+      }),
+      "q_stats_by_source" -> ((s, d) => {
+        import s.implicits._
+        graft.synth.TokenSynth.dataset(s, 3000)
+          .groupByKey(_.source).agg(graft.stats.TokenStatsAgg.toColumn)
+          .toDF("source", "stats")
+          .select(col("source"), col("stats.rows").as("rows"),
+            col("stats.totalTokens").as("total_tokens"),
+            col("stats.minTok").as("min_tok"), col("stats.maxTok").as("max_tok"),
+            col("stats.maxRun").as("max_run"))
+          .orderBy("source")
+      })
+    )
+
   /** DuckDB-dialect oracles. Tables are registered by bare name over
     * the same parquet files; engine-internal intermediates are read
     * back from the /tmp/graft_oracle_side parquet the queries dump

@@ -22,8 +22,11 @@ object QueryTime {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_BENCH_MODE=1 times the no-dump bench variants
+    val qmap = if (sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("1"))
+      graft.SparkEntry.benchQueries else graft.SparkEntry.queries
     names.foreach { n =>
-      val fn = graft.SparkEntry.queries(n)
+      val fn = qmap(n)
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
