@@ -110,6 +110,25 @@ object SparkEntry {
           count(lit(1)).cast("long").as("n_lineitems"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
+    "q_part_promo" -> ((s, d) => {
+      // TPC-H Q14-shaped promo-revenue ratio: lineitem x part with a
+      // LIKE filter on p_type and a date-range filter pushed to the
+      // lineitem scan; part is the build side (dim-sized vs the fact).
+      // Decimal sums end-to-end; the ratio divides as double at the end.
+      val li = t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+      val p = t(s, d, "part")
+      val rev = (col("l_extendedprice").cast("decimal(18,2)")
+        * (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .agg(
+          round(lit(100.0)
+            * sum(when(p("p_type").like("PROMO%"), rev)
+                .otherwise(lit(0).cast("decimal(18,6)"))).cast("double")
+            / sum(rev).cast("double"), 6).as("promo_revenue"),
+          count(lit(1)).cast("long").as("n_lineitems"))
+    }),
     "q_frequency" -> ((s, d) =>
       UndatumOps.frequency(t(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"))),
     "q_rollup" -> ((s, d) =>
@@ -574,6 +593,19 @@ object SparkEntry {
         |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o.o_orderdate < TIMESTAMP '1999-01-01'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_part_promo" ->
+      """SELECT round(100.0
+        |  * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+        |      THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |        * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |        * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+        |  6) AS promo_revenue,
+        |CAST(count(*) AS BIGINT) AS n_lineitems
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin,
     "q_frequency" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS count
         |FROM lineitem GROUP BY 1,2 ORDER BY count, l_returnflag, l_linestatus""".stripMargin,
