@@ -102,7 +102,20 @@ object Analyzer {
       .withColumn("table_is_flat", lit(isFlat))
   }
 
-  /** Rendered report — the reference's text/json output modes
+  /** JSON string escape: backslash, quote, and control chars — a
+    * field name containing either would otherwise emit malformed JSON.
+    */
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Rendered report — the reference's text/json/yaml output modes
     * (undatum/cmds/analyzer.py:424-471 renders the analyze dict as
     * text or json/yaml). The profile stays a distributed job; only the
     * bounded per-field summary rows are collected for rendering.
@@ -118,12 +131,25 @@ object Analyzer {
           cols.map { c =>
             val v = r.getAs[Any](c)
             val vs = v match {
-              case s: String => "\"" + s + "\""
+              case s: String => "\"" + jsonEscape(s) + "\""
               case other => String.valueOf(other)
             }
-            "\"" + c + "\": " + vs
+            "\"" + jsonEscape(c) + "\": " + vs
           }.mkString("{", ", ", "}")
         }.mkString("[", ",\n ", "]")
+      case "yaml" =>
+        // block-sequence-of-mappings form; strings single-quoted with
+        // the YAML quote-doubling escape
+        rows.map { r =>
+          cols.zipWithIndex.map { case (c, i) =>
+            val v = r.getAs[Any](c)
+            val vs = v match {
+              case s: String => "'" + s.replace("'", "''") + "'"
+              case other => String.valueOf(other)
+            }
+            (if (i == 0) "- " else "  ") + c + ": " + vs
+          }.mkString("\n")
+        }.mkString("\n")
       case _ =>
         val header = f"${"field"}%-12s ${"total"}%10s ${"n_uniq"}%10s " +
           f"${"minlen"}%7s ${"maxlen"}%7s ${"avglen"}%9s ${"share"}%8s  flags"
@@ -139,5 +165,69 @@ object Analyzer {
         }
         (header +: lines.toSeq).mkString("\n")
     }
+  }
+
+  /** A file-level analysis: what was detected and the table behind it.
+    * `df` stays a lazy distributed plan; only detection metadata is
+    * driver-side.
+    */
+  final case class FileAnalysis(path: String, container: String,
+                                format: String, encoding: String,
+                                delimiter: String, df: DataFrame) {
+    def render(mode: String = "text"): String = {
+      val head = Seq(
+        "path" -> path, "container" -> container, "format" -> format,
+        "encoding" -> encoding, "delimiter" -> delimiter)
+      mode match {
+        case "json" =>
+          "{" + head.map { case (k, v) =>
+            "\"" + jsonEscape(k) + "\": \"" + jsonEscape(v) + "\""
+          }.mkString(", ") + ", \"fields\": " + renderReport(df, "json") + "}"
+        case "yaml" =>
+          head.map { case (k, v) => s"$k: '${v.replace("'", "''")}'" }
+            .mkString("\n") + "\nfields:\n" + renderReport(df, "yaml")
+        case _ =>
+          head.map { case (k, v) => f"$k%-10s $v" }.mkString("\n") +
+            "\n\n" + renderReport(df, "text")
+      }
+    }
+  }
+
+  /** The reference's file-level `analyze` entry point
+    * (undatum/cmds/analyzer.py:221-413 composes container detection,
+    * encoding/delimiter sniffing, format dispatch, and the table
+    * profile over one path): container unpack (zip/zst/lz4) ->
+    * extension format dispatch -> bounded-prefix encoding+delimiter
+    * sniff for text formats -> distributed read -> profile. Detection
+    * reads a bounded prefix on the driver (exactly the reference's
+    * 1MB chardet pre-pass); everything per-row stays a Spark plan.
+    */
+  def analyzeFile(spark: org.apache.spark.sql.SparkSession, path: String,
+                  format: String = ""): FileAnalysis = {
+    import graft.sources.{Converter, Sniff}
+    val lower = path.toLowerCase
+    val containers = Seq(".zip", ".zst", ".lz4")
+    val container = containers.find(lower.endsWith).map(_.drop(1)).getOrElse("none")
+    val dataPath = if (container == "none") path else Converter.unpackToTemp(path)
+    val fmt =
+      if (format.nonEmpty) format
+      else {
+        val n = dataPath.toLowerCase
+        if (n.endsWith(".csv") || n.endsWith(".tsv")) "csv"
+        else if (n.endsWith(".jsonl") || n.endsWith(".ndjson")) "jsonl"
+        else if (n.endsWith(".json")) "json"
+        else if (n.endsWith(".xml")) "xml"
+        else if (n.endsWith(".parquet")) "parquet"
+        else if (n.endsWith(".orc")) "orc"
+        else if (n.endsWith(".avro")) "avro"
+        else "csv"
+      }
+    val (enc, delim) =
+      if (fmt == "csv") Sniff.sniffFile(dataPath)
+      else ("UTF-8", "")
+    val df = Converter.read(spark, dataPath,
+      Converter.ReadOptions(fmt, delimiter = if (delim.isEmpty) "," else delim,
+        encoding = enc))
+    FileAnalysis(path, container, fmt, enc, delim, df)
   }
 }

@@ -36,14 +36,22 @@ object Converter {
       case "csv" =>
         // Spark 4 restricts charsets to a safe list unless the legacy
         // flag is on; the reference's corpus includes CP1251 fixtures.
-        // NOTE: this flips a session-level conf and leaves it on — the
-        // read is lazy, so restoring it here would break execution.
-        // The flag only WIDENS accepted charset names; documented
-        // side effect.
-        if (!Set("utf-8", "us-ascii", "iso-8859-1", "utf-16", "utf-16be",
-            "utf-16le", "utf-32").contains(o.encoding.toLowerCase))
-          spark.conf.set("spark.sql.legacy.javaCharsets", "true")
-        spark.read
+        // The read is lazy, so set-then-restore on the caller's
+        // session would break execution — instead the flag is set on a
+        // CLONED session (shared SparkContext/catalog, isolated
+        // SQLConf), so the caller's session is never mutated. The
+        // returned DataFrame is bound to the clone; that only matters
+        // for cross-session combination edge cases, and only on the
+        // exotic-charset path.
+        val sess =
+          if (Set("utf-8", "us-ascii", "iso-8859-1", "utf-16", "utf-16be",
+              "utf-16le", "utf-32").contains(o.encoding.toLowerCase)) spark
+          else {
+            val ns = spark.newSession()
+            ns.conf.set("spark.sql.legacy.javaCharsets", "true")
+            ns
+          }
+        sess.read
           .option("header", o.header.toString)
           .option("sep", o.delimiter)
           .option("encoding", o.encoding)

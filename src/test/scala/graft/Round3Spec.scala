@@ -75,6 +75,56 @@ class Round3Spec extends SparkSpecBase {
     assert(obs.get("rows_dropped").asInstanceOf[Long] == 0L)
   }
 
+  test("analyzeFile composes container + sniff + read + profile") {
+    import spark.implicits._
+    val dir = tmpDir("graft-analyze")
+    val csv = s"$dir/t.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(csv),
+      "id;name\n1;alpha\n2;beta\n3;gamma\n")
+    val zip = s"$dir/t.csv.zip"
+    val zo = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(zip))
+    zo.putNextEntry(new java.util.zip.ZipEntry("t.csv"))
+    zo.write(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(csv)))
+    zo.closeEntry(); zo.close()
+    val a = graft.operators.Analyzer.analyzeFile(spark, zip)
+    assert(a.container == "zip")
+    assert(a.format == "csv")
+    assert(a.encoding == "UTF-8")
+    assert(a.delimiter == ";")
+    assert(a.df.count() == 3)
+    assert(a.df.columns.toSeq == Seq("id", "name"))
+    // text render carries the detection header + the field table
+    val text = a.render("text")
+    assert(text.contains("container  zip") && text.contains("name"))
+    // yaml render is a parseable-looking block sequence
+    val yaml = a.render("yaml")
+    assert(yaml.contains("format: 'csv'") && yaml.contains("- field: 'id'"))
+  }
+
+  test("renderReport json escapes quotes and backslashes in names") {
+    import spark.implicits._
+    val df = Seq(("x", 1L)).toDF("a\"b\\c", "n")
+    val json = graft.operators.Analyzer.renderReport(df, "json")
+    // must be machine-parseable despite the hostile field name
+    val parsed = spark.read.json(Seq(json).toDS)
+    assert(parsed.count() == 2)
+    assert(parsed.columns.contains("field"))
+  }
+
+  test("exotic-charset csv read does not mutate the caller's session") {
+    val dir = tmpDir("graft-cp1251")
+    val f = s"$dir/ru.csv"
+    java.nio.file.Files.write(java.nio.file.Paths.get(f),
+      "id,word\n1,данные\n".getBytes("windows-1251"))
+    spark.conf.unset("spark.sql.legacy.javaCharsets")
+    val back = graft.sources.Converter.read(spark, f,
+      graft.sources.Converter.ReadOptions("csv", encoding = "windows-1251"))
+    assert(back.collect().map(_.getString(1)).toSeq == Seq("данные"))
+    // the flag went to a cloned session only
+    assert(spark.conf.getOption("spark.sql.legacy.javaCharsets").isEmpty
+      || spark.conf.get("spark.sql.legacy.javaCharsets") == "false")
+  }
+
   test("simhash cap drops are reported from the query itself") {
     import spark.implicits._
     val flood = (0L until 50L).map(i => (i, "same text every time " * 8))
