@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions._
   * Contract: right must be unique per (key, ts) — pre-aggregate
   * otherwise (same requirement DuckDB's ASOF JOIN places). Ties
   * (right.ts == left.ts) match, i.e. the inequality is inclusive.
+  *
+  * NULL semantics: the right row's value columns are packed into ONE
+  * struct before the window fill, so the carry-forward selects a
+  * whole right ROW — the struct is non-null for every right row even
+  * when its fields are NULL. A matched right row with a NULL value
+  * therefore yields NULL (exactly what a real ASOF JOIN returns), and
+  * multiple value columns always come from the SAME matched row. A
+  * per-column `last(ignoreNulls)` fill would instead leak an older
+  * non-null value through a matched NULL, and could mix columns from
+  * different right rows.
   */
 object AsofJoin {
 
@@ -30,22 +40,25 @@ object AsofJoin {
     val rCols = right.columns.filterNot(c => c == key || c == ts).toSeq
     val lCols = left.columns.toSeq
     require(rCols.nonEmpty, "right side has no value columns")
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rCols.map(c => right.schema(right.schema.fieldIndex(c))))
     val lt = left
-      .select((lCols.map(col) :+ lit(1).as("__side")) ++
-        rCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+      .select(lCols.map(col) :+ lit(1).as("__side")
+        :+ lit(null).cast(rStructType).as("__r"): _*)
     val rt = right
-      .select((lCols.map(c =>
+      .select(lCols.map(c =>
         if (c == key || c == ts) col(c)
-        else lit(null).cast(left.schema(c).dataType).as(c)) :+ lit(0).as("__side")) ++
-        rCols.map(c => col(c).as(s"__r_$c")): _*)
+        else lit(null).cast(left.schema(c).dataType).as(c))
+        :+ lit(0).as("__side")
+        :+ struct(rCols.map(col): _*).as("__r"): _*)
     // right rows sort before left rows at equal ts (side 0 < 1), so a
     // same-timestamp right row is visible to the left row — inclusive
     val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rCols.foldLeft(lt.unionByName(rt)) { (d, c) =>
-      d.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val filled = lt.unionByName(rt)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
     filled.where(col("__side") === 1)
-      .select(lCols.map(col) ++ rCols.map(c => col(s"__r_$c").as(s"$c$suffix")): _*)
+      .select(lCols.map(col) ++
+        rCols.map(c => col("__r").getField(c).as(s"$c$suffix")): _*)
   }
 }

@@ -125,6 +125,24 @@ class Round3Spec extends SparkSpecBase {
       || spark.conf.get("spark.sql.legacy.javaCharsets") == "false")
   }
 
+  test("asofJoin carries the matched right ROW, not per-column fills") {
+    import spark.implicits._
+    // right: (ts=1, v=10, w="a") then (ts=2, v=NULL, w="b") — a left
+    // row at ts=3 matches the ts=2 ROW: v must be NULL (not 10
+    // leaking through) and w must be "b" from the SAME row
+    val right = Seq((1L, 1L, Option(10L), "a"), (1L, 2L, None, "b"))
+      .toDF("k", "ts", "v", "w")
+    val left = Seq((1L, 3L), (1L, 1L), (2L, 5L)).toDF("k", "ts")
+    val out = graft.operators.AsofJoin.asofJoin(left, right, "k", "ts")
+      .orderBy("k", "ts").collect()
+    // left (1,1): matches right ts=1 -> v=10, w=a
+    assert(out(0).getLong(2) == 10L && out(0).getString(3) == "a")
+    // left (1,3): matches right ts=2 -> v=NULL, w=b
+    assert(out(1).isNullAt(2) && out(1).getString(3) == "b")
+    // left (2,5): no right row for key -> both NULL
+    assert(out(2).isNullAt(2) && out(2).isNullAt(3))
+  }
+
   test("simhash cap drops are reported from the query itself") {
     import spark.implicits._
     val flood = (0L until 50L).map(i => (i, "same text every time " * 8))
