@@ -50,7 +50,18 @@ object TokenEncoder {
       // cache the input across the plan/encode passes; disable for
       // parquet-backed inputs where a pruned re-scan is cheaper than
       // materializing every column into executor memory
-      cacheInput: Boolean = true
+      cacheInput: Boolean = true,
+      // skip the partId shuffle: sort WITHIN each input partition by
+      // partId and chunk contiguous runs into blocks. Correct on ANY
+      // layout (blocks stay partId-pure; the lineage commit is per-run
+      // atomic, so a partId spanning input partitions still resumes
+      // exactly) — but only FAST when the input is already
+      // source-clustered (e.g. a previous stage wrote
+      // partitionBy(source) or repartition(partId)): on a mixed layout
+      // each input partition holds rows of many partIds, the runs are
+      // short, and the blocks come out tiny (poor compression). The
+      // caller asserts the layout, not this flag.
+      noShuffle: Boolean = false
   )
 
   /** Deterministic 64-bit string hash (FNV-1a) — stable across runs,
@@ -135,68 +146,104 @@ object TokenEncoder {
         ds.filter(r => idsB.contains(partIdOf(planB, r)))
       case None => ds
     }
-    filtered
+    val packed = filtered
       .map(r => PackedRow(partIdOf(planB, r), r.doc_id, r.source,
         packTokens(r.tokens, r.n_tok), r.n_tok))
+    if (cfgB.noShuffle)
+      // no exchange: a within-partition sort clusters each input
+      // partition's rows by partId, then contiguous runs chunk into
+      // partId-pure blocks. blockIds carry the task partition index —
+      // the same partId may emit blocks from several input partitions
+      packed
+        .sortWithinPartitions("partId")
+        .mapPartitions { rows =>
+          val buf = rows.buffered
+          val taskPid = org.apache.spark.TaskContext.getPartitionId()
+          new Iterator[EncodedBlock] {
+            private var blockSeq = 0
+            def hasNext: Boolean = buf.hasNext
+            def next(): EncodedBlock = {
+              val partId = buf.head.partId
+              val b = fillBlock(buf, cfgB, runIdB, partId,
+                s"$runIdB-$partId-p$taskPid-$blockSeq", blockSeq)
+              blockSeq += 1
+              b
+            }
+          }
+        }
+    else packed
       .groupByKey(_.partId)
       .flatMapGroups { (partId: Int, rows: Iterator[PackedRow]) =>
+        val buf = rows.buffered
         new Iterator[EncodedBlock] {
           private var blockSeq = 0
-          def hasNext: Boolean = rows.hasNext
+          def hasNext: Boolean = buf.hasNext
           def next(): EncodedBlock = {
-            val t0 = System.nanoTime()
-            // pull rows until the block is full
-            val docIds = new scala.collection.mutable.ArrayBuffer[String]()
-            val srcs = new scala.collection.mutable.ArrayBuffer[String]()
-            val lens = new ByteBuf(4096)
-            var tokBuf = new Array[Int](math.min(cfgB.blockTokens, 1 << 16))
-            var nTok = 0
-            var nRows = 0
-            while (rows.hasNext && nTok < cfgB.blockTokens && nRows < cfgB.blockRows) {
-              val r = rows.next()
-              docIds += r.doc_id
-              srcs += r.source
-              lens.writeVarInt(r.n_tok)
-              if (nTok + r.n_tok > tokBuf.length) {
-                var cap = math.max(tokBuf.length * 2, 1 << 16)
-                while (cap < nTok + r.n_tok) cap *= 2
-                tokBuf = java.util.Arrays.copyOf(tokBuf, cap)
-              }
-              val tr = new ByteReader(r.tok)
-              var k = 0
-              while (k < r.n_tok) { tokBuf(nTok + k) = tr.readZigZag(); k += 1 }
-              nTok += r.n_tok
-              nRows += 1
-            }
-            val be = BlockCodec.encodeAuto(tokBuf, nTok, cfgB.zstd)
-            val lensEnc = lens.toArray
-            val idsEnc = graft.codec.StringCols.encodeDocIds(docIds.toArray, nRows)
-            val srcsEnc = graft.codec.StringCols.encodeSources(srcs.toArray, nRows)
-            val b = EncodedBlock(
-              blockId = s"$runIdB-$partId-$blockSeq",
-              runId = runIdB,
-              partId = partId,
-              blockSeq = blockSeq,
-              codecId = be.codecId,
-              postCodec = be.postCodec,
-              symtab = be.symtab,
-              payload = be.payload,
-              lengthsEnc = lensEnc,
-              docIdsEnc = idsEnc,
-              sourcesEnc = srcsEnc,
-              blockRows = nRows,
-              totalTokens = nTok.toLong,
-              rawBytes = 4L * nTok,
-              encodedBytes = be.encodedBytes + lensEnc.length,
-              metaBytes = idsEnc.length.toLong + srcsEnc.length,
-              encodeMillis = (System.nanoTime() - t0) / 1000000L,
-              checksum = BlockCodec.checksum(tokBuf, nTok)
-            )
+            val b = fillBlock(buf, cfgB, runIdB, partId,
+              s"$runIdB-$partId-$blockSeq", blockSeq)
             blockSeq += 1
             b
           }
         }
       }
+  }
+
+  /** Pull rows off `buf` into one encoded block: stops at block-size
+    * limits or when the head row's partId changes (the no-shuffle
+    * path's run boundary; in the grouped path every row shares the
+    * partId, so the condition is vacuous there).
+    */
+  private def fillBlock(buf: BufferedIterator[PackedRow], cfgB: EncodeConfig,
+                        runIdB: String, partId: Int, blockId: String,
+                        blockSeq: Int): EncodedBlock = {
+    val t0 = System.nanoTime()
+    val docIds = new scala.collection.mutable.ArrayBuffer[String]()
+    val srcs = new scala.collection.mutable.ArrayBuffer[String]()
+    val lens = new ByteBuf(4096)
+    var tokBuf = new Array[Int](math.min(cfgB.blockTokens, 1 << 16))
+    var nTok = 0
+    var nRows = 0
+    while (buf.hasNext && buf.head.partId == partId
+        && nTok < cfgB.blockTokens && nRows < cfgB.blockRows) {
+      val r = buf.next()
+      docIds += r.doc_id
+      srcs += r.source
+      lens.writeVarInt(r.n_tok)
+      if (nTok + r.n_tok > tokBuf.length) {
+        var cap = math.max(tokBuf.length * 2, 1 << 16)
+        while (cap < nTok + r.n_tok) cap *= 2
+        tokBuf = java.util.Arrays.copyOf(tokBuf, cap)
+      }
+      val tr = new ByteReader(r.tok)
+      var k = 0
+      while (k < r.n_tok) { tokBuf(nTok + k) = tr.readZigZag(); k += 1 }
+      nTok += r.n_tok
+      nRows += 1
+    }
+    val be = BlockCodec.encodeAuto(tokBuf, nTok, cfgB.zstd)
+    val lensEnc = lens.toArray
+    val idsEnc = graft.codec.StringCols.encodeDocIds(docIds.toArray, nRows)
+    val srcsEnc = graft.codec.StringCols.encodeSources(srcs.toArray, nRows)
+    EncodedBlock(
+      blockId = blockId,
+      runId = runIdB,
+      partId = partId,
+      blockSeq = blockSeq,
+      codecId = be.codecId,
+      postCodec = be.postCodec,
+      symtab = be.symtab,
+      payload = be.payload,
+      lengthsEnc = lensEnc,
+      docIdsEnc = idsEnc,
+      sourcesEnc = srcsEnc,
+      blockRows = nRows,
+      totalTokens = nTok.toLong,
+      rawBytes = 4L * nTok,
+      encodedBytes = be.encodedBytes + lensEnc.length,
+      metaBytes = idsEnc.length.toLong + srcsEnc.length,
+      encodeMillis = (System.nanoTime() - t0) / 1000000L,
+      checksum = BlockCodec.checksum(tokBuf, nTok)
+    )
   }
 
   /** Partitions fully processed by earlier runs: the union of
@@ -233,15 +280,25 @@ object TokenEncoder {
       }.toMap
     } else {
       val plan = partitionPlan(ds, targetRowsPerPart)
-      f.getParentFile.mkdirs()
-      val tmp = new java.io.File(s"$outDir/plan.json.tmp")
-      java.nio.file.Files.write(tmp.toPath,
-        plan.toSeq.sortBy(_._1)
-          .map { case (src, (b, s)) => s"$src\t$b\t$s" }
-          .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      require(tmp.renameTo(f) || f.exists(), s"cannot commit plan.json in $outDir")
+      savePlan(plan, outDir)
       plan
     }
+  }
+
+  /** Persist a plan as the output dir's pinned plan.json — lets a
+    * caller that computed (or inherited) a plan from a previous stage
+    * pin it before `run`, e.g. when the input files are already laid
+    * out by that plan's partIds and the encode runs with noShuffle.
+    */
+  def savePlan(plan: Map[String, (Int, Int)], outDir: String): Unit = {
+    val f = new java.io.File(s"$outDir/plan.json")
+    f.getParentFile.mkdirs()
+    val tmp = new java.io.File(s"$outDir/plan.json.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      plan.toSeq.sortBy(_._1)
+        .map { case (src, (b, s)) => s"$src\t$b\t$s" }
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    require(tmp.renameTo(f) || f.exists(), s"cannot commit plan.json in $outDir")
   }
 
   /** Full encode with resume: skips partitions already committed in the

@@ -143,6 +143,41 @@ class Round3Spec extends SparkSpecBase {
     assert(out(2).isNullAt(2) && out(2).isNullAt(3))
   }
 
+  test("no-shuffle encode round-trips, stays partId-pure, resumes exactly") {
+    import graft.encode.{TokenDecoder, TokenEncoder}
+    val ds = graft.synth.TokenSynth.dataset(spark, 2000)
+    val out = tmpDir("graft-noshuf")
+    val cfg = TokenEncoder.EncodeConfig(targetRowsPerPart = 500, noShuffle = true)
+    val lin = TokenEncoder.run(ds, out, cfg)
+    assert(lin.count() > 0)
+    // blocks are partId-pure by construction; checksums verify decode
+    val back = TokenDecoder.read(spark, out, verifyChecksums = true)
+    assert(ds.toDF().exceptAll(back.toDF()).count() == 0)
+    assert(back.toDF().exceptAll(ds.toDF()).count() == 0)
+    // second run: everything committed -> nothing re-encoded
+    assert(TokenEncoder.run(ds, out, cfg).count() == 0)
+  }
+
+  test("no-shuffle encode on pre-clustered input emits full blocks") {
+    import spark.implicits._
+    import graft.encode.TokenEncoder
+    val ds = graft.synth.TokenSynth.dataset(spark, 3000)
+    val plan = TokenEncoder.partitionPlan(ds, 1000)
+    // a previous stage wrote the table clustered by source — model it
+    // with a repartition on source (untimed staging in the real flow)
+    val clustered = ds.repartition(8, col("source"))
+      .as[graft.model.TokenRow]
+    val blocks = TokenEncoder.encodeBlocks(clustered, plan,
+      TokenEncoder.EncodeConfig(targetRowsPerPart = 1000, noShuffle = true))
+    val stats = blocks.groupBy("partId")
+      .agg(count(lit(1)).as("n_blocks"), sum("blockRows").as("rows"))
+      .collect()
+    // every partId's rows landed in O(1) blocks, not hundreds of slivers
+    assert(stats.forall(r => r.getLong(1) > 0))
+    val slivers = blocks.where(col("blockRows") < 10).count()
+    assert(slivers <= stats.length) // at most one tail sliver per partId
+  }
+
   test("simhash cap drops are reported from the query itself") {
     import spark.implicits._
     val flood = (0L until 50L).map(i => (i, "same text every time " * 8))
