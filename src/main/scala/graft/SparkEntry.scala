@@ -313,6 +313,16 @@ object SparkEntry {
       Dedup.jaccardWithinStaged(t(s, d, "documents"), "doc_id", "text",
         "source", s"$sideDir/jaccard_stage", shingleN = 2, threshold = 0.05)
         .orderBy("id_a", "id_b")),
+    "q_dedup_clusters" -> ((s, d) =>
+      // transitive near-dup clusters: exact jaccard pairs (the
+      // q_jaccard_within config) -> connected components by min-label
+      // propagation. The oracle recomputes the same pairs in pure SQL
+      // and resolves components with a recursive CTE — fully
+      // independent, no side channel.
+      Dedup.connectedComponents(
+        Dedup.jaccardWithinStaged(t(s, d, "documents"), "doc_id", "text",
+          "source", s"$sideDir/jaccard_stage_cc", shingleN = 2, threshold = 0.05))
+        .orderBy("id", "cluster")),
     // ---- embeddings / similarity ----------------------------------
     "q_embed_norm" -> ((s, d) =>
       t(s, d, "embeddings")
@@ -324,6 +334,15 @@ object SparkEntry {
       val q = emb.where(col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0).toArray
       Similarity.bruteTopK(emb, "embedding", "vec_id", q, 10)
+    }),
+    "q_ann_batch" -> ((s, d) => {
+      // batched exact search: 5 query vectors, one corpus scan,
+      // broadcast queries, per-query window top-k
+      val emb = t(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteTopKBatch(emb, "embedding", "vec_id", qs, "qid", "qvec", 5)
+        .orderBy("qid", "vec_id")
     }),
     "q_ann_lsh" -> ((s, d) => {
       // the SCANNED subset (query bucket + hamming-1 probes) dumps to
@@ -858,6 +877,26 @@ object SparkEntry {
         |  WHERE len(a.sh) + len(b.sh) > 0)
         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM p
         |WHERE jac >= 0.05 ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, source,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id, source, CASE WHEN len(ws) >= 2
+        |  THEN list_distinct(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1]))
+        |  ELSE [] END sh FROM w),
+        |p AS (SELECT a.doc_id id_a, b.doc_id id_b
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(a.sh) + len(b.sh) > 0
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.05),
+        |e AS (SELECT id_a a, id_b b FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN e ON reach.id = e.a)
+        |SELECT id, min(r) AS cluster FROM reach GROUP BY id
+        |ORDER BY id, cluster""".stripMargin,
     "q_minhash_pairs" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') ws
@@ -900,6 +939,19 @@ object SparkEntry {
         |                           list_transform(b.embedding, x -> CAST(x AS DOUBLE))))
         |     * sqrt(list_dot_product(q.qe, q.qe))), 3) AS sim
         |FROM embeddings b, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_batch" ->
+      """WITH q AS (SELECT vec_id qid,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) qe
+        |  FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid, b.vec_id, round(
+        |  list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)), q.qe)
+        |  / (sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+        |                           list_transform(b.embedding, x -> CAST(x AS DOUBLE))))
+        |     * sqrt(list_dot_product(q.qe, q.qe))), 3) AS sim
+        |  FROM embeddings b, q),
+        |r AS (SELECT qid, vec_id, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn FROM s)
+        |SELECT qid, vec_id, sim FROM r WHERE rn <= 5 ORDER BY qid, vec_id""".stripMargin,
     "q_ann_lsh" ->
       """WITH s AS (SELECT vec_id, embedding
         |  FROM read_parquet('/tmp/graft_oracle_side/annlsh_scan/*.parquet')),

@@ -273,6 +273,71 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Transitive near-dup CLUSTERS from verified pairs: connected
+    * components by iterative min-label propagation — each vertex
+    * repeatedly adopts the smallest label among itself and its
+    * neighbors until a sweep changes nothing, so every member ends up
+    * labeled with its component's minimum id. O(component diameter)
+    * sweeps; near-dup graphs are dense clumps with tiny diameters, so
+    * this converges in 2-3 sweeps in practice. Each sweep is one
+    * shuffle join on the pair list (bare 8-byte ids), localCheckpointed
+    * so the iterative plan's lineage stays flat. (At extreme skew —
+    * one vertex in millions of pairs — the alternating
+    * small-star/large-star formulation [Kiveris et al., CC in
+    * MapReduce, public] bounds the hot vertex; the propagation loop
+    * here shares its shuffle structure.)
+    *
+    * Returns (id, cluster) for every id that appears in a pair;
+    * singletons are their own implicit cluster (absent from output).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // undirected: both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("cluster")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .where(col("cluster") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-dup removal with CANONICAL cluster semantics: one survivor
+    * (the minimum id) per transitive near-dup cluster — the
+    * fixed-point form of `removeNearDuplicates` (whose greedy
+    * pair-loser rule can over-remove on chains: in a path a-b-c the
+    * greedy form drops both b and c even though c never paired with
+    * the survivor a; this form keeps exactly one per component).
+    */
+  def removeNearDuplicatesCC(df: DataFrame, idCol: String, textCol: String,
+                             shingleN: Int = 3, k: Int = 64, bands: Int = 0,
+                             threshold: Double = 0.7,
+                             maxBucket: Int = 64): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, shingleN, k, bands,
+      threshold, maxBucket)
+    val losers = connectedComponents(pairs)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Diagnostic: what the maxBucket skew cap silently drops — bucket
     * count, capped-bucket count, and rows over the cap. Surfaces the
     * recall cost of the cap as a metric instead of a silent truncation.

@@ -35,6 +35,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched exact top-k: many query vectors against the corpus in
+    * ONE scan. The query set is broadcast (it is the small side by
+    * definition); each corpus row scores against every query, then a
+    * per-query window keeps the top k. The window shuffles only
+    * (qid, id, sim) scalars — ~24 bytes per scored pair, never the
+    * vectors — so at 10^12 rows x Q queries the shuffle is bounded by
+    * Q x corpus scalars; chunk the query set when Q itself is large.
+    * One scan for Q queries vs Q scans of `bruteTopK` is the batch
+    * win.
+    */
+  def bruteTopKBatch(df: DataFrame, vecCol: String, idCol: String,
+                     queries: DataFrame, qidCol: String, qvecCol: String,
+                     k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col(qidCol).as("qid"), col(qvecCol).as("__qvec")))
+    val scored = df.crossJoin(q)
+      .select(col("qid"), col(idCol),
+        round(cosine(col(vecCol), col("__qvec")), 3).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col(idCol))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k).drop("__rn")
+  }
+
   /** All pairs with cosine >= threshold within a blocking column
     * (e.g. a label or an LSH bucket) — embedding-cosine near-dup.
     *

@@ -178,6 +178,34 @@ class Round3Spec extends SparkSpecBase {
     assert(slivers <= stats.length) // at most one tail sliver per partId
   }
 
+  test("connectedComponents resolves chains and separate components") {
+    import spark.implicits._
+    // two components: a chain 1-2-3-4 and a pair 10-11; 99 is isolated
+    // (absent from pairs, so absent from output)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("removeNearDuplicatesCC keeps exactly one survivor per cluster") {
+    import spark.implicits._
+    // three near-identical docs forming a transitive cluster + one
+    // distinct doc; CC keeps the min id of the cluster and the loner
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (9L, "completely different content about columnar token encoding"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.removeNearDuplicatesCC(docs, "doc_id", "text",
+      shingleN = 2, threshold = 0.5)
+      .select("doc_id").orderBy("doc_id").as[Long].collect()
+    assert(kept.toSeq == Seq(1L, 9L))
+  }
+
   test("simhash cap drops are reported from the query itself") {
     import spark.implicits._
     val flood = (0L until 50L).map(i => (i, "same text every time " * 8))
