@@ -38,12 +38,13 @@ object Similarity {
   /** Batched exact top-k: many query vectors against the corpus in
     * ONE scan. The query set is broadcast (it is the small side by
     * definition); each corpus row scores against every query, then a
-    * per-query window keeps the top k. The window shuffles only
-    * (qid, id, sim) scalars — ~24 bytes per scored pair, never the
-    * vectors — so at 10^12 rows x Q queries the shuffle is bounded by
-    * Q x corpus scalars; chunk the query set when Q itself is large.
+    * per-query window keeps the top k. Catalyst inserts
+    * WindowGroupLimit BELOW the exchange (rank-limit pushdown, plan
+    * asserted by the q_ann_batch explain), so each input partition
+    * ships at most k (qid, id, sim) scalar rows per query — the
+    * shuffle is O(partitions x Q x k), independent of corpus size.
     * One scan for Q queries vs Q scans of `bruteTopK` is the batch
-    * win.
+    * win; chunk the query set when Q itself is large.
     */
   def bruteTopKBatch(df: DataFrame, vecCol: String, idCol: String,
                      queries: DataFrame, qidCol: String, qvecCol: String,
