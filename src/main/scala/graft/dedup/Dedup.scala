@@ -299,6 +299,15 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
+    // labels only ever DECREASE (next = min(old, neighbors)), so the
+    // label sum strictly decreases on any change — an equal sum IS the
+    // fixed point. One scalar agg per sweep instead of a join+count.
+    // decimal(38,0) sum: 10^12 long ids would overflow a long sum
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("cluster").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -310,10 +319,10 @@ object Dedup {
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
-        .where(col("cluster") =!= col("old")).count()
+      val s = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
     }
     labels
