@@ -454,6 +454,26 @@ object SparkEntry {
           min(length(col("frame_bytes"))).cast("int").as("min_len"))
         .orderBy("frame_idx")
     }),
+    "q_analyze_file" -> ((s, d) => {
+      // end-to-end file-level analyze: documents -> one csv file ->
+      // zip container -> analyzeFile (container unpack + sniff + read)
+      // -> profile. The oracle computes the same profile from the
+      // documents table directly — csv round-trip parity is the
+      // q_convert_roundtrip invariant.
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft-qanalyze").toString
+      graft.sources.Converter.write(docs.coalesce(1), s"$dir/csv", "csv")
+      val part = new java.io.File(s"$dir/csv").listFiles()
+        .filter(_.getName.endsWith(".csv")).head
+      val zip = s"$dir/documents.csv.zip"
+      val zo = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(zip))
+      zo.putNextEntry(new java.util.zip.ZipEntry("documents.csv"))
+      java.nio.file.Files.copy(part.toPath, zo)
+      zo.closeEntry(); zo.close()
+      val a = graft.operators.Analyzer.analyzeFile(s, zip)
+      graft.operators.Analyzer.report(a.df, Seq("lang", "source", "text"))
+        .orderBy("field")
+    }),
     "q_schema_fingerprint" -> ((s, d) =>
       // md5 form (DuckDB-verifiable); Analyzer.schemaFingerprint keeps
       // the reference's xxhash64 identity for the Spark-side hot path
@@ -663,6 +683,31 @@ object SparkEntry {
         |  round(100.0*n_uniq/total,4) AS share_uniq,
         |  n_uniq = total AS is_uniq,
         |  round(100.0*n_uniq/total,4) < 70.0 AS is_dictkey
+        |FROM f ORDER BY field""".stripMargin,
+    "q_analyze_file" ->
+      """WITH f AS (
+        |  SELECT 'lang' AS field, CAST(count(lang) AS BIGINT) total,
+        |    CAST(count(DISTINCT lang) AS BIGINT) n_uniq,
+        |    CAST(min(length(lang)) AS BIGINT) minlen,
+        |    CAST(max(length(lang)) AS BIGINT) maxlen,
+        |    round(avg(length(lang)),4) avglen FROM documents
+        |  UNION ALL
+        |  SELECT 'source', CAST(count(source) AS BIGINT),
+        |    CAST(count(DISTINCT source) AS BIGINT),
+        |    CAST(min(length(source)) AS BIGINT),
+        |    CAST(max(length(source)) AS BIGINT),
+        |    round(avg(length(source)),4) FROM documents
+        |  UNION ALL
+        |  SELECT 'text', CAST(count(text) AS BIGINT),
+        |    CAST(count(DISTINCT text) AS BIGINT),
+        |    CAST(min(length(text)) AS BIGINT),
+        |    CAST(max(length(text)) AS BIGINT),
+        |    round(avg(length(text)),4) FROM documents)
+        |SELECT field, total, n_uniq, minlen, maxlen, avglen,
+        |  round(100.0*n_uniq/total,4) AS share_uniq,
+        |  n_uniq = total AS is_uniq,
+        |  round(100.0*n_uniq/total,4) < 70.0 AS is_dictkey,
+        |  true AS table_is_flat
         |FROM f ORDER BY field""".stripMargin,
     "q_select" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
