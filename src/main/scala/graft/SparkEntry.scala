@@ -282,6 +282,23 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), TextOps.fingerprintHex(col("text")).as("fp"))
         .orderBy("doc_id")),
+    "q_pack_sequences" -> ((s, d) => {
+      // concat-and-chunk sequence packing over whitespace token
+      // counts: per-source deterministic order, 256-token sequences,
+      // per-doc chunk span (split docs straddle a cut)
+      val docs = t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tok"))
+      graft.encode.Packing.packSequences(docs, "doc_id", "n_tok", "source", 256)
+        .orderBy("id")
+    }),
+    "q_pack_stats" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tok"))
+      graft.encode.Packing.packingStats(docs, "doc_id", "n_tok", "source", 256)
+        .orderBy("grp")
+    }),
     // ---- dedup ----------------------------------------------------
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactDedup(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")),
@@ -922,6 +939,39 @@ object SparkEntry {
         |  WHERE len(a.sh) + len(b.sh) > 0)
         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM p
         |WHERE jac >= 0.05 ORDER BY id_a, id_b""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH tc AS (SELECT source grp, doc_id id,
+        |  CAST(len(list_filter(string_split_regex(text,'\s+'), x -> x <> '')) AS BIGINT) n_tok
+        |  FROM documents),
+        |c AS (SELECT grp, id, n_tok,
+        |  sum(n_tok) OVER (PARTITION BY grp ORDER BY id ROWS UNBOUNDED PRECEDING) cum
+        |  FROM tc),
+        |sp AS (SELECT grp, id, n_tok,
+        |  CAST(floor((cum - n_tok)/256.0) AS BIGINT) seq_first,
+        |  CASE WHEN n_tok > 0 THEN CAST(floor((cum - 1)/256.0) AS BIGINT)
+        |       ELSE CAST(floor((cum - n_tok)/256.0) AS BIGINT) END seq_last
+        |  FROM c)
+        |SELECT grp, id, n_tok, seq_first, seq_last,
+        |  CASE WHEN n_tok > 0 THEN seq_last - seq_first + 1
+        |       ELSE CAST(0 AS BIGINT) END AS spans
+        |FROM sp ORDER BY id""".stripMargin,
+    "q_pack_stats" ->
+      """WITH tc AS (SELECT source grp, doc_id id,
+        |  CAST(len(list_filter(string_split_regex(text,'\s+'), x -> x <> '')) AS BIGINT) n_tok
+        |  FROM documents),
+        |c AS (SELECT grp, id, n_tok,
+        |  sum(n_tok) OVER (PARTITION BY grp ORDER BY id ROWS UNBOUNDED PRECEDING) cum
+        |  FROM tc),
+        |sp AS (SELECT grp, id, n_tok,
+        |  CAST(floor((cum - n_tok)/256.0) AS BIGINT) seq_first,
+        |  CASE WHEN n_tok > 0 THEN CAST(floor((cum - 1)/256.0) AS BIGINT)
+        |       ELSE CAST(floor((cum - n_tok)/256.0) AS BIGINT) END seq_last
+        |  FROM c)
+        |SELECT grp, CAST(ceil(sum(n_tok)/256.0) AS BIGINT) AS n_seqs,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n_tok > 0 AND seq_last - seq_first + 1 > 1
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS split_docs
+        |FROM sp GROUP BY grp ORDER BY grp""".stripMargin,
     "q_dedup_clusters" ->
       """WITH RECURSIVE w AS (SELECT doc_id, source,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') ws

@@ -206,6 +206,27 @@ class Round3Spec extends SparkSpecBase {
     assert(kept.toSeq == Seq(1L, 9L))
   }
 
+  test("packSequences: boundary, straddle, and empty-doc spans") {
+    import spark.implicits._
+    import graft.encode.Packing
+    // group g: docs of 4, 4, 3, 0, 5 tokens at seqLen 4 ->
+    //   doc 1 fills chunk 0 exactly; doc 2 fills chunk 1; doc 3 sits
+    //   in chunk 2; doc 4 is empty (spans 0, pinned at cursor);
+    //   doc 5 straddles chunks 2-3
+    val docs = Seq(("g", 1L, 4L), ("g", 2L, 4L), ("g", 3L, 3L),
+      ("g", 4L, 0L), ("g", 5L, 5L)).toDF("src", "id", "n")
+    val out = Packing.packSequences(docs, "id", "n", "src", 4)
+      .orderBy("id")
+      .select("seq_first", "seq_last", "spans")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 0L, 1L), (1L, 1L, 1L), (2L, 2L, 1L),
+      (2L, 2L, 0L), (2L, 3L, 2L)))
+    val stats = Packing.packingStats(docs, "id", "n", "src", 4).collect()(0)
+    assert(stats.getLong(1) == 4L) // ceil(16/4) sequences
+    assert(stats.getLong(2) == 5L) // docs
+    assert(stats.getLong(3) == 1L) // one straddler
+  }
+
   test("simhash cap drops are reported from the query itself") {
     import spark.implicits._
     val flood = (0L until 50L).map(i => (i, "same text every time " * 8))
