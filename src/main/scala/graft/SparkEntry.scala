@@ -282,6 +282,18 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), TextOps.fingerprintHex(col("text")).as("fp"))
         .orderBy("doc_id")),
+    "q_vocab_topk" -> ((s, d) =>
+      // corpus vocabulary head — the BPE-training precursor: explode
+      // whitespace tokens, count, top-20. Map-side partial aggregation
+      // makes the shuffle carry (word, partial count), not the corpus;
+      // at 10^12 rows you'd hash words to longs first (xxhash64) so
+      // the shuffle key is 8 bytes — raw words kept here so DuckDB
+      // verifies values
+      t(s, d, "documents")
+        .select(explode(filter(split(lower(col("text")), "\\s+"),
+          w => w =!= lit(""))).as("w"))
+        .groupBy("w").agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("n").desc, col("w")).limit(20)),
     "q_pack_sequences" -> ((s, d) => {
       // concat-and-chunk sequence packing over whitespace token
       // counts: per-source deterministic order, 256-token sequences,
@@ -939,6 +951,12 @@ object SparkEntry {
         |  WHERE len(a.sh) + len(b.sh) > 0)
         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM p
         |WHERE jac >= 0.05 ORDER BY id_a, id_b""".stripMargin,
+    "q_vocab_topk" ->
+      """SELECT w, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(list_filter(
+        |  string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+        |  FROM documents)
+        |GROUP BY w ORDER BY n DESC, w LIMIT 20""".stripMargin,
     "q_pack_sequences" ->
       """WITH tc AS (SELECT source grp, doc_id id,
         |  CAST(len(list_filter(string_split_regex(text,'\s+'), x -> x <> '')) AS BIGINT) n_tok

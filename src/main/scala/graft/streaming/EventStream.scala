@@ -27,6 +27,24 @@ object EventStream {
         col("n"), col("sum_value"))
   }
 
+  /** Streaming exact dedup: keep the first arrival per key, with
+    * state BOUNDED by the watermark (`dropDuplicatesWithinWatermark`
+    * — a duplicate arriving within the watermark delay of its
+    * original is dropped; state for older keys is evicted, so an
+    * unbounded ingest never accumulates unbounded dedup state). This
+    * is the ingest-side complement of the batch `Dedup.exactDedup`:
+    * dedup-at-arrival during streaming encode ingest, exact dedup in
+    * the batch pipeline. On a batch DataFrame it degrades to plain
+    * dropDuplicates (exact, no state concern).
+    */
+  def streamingDedup(df: DataFrame, keyCols: Seq[String],
+                     tsCol: String = "ts",
+                     watermark: String = "1 hour"): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else df.dropDuplicates(keyCols)
+
   /** Gap-based sessionization as a BATCH plan: lag + cumulative-sum
     * window, then one aggregate per session — the scale-correct batch
     * form (two window passes over a user-partitioned sort, no state

@@ -123,6 +123,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(graft.streaming.EncodeStream.readAll(spark, outDir).count() == 90)
   }
 
+  test("streamingDedup drops within-watermark duplicates, bounds state") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = EventStream.streamingDedup(
+        mem.toDF().toDF("doc_id", "ts", "text"),
+        Seq("doc_id"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), "a"), (2L, ts(1), "b"))
+      q.processAllAvailable()
+      // duplicate of doc 1 inside the watermark delay -> dropped
+      mem.addData((1L, ts(2), "a-dup"), (3L, ts(3), "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sdedup").select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+    // batch degradation: plain dropDuplicates
+    val b = EventStream.streamingDedup(
+      Seq((1L, ts(0), "a"), (1L, ts(2), "a-dup"), (2L, ts(1), "b"))
+        .toDF("doc_id", "ts", "text"), Seq("doc_id"))
+    assert(b.count() == 2)
+  }
+
   test("sessionize groups events by inactivity gap (batch mode)") {
     val s = spark
     import s.implicits._
