@@ -435,6 +435,31 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Hot-block diagnostic for the exact-jaccard path: per the same
+    * (block, length-bucket) keys jaccardWithinShingled joins on,
+    * report block count, the hottest block, and the exact candidate
+    * pair total sum(n*(n-1)/2) — the number the self-join will
+    * materialize. Run it off the staged table (one cheap read) before
+    * committing to an exact all-pairs pass at scale; a hot block here
+    * means switch to minhashPairs (the probabilistic scale path for
+    * the same question).
+    */
+  def jaccardBlockDiag(blk0: DataFrame, threshold: Double,
+                       lengthBucket: Boolean = true): DataFrame = {
+    val s =
+      if (lengthBucket && threshold > 0) {
+        val maxGap = math.max(1,
+          math.ceil(math.log(1.0 / threshold) / math.log(2.0) - 1e-9).toInt)
+        val bkt = floor(log2(greatest(size(col("sh")), lit(1)))).cast("int")
+        blk0.withColumn("__b", explode(sequence(bkt, bkt + maxGap)))
+          .withColumn("blk", concat_ws("#", col("blk0"), col("__b")))
+      } else blk0.withColumnRenamed("blk0", "blk")
+    s.groupBy("blk").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).cast("long").as("n_blocks"),
+        max(col("n")).cast("long").as("max_block_rows"),
+        sum(col("n") * (col("n") - 1) / 2).cast("long").as("candidate_pairs"))
+  }
+
   /** SimHash near-dup pairs: 4 chunks of 16 bits; hamming<=maxHamming
     * (< 4) guarantees at least one equal chunk (pigeonhole), so
     * blocking on chunk value finds all such pairs without a cross

@@ -206,6 +206,25 @@ class Round3Spec extends SparkSpecBase {
     assert(kept.toSeq == Seq(1L, 9L))
   }
 
+  test("jaccardBlockDiag counts the exact candidate pairs a join makes") {
+    import spark.implicits._
+    graft.functions.Shingles.register(spark)
+    val docs = (0L until 12L)
+      .map(i => ("blkA", i, s"shared words plus token$i more shared filler"))
+      .toDF("blk0", "id", "text")
+      .select(col("blk0"), col("id"),
+        graft.functions.Shingles.shinglesNative(col("text"), 2).as("sh"))
+    val diag = Dedup.jaccardBlockDiag(docs, threshold = 0.05).collect()(0)
+    assert(diag.getLong(0) >= 1L)           // blocks
+    assert(diag.getLong(1) <= 12L)          // hottest block
+    assert(diag.getLong(2) >= 1L)           // candidate pairs
+    // with bucketing off, one block of 12 -> exactly 66 pairs
+    val flat = Dedup.jaccardBlockDiag(docs, threshold = 0.05,
+      lengthBucket = false).collect()(0)
+    assert(flat.getLong(0) == 1L && flat.getLong(1) == 12L
+      && flat.getLong(2) == 66L)
+  }
+
   test("packSequences: boundary, straddle, and empty-doc spans") {
     import spark.implicits._
     import graft.encode.Packing
