@@ -254,6 +254,33 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("view_value_asof"))
         .orderBy("event_id")
     }),
+    "q_range_join" -> ((s, d) => {
+      // bucketed range join: each user's first-2-hours activity window
+      // as the interval side, all events as points; equi-join on
+      // (user, time bucket) + residual between-filter instead of an
+      // inequality nested loop
+      val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("t"))
+      val iv = ev.groupBy("user_id").agg(min(col("t")).as("w_start"))
+        .withColumn("w_end", col("w_start") + 7200)
+      graft.operators.RangeJoin.rangeJoin(ev, iv, "t", "w_start", "w_end",
+          bucket = 3600, keyCols = Seq("user_id"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_in_window"))
+        .orderBy("user_id")
+    }),
+    "q_len_quantiles" -> ((s, d) =>
+      // exact per-source length quantiles (linear interpolation —
+      // DuckDB quantile_cont matches Spark percentile bit-for-bit on
+      // doubles); at 10^12 rows swap percentile -> percentile_approx
+      // and loosen the oracle to tolerance
+      t(s, d, "documents")
+        .groupBy("source")
+        .agg(
+          percentile(col("n_chars"), lit(0.5)).as("p50"),
+          percentile(col("n_chars"), lit(0.9)).as("p90"),
+          percentile(col("n_chars"), lit(0.99)).as("p99"))
+        .orderBy("source")),
     "q_stratified_sample" -> ((s, d) =>
       // reproducible per-source quota sample (training-data mixing):
       // min(k,|group|) rows per source by smallest md5(doc_id)
@@ -854,6 +881,21 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) t FROM events),
+        |iv AS (SELECT user_id, min(t) w_start, min(t) + 7200 w_end
+        |  FROM ev GROUP BY user_id)
+        |SELECT ev.user_id, CAST(count(*) AS BIGINT) AS n_in_window
+        |FROM ev JOIN iv ON ev.user_id = iv.user_id
+        |  AND ev.t >= iv.w_start AND ev.t <= iv.w_end
+        |GROUP BY ev.user_id ORDER BY ev.user_id""".stripMargin,
+    "q_len_quantiles" ->
+      """SELECT source,
+        |quantile_cont(n_chars, 0.5) AS p50,
+        |quantile_cont(n_chars, 0.9) AS p90,
+        |quantile_cont(n_chars, 0.99) AS p99
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_stratified_sample" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source, row_number() OVER (

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range join — points matched to intervals containing them
+  * (`start <= t <= end`), the other time-series join Spark lacks as a
+  * first-class operator (the reference has no joins at all, SURVEY.md
+  * §2.4; naive `ON t BETWEEN start AND end` degenerates to a
+  * broadcast-nested-loop or a cartesian filter).
+  *
+  * Physical form: intervals explode into the fixed-width buckets they
+  * cover (`floor(start/bucket) .. floor(end/bucket)`), points bucket
+  * once, and the match becomes an EQUI-join on (keys..., bucket) with
+  * a residual between-filter — Catalyst then plans a hash join, and
+  * the shuffle carries each interval once per covered bucket rather
+  * than |points| x |intervals| pairs. Pick `bucket` near the typical
+  * interval length: cost is O(span/bucket) replicas per interval vs
+  * O(points-per-bucket) residual filtering — the standard
+  * binning/fragmenting range-join recipe.
+  *
+  * `t`, `start`, `end` are numeric (e.g. epoch seconds). Bounds are
+  * inclusive. Point and interval column names must be disjoint.
+  */
+object RangeJoin {
+
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                tCol: String, startCol: String, endCol: String,
+                bucket: Long, keyCols: Seq[String] = Nil): DataFrame = {
+    require(bucket > 0, "bucket must be positive")
+    val overlap = points.columns.toSet
+      .intersect(intervals.columns.toSet) -- keyCols
+    require(overlap.isEmpty, s"overlapping non-key columns: $overlap")
+    val p = points.withColumn("__bkt", floor(col(tCol) / bucket))
+    val iv = intervals.withColumn("__bkt",
+      explode(sequence(floor(col(startCol) / bucket),
+        floor(col(endCol) / bucket))))
+    p.join(iv, keyCols :+ "__bkt")
+      .where(col(tCol) >= col(startCol) && col(tCol) <= col(endCol))
+      .drop("__bkt")
+  }
+}

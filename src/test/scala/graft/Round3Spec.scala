@@ -225,6 +225,36 @@ class Round3Spec extends SparkSpecBase {
       && flat.getLong(2) == 66L)
   }
 
+  test("rangeJoin: inclusive bounds, bucket straddle, key isolation") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    val points = Seq(("u", 1L, 100L), ("u", 2L, 150L), ("u", 3L, 151L),
+      ("u", 4L, 99L), ("v", 5L, 120L)).toDF("k", "pid", "t")
+    // interval [100, 150] for key u only; bucket 40 forces the
+    // interval to straddle buckets 2..3 and points to probe their own
+    val iv = Seq(("u", 100L, 150L)).toDF("k", "s", "e")
+    val out = RangeJoin.rangeJoin(points, iv, "t", "s", "e",
+        bucket = 40, keyCols = Seq("k"))
+      .select("pid").orderBy("pid").as[Long].collect()
+    // 1 (t=100, inclusive start), 2 (t=150, inclusive end);
+    // 3 (151) and 4 (99) out of range; 5 wrong key
+    assert(out.toSeq == Seq(1L, 2L))
+    // matches a plain inequality join exactly on random data
+    val rng = new scala.util.Random(5)
+    val ps = (0 until 300).map(i => ("k", i.toLong, rng.nextInt(1000).toLong))
+      .toDF("k", "pid", "t")
+    val ivs = (0 until 20).map { i =>
+      val s = rng.nextInt(900).toLong; ("k", i.toLong, s, s + rng.nextInt(200))
+    }.toDF("k", "iid", "s", "e")
+    val bucketed = RangeJoin.rangeJoin(ps, ivs, "t", "s", "e",
+        bucket = 64, keyCols = Seq("k"))
+      .select("pid", "iid").orderBy("pid", "iid").collect().toSeq
+    val naive = ps.join(ivs, Seq("k"))
+      .where(col("t") >= col("s") && col("t") <= col("e"))
+      .select("pid", "iid").orderBy("pid", "iid").collect().toSeq
+    assert(bucketed == naive && naive.nonEmpty)
+  }
+
   test("packSequences: boundary, straddle, and empty-doc spans") {
     import spark.implicits._
     import graft.encode.Packing
