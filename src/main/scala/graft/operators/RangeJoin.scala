@@ -39,4 +39,21 @@ object RangeJoin {
       .where(col(tCol) >= col(startCol) && col(tCol) <= col(endCol))
       .drop("__bkt")
   }
+
+  /** Pre-flight probe: how many bucket replicas the interval side
+    * will explode into under a given bucket width — one pathological
+    * interval (a year-long span over 1-second buckets) replicates
+    * O(span/bucket) times and dominates the join. Run this cheap
+    * aggregate first; a huge max_span_buckets means widen `bucket` or
+    * split the offending intervals.
+    */
+  def rangeJoinDiag(intervals: DataFrame, startCol: String, endCol: String,
+                    bucket: Long): DataFrame = {
+    require(bucket > 0, "bucket must be positive")
+    val spans = floor(col(endCol) / bucket) - floor(col(startCol) / bucket) + 1
+    intervals.agg(
+      count(lit(1)).cast("long").as("n_intervals"),
+      max(spans).cast("long").as("max_span_buckets"),
+      sum(spans).cast("long").as("total_replicas"))
+  }
 }

@@ -64,6 +64,25 @@ object Ivf {
     IvfIndex(centroids)
   }
 
+  /** Persist / reload a trained index (the FAISS write_index /
+    * read_index seam): centroids as one parquet table of
+    * (cell, centroid) rows, so the expensive training sample + Lloyd
+    * pass runs once and searches across jobs/sessions share the index.
+    */
+  def save(idx: IvfIndex, spark: org.apache.spark.sql.SparkSession,
+           path: String): Unit = {
+    import spark.implicits._
+    idx.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(spark.read.parquet(path)
+      .orderBy("cell").collect()
+      .map(_.getSeq[Float](1).toArray))
+
   /** Columnar nearest-centroid assignment: argmin over k squared
     * distances, each a zip_with+aggregate fold (codegen'd, no UDF).
     */

@@ -255,6 +255,35 @@ class Round3Spec extends SparkSpecBase {
     assert(bucketed == naive && naive.nonEmpty)
   }
 
+  test("rangeJoinDiag reports interval replica blowup") {
+    import spark.implicits._
+    val iv = Seq((0L, 10L), (0L, 10000L)).toDF("s", "e")
+    val d = graft.operators.RangeJoin.rangeJoinDiag(iv, "s", "e", 10).collect()(0)
+    assert(d.getLong(0) == 2L)
+    assert(d.getLong(1) == 1001L) // the pathological interval
+    assert(d.getLong(2) == 1003L)
+  }
+
+  test("IVF index round-trips through save/load") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = graft.sim.Ivf.train(emb, "embedding", k = 4)
+    val dir = tmpDir("graft-ivf")
+    graft.sim.Ivf.save(idx, spark, s"$dir/index")
+    val back = graft.sim.Ivf.load(spark, s"$dir/index")
+    assert(back.k == idx.k)
+    assert(back.centroids.zip(idx.centroids).forall {
+      case (a, b) => a.sameElements(b)
+    })
+    // a search through the reloaded index matches the original
+    val q = emb.where(col("vec_id") === 7)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val a1 = graft.sim.Ivf.search(graft.sim.Ivf.assign(emb, "embedding", idx),
+      "embedding", "vec_id", idx, q, 5).collect().toSeq
+    val a2 = graft.sim.Ivf.search(graft.sim.Ivf.assign(emb, "embedding", back),
+      "embedding", "vec_id", back, q, 5).collect().toSeq
+    assert(a1 == a2)
+  }
+
   test("packSequences: boundary, straddle, and empty-doc spans") {
     import spark.implicits._
     import graft.encode.Packing
