@@ -153,9 +153,13 @@ object TokenEncoder {
       // no exchange: a within-partition sort clusters each input
       // partition's rows by partId, then contiguous runs chunk into
       // partId-pure blocks. blockIds carry the task partition index —
-      // the same partId may emit blocks from several input partitions
-      packed
-        .sortWithinPartitions("partId")
+      // the same partId may emit blocks from several input partitions.
+      // Rows stay as raw token arrays: the varint pack exists to
+      // halve SHUFFLE bytes, and with no shuffle the pack+unpack
+      // passes are pure overhead
+      filtered
+        .map(r => (partIdOf(planB, r), r))
+        .sortWithinPartitions("_1")
         .mapPartitions { rows =>
           val buf = rows.buffered
           val taskPid = org.apache.spark.TaskContext.getPartitionId()
@@ -163,8 +167,8 @@ object TokenEncoder {
             private var blockSeq = 0
             def hasNext: Boolean = buf.hasNext
             def next(): EncodedBlock = {
-              val partId = buf.head.partId
-              val b = fillBlock(buf, cfgB, runIdB, partId,
+              val partId = buf.head._1
+              val b = fillBlockRaw(buf, cfgB, runIdB, partId,
                 s"$runIdB-$partId-p$taskPid-$blockSeq", blockSeq)
               blockSeq += 1
               b
@@ -188,6 +192,24 @@ object TokenEncoder {
       }
   }
 
+  /** Mutable accumulation state for one block under construction. */
+  private final class BlockAcc(cfgB: EncodeConfig) {
+    val t0: Long = System.nanoTime()
+    val docIds = new scala.collection.mutable.ArrayBuffer[String]()
+    val srcs = new scala.collection.mutable.ArrayBuffer[String]()
+    val lens = new ByteBuf(4096)
+    var tokBuf = new Array[Int](math.min(cfgB.blockTokens, 1 << 16))
+    var nTok = 0
+    var nRows = 0
+    def ensure(n: Int): Unit =
+      if (nTok + n > tokBuf.length) {
+        var cap = math.max(tokBuf.length * 2, 1 << 16)
+        while (cap < nTok + n) cap *= 2
+        tokBuf = java.util.Arrays.copyOf(tokBuf, cap)
+      }
+    def full: Boolean = nTok >= cfgB.blockTokens || nRows >= cfgB.blockRows
+  }
+
   /** Pull rows off `buf` into one encoded block: stops at block-size
     * limits or when the head row's partId changes (the no-shuffle
     * path's run boundary; in the grouped path every row shares the
@@ -196,30 +218,52 @@ object TokenEncoder {
   private def fillBlock(buf: BufferedIterator[PackedRow], cfgB: EncodeConfig,
                         runIdB: String, partId: Int, blockId: String,
                         blockSeq: Int): EncodedBlock = {
-    val t0 = System.nanoTime()
-    val docIds = new scala.collection.mutable.ArrayBuffer[String]()
-    val srcs = new scala.collection.mutable.ArrayBuffer[String]()
-    val lens = new ByteBuf(4096)
-    var tokBuf = new Array[Int](math.min(cfgB.blockTokens, 1 << 16))
-    var nTok = 0
-    var nRows = 0
-    while (buf.hasNext && buf.head.partId == partId
-        && nTok < cfgB.blockTokens && nRows < cfgB.blockRows) {
+    val a = new BlockAcc(cfgB)
+    while (buf.hasNext && buf.head.partId == partId && !a.full) {
       val r = buf.next()
-      docIds += r.doc_id
-      srcs += r.source
-      lens.writeVarInt(r.n_tok)
-      if (nTok + r.n_tok > tokBuf.length) {
-        var cap = math.max(tokBuf.length * 2, 1 << 16)
-        while (cap < nTok + r.n_tok) cap *= 2
-        tokBuf = java.util.Arrays.copyOf(tokBuf, cap)
-      }
+      a.docIds += r.doc_id
+      a.srcs += r.source
+      a.lens.writeVarInt(r.n_tok)
+      a.ensure(r.n_tok)
       val tr = new ByteReader(r.tok)
       var k = 0
-      while (k < r.n_tok) { tokBuf(nTok + k) = tr.readZigZag(); k += 1 }
-      nTok += r.n_tok
-      nRows += 1
+      while (k < r.n_tok) { a.tokBuf(a.nTok + k) = tr.readZigZag(); k += 1 }
+      a.nTok += r.n_tok
+      a.nRows += 1
     }
+    sealBlock(a, cfgB, runIdB, partId, blockId, blockSeq)
+  }
+
+  /** Raw-row variant for the no-shuffle path: token arrays copy
+    * straight into the block buffer (no varint round trip).
+    */
+  private def fillBlockRaw(buf: BufferedIterator[(Int, TokenRow)],
+                           cfgB: EncodeConfig, runIdB: String, partId: Int,
+                           blockId: String, blockSeq: Int): EncodedBlock = {
+    val a = new BlockAcc(cfgB)
+    while (buf.hasNext && buf.head._1 == partId && !a.full) {
+      val r = buf.next()._2
+      a.docIds += r.doc_id
+      a.srcs += r.source
+      a.lens.writeVarInt(r.n_tok)
+      a.ensure(r.n_tok)
+      System.arraycopy(r.tokens, 0, a.tokBuf, a.nTok, r.n_tok)
+      a.nTok += r.n_tok
+      a.nRows += 1
+    }
+    sealBlock(a, cfgB, runIdB, partId, blockId, blockSeq)
+  }
+
+  private def sealBlock(a: BlockAcc, cfgB: EncodeConfig, runIdB: String,
+                        partId: Int, blockId: String,
+                        blockSeq: Int): EncodedBlock = {
+    val t0 = a.t0
+    val docIds = a.docIds
+    val srcs = a.srcs
+    val lens = a.lens
+    val tokBuf = a.tokBuf
+    val nTok = a.nTok
+    val nRows = a.nRows
     val be = BlockCodec.encodeAuto(tokBuf, nTok, cfgB.zstd)
     val lensEnc = lens.toArray
     val idsEnc = graft.codec.StringCols.encodeDocIds(docIds.toArray, nRows)
