@@ -218,7 +218,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode":{"rows":$benchRows,"tokens":$tokHi,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"tokens_per_sec_lo":${thrLo.toLong},"tokens_per_sec_hi":${thrHi.toLong},"reps":$reps,"inversion_retries":$inversionRetries,"decode_retries":$decodeRetries,"scaling_efficiency":$eff%.3f,"tokens_per_sec_c2":${thr2.toLong},"tokens_per_sec_c8":${thr8.toLong},"scaling_efficiency_2_8":$eff28%.3f,"decode_tokens_per_sec":${thrDec.toLong},"decode_tokens_per_sec_lo":${thrDecLo.toLong},"decode_scaling_efficiency":$effDec%.3f,"compression_ratio":$ratio%.3f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode":{"rows":$benchRows,"tokens":$tokHi,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"tokens_per_sec_lo":${thrLo.toLong},"tokens_per_sec_hi":${thrHi.toLong},"reps":$reps,"inversion_retries":$inversionRetries,"decode_retries":$decodeRetries,"scaling_efficiency":$eff%.3f,"tokens_per_sec_c2":${thr2.toLong},"tokens_per_sec_c8":${thr8.toLong},"scaling_efficiency_2_8":$eff28%.3f,"decode_tokens_per_sec":${thrDec.toLong},"decode_tokens_per_sec_lo":${thrDecLoF.toLong},"decode_scaling_efficiency":$effDec%.3f,"compression_ratio":$ratio%.3f}}""")
     sHi2.stop()
   }
 }

@@ -517,7 +517,12 @@ object SparkEntry {
       // documents table directly — csv round-trip parity is the
       // q_convert_roundtrip invariant.
       val docs = t(s, d, "documents")
-      val dir = java.nio.file.Files.createTempDirectory("graft-qanalyze").toString
+      // FIXED staging dir per input (overwritten each run): the
+      // result plan stays lazy over these files, so they can't be
+      // deleted here — a fresh random dir per call would instead leak
+      // a corpus copy per bench/verify rep on tmpfs-backed /tmp
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-qanalyze-" +
+        java.lang.Integer.toHexString(d.hashCode)
       graft.sources.Converter.write(docs.coalesce(1), s"$dir/csv", "csv")
       val part = new java.io.File(s"$dir/csv").listFiles()
         .filter(_.getName.endsWith(".csv")).head

@@ -27,8 +27,10 @@ object Verify {
       val side = java.nio.file.Paths.get(
         sys.props.getOrElse("graft.side.dir", "/tmp/graft_oracle_side"))
       def rm(p: java.nio.file.Path): Unit = {
-        if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
-          Files.list(p).forEach(rm(_))
+        if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+          val s = Files.list(p) // close, or each subdir leaks an FD
+          try s.forEach(rm(_)) finally s.close()
+        }
         Files.deleteIfExists(p)
       }
       rm(side)

@@ -320,11 +320,21 @@ object Dedup {
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
         .localCheckpoint(true)
       val s = labelSum(next)
+      // the superseded checkpoint would otherwise pin a full vertex
+      // copy in executor storage per sweep
+      labels.unpersist(blocking = false)
       labels = next
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1
     }
+    // partially-propagated labels are WRONG clusters, not approximate
+    // ones (a >maxIter-diameter chain would report one component as
+    // several) — refuse rather than return them
+    require(converged,
+      s"connectedComponents did not converge in $maxIter sweeps — " +
+      "a component's diameter exceeds maxIter; raise maxIter")
+    edges.unpersist(blocking = false)
     labels
   }
 
@@ -404,19 +414,26 @@ object Dedup {
       threshold, lengthBucket)
   }
 
+  /** The (block, length-bucket) probe expansion jaccardWithinShingled
+    * joins on — ONE definition shared with jaccardBlockDiag so the
+    * diagnostic always counts exactly the pairs the join materializes.
+    */
+  private def lengthBucketBlocks(blk0: DataFrame, threshold: Double,
+                                 lengthBucket: Boolean): DataFrame =
+    if (lengthBucket && threshold > 0) {
+      val maxGap = math.max(1,
+        math.ceil(math.log(1.0 / threshold) / math.log(2.0) - 1e-9).toInt)
+      val bkt = floor(log2(greatest(size(col("sh")), lit(1)))).cast("int")
+      blk0
+        .withColumn("__b", explode(sequence(bkt, bkt + maxGap)))
+        .withColumn("blk", concat_ws("#", col("blk0"), col("__b")))
+        .drop("blk0", "__b")
+    } else blk0.withColumnRenamed("blk0", "blk")
+
   /** Blocking + exact verify over a pre-shingled (blk0, id, sh) table. */
   def jaccardWithinShingled(blk0: DataFrame, threshold: Double,
                             lengthBucket: Boolean): DataFrame = {
-    val s =
-      if (lengthBucket && threshold > 0) {
-        val maxGap = math.max(1,
-          math.ceil(math.log(1.0 / threshold) / math.log(2.0) - 1e-9).toInt)
-        val bkt = floor(log2(greatest(size(col("sh")), lit(1)))).cast("int")
-        blk0
-          .withColumn("__b", explode(sequence(bkt, bkt + maxGap)))
-          .withColumn("blk", concat_ws("#", col("blk0"), col("__b")))
-          .drop("blk0", "__b")
-      } else blk0.withColumnRenamed("blk0", "blk")
+    val s = lengthBucketBlocks(blk0, threshold, lengthBucket)
     // bare id-pair candidates first (see minhashPairs): pair dedupe
     // must not shuffle the shingle arrays
     val a = s.select(col("blk"), col("id").as("id_a"))
@@ -446,14 +463,7 @@ object Dedup {
     */
   def jaccardBlockDiag(blk0: DataFrame, threshold: Double,
                        lengthBucket: Boolean = true): DataFrame = {
-    val s =
-      if (lengthBucket && threshold > 0) {
-        val maxGap = math.max(1,
-          math.ceil(math.log(1.0 / threshold) / math.log(2.0) - 1e-9).toInt)
-        val bkt = floor(log2(greatest(size(col("sh")), lit(1)))).cast("int")
-        blk0.withColumn("__b", explode(sequence(bkt, bkt + maxGap)))
-          .withColumn("blk", concat_ws("#", col("blk0"), col("__b")))
-      } else blk0.withColumnRenamed("blk0", "blk")
+    val s = lengthBucketBlocks(blk0, threshold, lengthBucket)
     s.groupBy("blk").agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).cast("long").as("n_blocks"),
         max(col("n")).cast("long").as("max_block_rows"),

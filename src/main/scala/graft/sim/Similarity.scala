@@ -83,10 +83,15 @@ object Similarity {
     * `cosinePairsLsh`, whose (block, sign-LSH bucket) keys turn the
     * hot block's |block|^2 into a sum of |bucket|^2 — the 100-TB-safe
     * default. The divert is logged; recall then follows the LSH
-    * contract instead of exact. autoLshBlockLimit <= 0 disables the
-    * guard (explicit exact-at-any-cost). Default 4096: 4096^2 = 16.7M
-    * pairs x ~0.5KB/pair of shuffled vectors ~ 8GB for ONE block —
-    * about the most a single task group should ever carry.
+    * contract instead of exact (an exact-expecting external check
+    * will flag the difference — that's the guard surfacing a corpus
+    * that outgrew the exact path, not an engine bug).
+    * autoLshBlockLimit <= 0 disables the guard (explicit
+    * exact-at-any-cost — also skips the probe, making the call fully
+    * lazy; with the guard on, CONSTRUCTING the plan runs the one
+    * cheap probe job eagerly). Default 4096: 4096^2 = 16.7M pairs x
+    * ~0.5KB/pair of shuffled vectors ~ 8GB for ONE block — about the
+    * most a single task group should ever carry.
     */
   def cosinePairsWithin(df: DataFrame, vecCol: String, idCol: String,
                         blockCol: String, threshold: Double,

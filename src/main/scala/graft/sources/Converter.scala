@@ -47,7 +47,15 @@ object Converter {
           if (Set("utf-8", "us-ascii", "iso-8859-1", "utf-16", "utf-16be",
               "utf-16le", "utf-32").contains(o.encoding.toLowerCase)) spark
           else {
+            // newSession() starts from the INITIAL SparkConf, not the
+            // caller's runtime SQLConf — copy the runtime confs over
+            // (timezone, ansi, caseSensitive, ...) so the clone
+            // differs from the caller by exactly the one legacy flag
             val ns = spark.newSession()
+            spark.conf.getAll.foreach { case (k, v) =>
+              try ns.conf.set(k, v)
+              catch { case scala.util.control.NonFatal(_) => () } // static confs refuse set
+            }
             ns.conf.set("spark.sql.legacy.javaCharsets", "true")
             ns
           }

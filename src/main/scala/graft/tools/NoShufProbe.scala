@@ -39,8 +39,10 @@ object NoShufProbe {
     val target = math.max(1000L, rows / 128).toInt
     val plainPath = s"$base/plain-$rows"
     val clusPath = s"$base/clustered-$rows"
+    // idempotence keys on the LAST staging artifact (the plan tsv) so
+    // a crash mid-staging re-stages instead of wedging later runs
     val plan: Map[String, (Int, Int)] =
-      if (!new java.io.File(s"$plainPath/_SUCCESS").exists()) {
+      if (!new java.io.File(s"$base/plan-$rows.tsv").exists()) {
         val ds = TokenSynth.dataset(spark, rows, parallelism = 128)
         ds.write.mode("overwrite").parquet(plainPath)
         val plain = spark.read.parquet(plainPath).as[graft.model.TokenRow]
