@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   *
   *   runMain graft.tools.CorpusPipelineCli [sfDir] [outDir]
   *
-  * quality filter -> exact dedup -> minhash near-dup removal ->
-  * per-source quota sample -> tokenize -> encode (salted, resumable)
-  * -> checksum-verified decode -> roundtrip gate. Prints one line per
-  * stage and PIPELINE-OK on a clean roundtrip.
+  * quality filter -> exact dedup -> minhash near-dup pairs ->
+  * transitive cluster removal (connected components, one survivor per
+  * cluster) -> per-source quota sample -> tokenize -> sequence-packing
+  * plan -> encode (salted, resumable) -> checksum-verified decode ->
+  * roundtrip gate. Prints one line per stage and PIPELINE-OK on a
+  * clean roundtrip.
   */
 object CorpusPipelineCli {
   def main(args: Array[String]): Unit = {
@@ -45,12 +47,19 @@ object CorpusPipelineCli {
     val exactDeduped = kept.join(survivors, Seq("doc_id"), "left_semi")
     println(s"STAGE exact_dedup       rows=${exactDeduped.count()}")
 
-    // 3. near-dup removal: drop the larger id of each verified pair
+    // 3. near-dup removal with CANONICAL cluster semantics: verified
+    // pairs -> connected components -> keep the min id per cluster
+    // (the skew cap's drops are surfaced as query metrics)
+    val capObs = org.apache.spark.sql.Observation("minhash_cap")
     val nearPairs = graft.dedup.Dedup.minhashPairs(exactDeduped,
-      "doc_id", "text", shingleN = 2, k = 64, bands = 0, threshold = 0.6)
-    val losers = nearPairs.select(col("id_b").as("doc_id")).distinct()
+      "doc_id", "text", shingleN = 2, k = 64, bands = 0, threshold = 0.6,
+      capObs = Some(capObs))
+    val losers = graft.dedup.Dedup.connectedComponents(nearPairs)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as("doc_id")).distinct()
     val nearDeduped = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
-    println(s"STAGE near_dedup        rows=${nearDeduped.count()}")
+    println(s"STAGE near_dedup        rows=${nearDeduped.count()} " +
+      s"cap_dropped=${capObs.get("rows_dropped")}")
 
     // 4. per-source quota (reproducible stratified sample)
     val sampled = graft.operators.UndatumOps.stratifiedSample(
@@ -66,6 +75,14 @@ object CorpusPipelineCli {
       .withColumn("n_tok", size(col("tokens")))
       .select("doc_id", "tokens", "n_tok", "source")
       .as[graft.model.TokenRow]
+
+    // 5b. sequence-packing plan: how the sampled corpus chunks into
+    // fixed 512-token training sequences (per-source stats)
+    val pack = graft.encode.Packing.packingStats(
+      rows.toDF(), "doc_id", "n_tok", "source", 512)
+      .agg(sum("n_seqs"), sum("n_docs"), sum("split_docs"))
+      .as[(Long, Long, Long)].collect()(0)
+    println(s"STAGE pack_plan         seqs=${pack._1} docs=${pack._2} split=${pack._3}")
 
     // 6. encode: salted partitions, lineage commit log
     val lineage = graft.encode.TokenEncoder.run(rows, outDir,
