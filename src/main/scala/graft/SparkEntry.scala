@@ -254,6 +254,21 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("view_value_asof"))
         .orderBy("event_id")
     }),
+    "q_asof_bucketed" -> ((s, d) => {
+      // the hot-key scale form of the as-of join: within-(user, 30min
+      // bucket) window pass + compacted per-bucket close carry — same
+      // semantics as q_asof_join (the DuckDB native ASOF JOIN is the
+      // oracle), different physical plan
+      val ev = t(s, d, "events")
+      val views = ev.where(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("value").as("view_value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      graft.operators.AsofJoin.asofJoinBucketed(purchases, views,
+          "user_id", "ts", bucket = 1800)
+        .select(col("event_id"), col("user_id"), col("view_value_asof"))
+        .orderBy("event_id")
+    }),
     "q_range_join" -> ((s, d) => {
       // bucketed range join: each user's first-2-hours activity window
       // as the interval side, all events as points; equi-join on
@@ -878,6 +893,15 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_asof_join" ->
+      """WITH v AS (SELECT user_id, ts, max(value) view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, v.view_value AS view_value_asof
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY event_id""".stripMargin,
+    "q_asof_bucketed" ->
       """WITH v AS (SELECT user_id, ts, max(value) view_value FROM events
         |  WHERE event_type = 'view' GROUP BY 1, 2),
         |p AS (SELECT event_id, user_id, ts FROM events

@@ -284,6 +284,29 @@ class Round3Spec extends SparkSpecBase {
     assert(a1 == a2)
   }
 
+  test("asofJoinBucketed equals asofJoin on random data") {
+    import spark.implicits._
+    import graft.operators.AsofJoin
+    val rng = new scala.util.Random(17)
+    // rights unique per (key, ts); values include NULLs and a second
+    // column so the matched-ROW semantics are exercised
+    val right = (0 until 400).map { i =>
+      (i % 5L, rng.nextInt(10000).toLong,
+        if (rng.nextBoolean()) Some(rng.nextInt(100).toLong) else None,
+        s"tag$i")
+    }.distinctBy(r => (r._1, r._2))
+      .toDF("k", "ts", "v", "w")
+    val left = (0 until 300).map(i =>
+      (i % 7L, rng.nextInt(11000).toLong, i.toLong)).toDF("k", "ts", "lid")
+    for (bucket <- Seq(100.0, 1000.0, 100000.0)) {
+      val a = AsofJoin.asofJoin(left, right, "k", "ts")
+        .orderBy("lid").collect().toSeq
+      val b = AsofJoin.asofJoinBucketed(left, right, "k", "ts", bucket)
+        .orderBy("lid").collect().toSeq
+      assert(a == b, s"bucket=$bucket")
+    }
+  }
+
   test("packSequences: boundary, straddle, and empty-doc spans") {
     import spark.implicits._
     import graft.encode.Packing
