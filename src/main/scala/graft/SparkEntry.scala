@@ -455,6 +455,33 @@ object SparkEntry {
         "annivf_scan")
       Similarity.bruteTopK(probed, "embedding", "vec_id", q, 10)
     }),
+    "q_ann_ivf_batch" -> ((s, d) => {
+      // batched IVF: 5 queries, driver-resolved probe cells, ONE
+      // restricted corpus scan. The probed (qid, vec_id) pairs dump to
+      // the side channel; the oracle brute-forces per-query top-k over
+      // exactly that subset (scoring/ordering/cell restriction exact,
+      // recall property-tested as with the other ANN paths)
+      val emb = t(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 5).orderBy("vec_id")
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val idx = graft.sim.Ivf.train(emb, "embedding", k = 8)
+      val assigned = graft.sim.Ivf.assign(emb, "embedding", idx)
+      val scan = dumpSide(
+        graft.sim.Ivf.probeBatch(assigned, idx, qs, nprobe = 3)
+          .select("qid", "vec_id"), "annivfb_scan")
+      import s.implicits._
+      val qdf = broadcast(qs.toDF("qid", "__qvec")
+        .withColumn("__qvec", col("__qvec").cast("array<float>")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+      emb.join(scan, Seq("vec_id")).join(qdf, Seq("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("__qvec")), 3).as("sim"))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= 5).drop("__rn")
+        .orderBy("qid", "vec_id")
+    }),
     "q_window_hourly" -> ((s, d) =>
       // event-time tumbling window as a batch query (EventStream runs
       // the same plan under Structured Streaming with a watermark)
@@ -644,6 +671,16 @@ object SparkEntry {
         val idx = graft.sim.Ivf.train(emb, "embedding", k = 8)
         graft.sim.Ivf.search(graft.sim.Ivf.assign(emb, "embedding", idx),
           "embedding", "vec_id", idx, q, 10, nprobe = 3)
+      }),
+      "q_ann_ivf_batch" -> ((s, d) => {
+        val emb = t(s, d, "embeddings")
+        val qs = emb.where(col("vec_id") < 5).orderBy("vec_id")
+          .select("vec_id", "embedding").collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        val idx = graft.sim.Ivf.train(emb, "embedding", k = 8)
+        graft.sim.Ivf.searchBatch(graft.sim.Ivf.assign(emb, "embedding", idx),
+          "embedding", "vec_id", idx, qs, topK = 5, nprobe = 3)
+          .orderBy("qid", "vec_id")
       }),
       "q_stats_by_source" -> ((s, d) => {
         import s.implicits._
@@ -1158,6 +1195,22 @@ object SparkEntry {
         |                           list_transform(s.embedding, x -> CAST(x AS DOUBLE))))
         |     * sqrt(list_dot_product(q.qe, q.qe))), 3) AS sim
         |FROM s, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_ivf_batch" ->
+      """WITH s AS (SELECT qid, vec_id
+        |  FROM read_parquet('/tmp/graft_oracle_side/annivfb_scan/*.parquet')),
+        |q AS (SELECT vec_id qid,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) qe
+        |  FROM embeddings WHERE vec_id < 5),
+        |j AS (SELECT s.qid, s.vec_id, round(
+        |  list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)), q.qe)
+        |  / (sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+        |                           list_transform(b.embedding, x -> CAST(x AS DOUBLE))))
+        |     * sqrt(list_dot_product(q.qe, q.qe))), 3) AS sim
+        |  FROM s JOIN embeddings b ON b.vec_id = s.vec_id
+        |  JOIN q ON q.qid = s.qid),
+        |r AS (SELECT qid, vec_id, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn FROM j)
+        |SELECT qid, vec_id, sim FROM r WHERE rn <= 5 ORDER BY qid, vec_id""".stripMargin,
     "q_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(
         |  list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),

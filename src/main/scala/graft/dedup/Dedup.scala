@@ -452,6 +452,25 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Staged form of `removeNearDuplicatesCC` — the 100-TB shape: ONE
+    * corpus read stages (id, sh, sig), every downstream branch
+    * (banding, pre-filter, verify) reads the small staged table, and
+    * components resolve over bare id pairs.
+    */
+  def removeNearDuplicatesCCStaged(df: DataFrame, idCol: String,
+                                   textCol: String, stagePath: String,
+                                   shingleN: Int = 3, k: Int = 64,
+                                   bands: Int = 0, threshold: Double = 0.7,
+                                   maxBucket: Int = 64,
+                                   capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val pairs = minhashPairsStaged(df, idCol, textCol, stagePath, shingleN,
+      k, bands, threshold, maxBucket, capObs = capObs)
+    val losers = connectedComponents(pairs)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Hot-block diagnostic for the exact-jaccard path: per the same
     * (block, length-bucket) keys jaccardWithinShingled joins on,
     * report block count, the hottest block, and the exact candidate

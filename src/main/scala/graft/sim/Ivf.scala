@@ -150,4 +150,48 @@ object Ivf {
              nprobe: Int = 2): DataFrame =
     Similarity.bruteTopK(probe(assigned, idx, query, nprobe),
       vecCol, idCol, query, topK)
+
+  /** The rows a BATCH of queries scans: each query's nprobe nearest
+    * cells resolve driver-side (Q x k centroid distances — trivial),
+    * then ONE equi-join of the tiny broadcast (qid, cell) probe table
+    * against the assigned corpus restricts the scan — rows in nobody's
+    * probe set are never read past the cell filter. Returns
+    * (qid, corpus columns...) — a row appears once per query probing
+    * its cell.
+    */
+  def probeBatch(assigned: DataFrame, idx: IvfIndex,
+                 queries: Seq[(Long, Array[Float])],
+                 nprobe: Int = 2): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val probes = queries.flatMap { case (qid, qv) =>
+      idx.centroids.indices.sortBy(c => dist2(qv, idx.centroids(c)))
+        .take(nprobe).map(c => (qid, c))
+    }.toDF("qid", "ivf_cell")
+    assigned.join(broadcast(probes), Seq("ivf_cell"))
+  }
+
+  /** Batched IVF top-k: Q queries, one restricted corpus scan. The
+    * probed (qid, row) stream scores against the matching query
+    * vector via a broadcast (qid -> vector) map join, then a
+    * per-query window keeps top-k (WindowGroupLimit pushes the limit
+    * below the exchange — see Similarity.bruteTopKBatch).
+    */
+  def searchBatch(assigned: DataFrame, vecCol: String, idCol: String,
+                  idx: IvfIndex, queries: Seq[(Long, Array[Float])],
+                  topK: Int, nprobe: Int = 2): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val probed = probeBatch(assigned, idx, queries, nprobe)
+    val qvecs = broadcast(
+      queries.toDF("qid", "__qvec")
+        .withColumn("__qvec", col("__qvec").cast("array<float>")))
+    val scored = probed.join(qvecs, Seq("qid"))
+      .select(col("qid"), col(idCol),
+        round(Similarity.cosine(col(vecCol), col("__qvec")), 3).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col(idCol))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= topK).drop("__rn")
+  }
 }

@@ -307,6 +307,27 @@ class Round3Spec extends SparkSpecBase {
     }
   }
 
+  test("Ivf.searchBatch matches per-query Ivf.search") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = graft.sim.Ivf.train(emb, "embedding", k = 4)
+    val assigned = graft.sim.Ivf.assign(emb, "embedding", idx)
+    val qs = emb.where(col("vec_id").isin(3L, 11L, 42L)).orderBy("vec_id")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val batch = graft.sim.Ivf.searchBatch(assigned, "embedding", "vec_id",
+        idx, qs, topK = 5, nprobe = 2)
+      .collect().groupBy(_.getLong(0))
+    qs.foreach { case (qid, qv) =>
+      val single = graft.sim.Ivf.search(assigned, "embedding", "vec_id",
+          idx, qv, 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val fromBatch = batch(qid).toSeq
+        .map(r => (r.getLong(1), r.getDouble(2)))
+      assert(fromBatch.sortBy(x => (-x._2, x._1)) ==
+        single.sortBy(x => (-x._2, x._1)), s"qid=$qid")
+    }
+  }
+
   test("packSequences: boundary, straddle, and empty-doc spans") {
     import spark.implicits._
     import graft.encode.Packing
