@@ -469,9 +469,50 @@ object TokenDecoder {
     * silently wrong tokens.
     */
   def read(spark: SparkSession, outDir: String,
-           verifyChecksums: Boolean = false): Dataset[TokenRow] = {
+           verifyChecksums: Boolean = false): Dataset[TokenRow] =
+    readBlocks(spark, outDir, None, verifyChecksums)
+
+  /** Partition-pruned decode of ONE source: the pinned partition plan
+    * maps the source to its contiguous partId band (plus the overflow
+    * band for plan-unknown sources), so the parquet `partId` filter
+    * prunes every other source's blocks at the scan — decode cost is
+    * O(that source), not O(table). Overflow-band blocks can hold
+    * several rare sources, so a residual row filter keeps exactness.
+    */
+  def readSource(spark: SparkSession, outDir: String, source: String,
+                 verifyChecksums: Boolean = false): Dataset[TokenRow] = {
     import spark.implicits._
-    val blocks = spark.read.parquet(s"$outDir/blocks").as[EncodedBlock]
+    val plan = {
+      val f = new java.io.File(s"$outDir/plan.json")
+      require(f.exists(), s"no plan.json in $outDir")
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      txt.linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(src, b, s) = line.split("\t")
+        (src, (b.toInt, s.toInt))
+      }.toMap
+    }
+    val ids: Seq[Int] = plan.get(source) match {
+      case Some((base, salts)) => base until (base + salts)
+      case None =>
+        val slot = TokenEncoder.planSaltTotal(plan) +
+          (((TokenEncoder.hash64(source) % TokenEncoder.OverflowSlots)
+            + TokenEncoder.OverflowSlots) % TokenEncoder.OverflowSlots).toInt
+        Seq(slot)
+    }
+    readBlocks(spark, outDir, Some(ids.toSet), verifyChecksums)
+      .filter(_.source == source)
+  }
+
+  private def readBlocks(spark: SparkSession, outDir: String,
+                         partIds: Option[Set[Int]],
+                         verifyChecksums: Boolean): Dataset[TokenRow] = {
+    import spark.implicits._
+    val all = spark.read.parquet(s"$outDir/blocks")
+    val pruned = partIds.fold(all)(ids =>
+      all.where(org.apache.spark.sql.functions.col("partId")
+        .isInCollection(ids.map(Int.box))))
+    val blocks = pruned.as[EncodedBlock]
     val committed = spark.read.parquet(s"$outDir/lineage")
       .select("blockId").distinct()
     val live = blocks.join(committed, Seq("blockId"), "left_semi").as[EncodedBlock]

@@ -328,6 +328,24 @@ class Round3Spec extends SparkSpecBase {
     }
   }
 
+  test("readSource prunes to one source's partId band and stays exact") {
+    import graft.encode.{TokenDecoder, TokenEncoder}
+    val ds = graft.synth.TokenSynth.dataset(spark, 3000)
+    val out = tmpDir("graft-readsrc")
+    TokenEncoder.run(ds, out,
+      TokenEncoder.EncodeConfig(targetRowsPerPart = 500))
+    for (src <- Seq("web", "logs")) {
+      val pruned = TokenDecoder.readSource(spark, out, src,
+        verifyChecksums = true).toDF()
+      val full = TokenDecoder.read(spark, out).filter(col("source") === src).toDF()
+      assert(pruned.exceptAll(full).count() == 0)
+      assert(full.exceptAll(pruned).count() == 0)
+      assert(pruned.count() > 0)
+    }
+    // unknown source resolves to the overflow band and returns empty
+    assert(TokenDecoder.readSource(spark, out, "no-such-source").count() == 0)
+  }
+
   test("packSequences: boundary, straddle, and empty-doc spans") {
     import spark.implicits._
     import graft.encode.Packing
