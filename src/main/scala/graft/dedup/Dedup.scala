@@ -301,13 +301,13 @@ object Dedup {
       .localCheckpoint(true)
     // labels only ever DECREASE (next = min(old, neighbors)), so the
     // label sum strictly decreases on any change — an equal sum IS the
-    // fixed point. One scalar agg per sweep instead of a join+count.
+    // fixed point. The sum rides the eager checkpoint's job as an
+    // observed metric (zero extra actions per sweep).
     // decimal(38,0) sum: 10^12 long ids would overflow a long sum
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val r = df.agg(sum(col("cluster").cast("decimal(38,0)"))).head()
+    var prevSum = {
+      val r = labels.agg(sum(col("cluster").cast("decimal(38,0)"))).head()
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
-    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -315,11 +315,16 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("cluster")).as("nmin"))
+      val obs = new org.apache.spark.sql.Observation()
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .observe(obs, sum(col("cluster").cast("decimal(38,0)")).as("lsum"))
         .localCheckpoint(true)
-      val s = labelSum(next)
+      val s = obs.get.get("lsum").collect {
+        case d: java.math.BigDecimal => d
+        case d: scala.math.BigDecimal => d.bigDecimal
+      }.getOrElse(java.math.BigDecimal.ZERO)
       // the superseded checkpoint would otherwise pin a full vertex
       // copy in executor storage per sweep
       labels.unpersist(blocking = false)
