@@ -470,16 +470,11 @@ object SparkEntry {
       val scan = dumpSide(
         graft.sim.Ivf.probeBatch(assigned, idx, qs, nprobe = 3)
           .select("qid", "vec_id"), "annivfb_scan")
-      import s.implicits._
-      val qdf = broadcast(qs.toDF("qid", "__qvec")
-        .withColumn("__qvec", col("__qvec").cast("array<float>")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-      emb.join(scan, Seq("vec_id")).join(qdf, Seq("qid"))
-        .select(col("qid"), col("vec_id"),
-          round(Similarity.cosine(col("embedding"), col("__qvec")), 3).as("sim"))
-        .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") <= 5).drop("__rn")
+      // re-score the re-read subset through the SAME scoreBatch the
+      // production searchBatch uses — verified and benched forms share
+      // one scoring definition
+      graft.sim.Ivf.scoreBatch(emb.join(scan, Seq("vec_id")),
+          "embedding", "vec_id", qs, topK = 5)
         .orderBy("qid", "vec_id")
     }),
     "q_window_hourly" -> ((s, d) =>

@@ -301,13 +301,18 @@ object Dedup {
       .localCheckpoint(true)
     // labels only ever DECREASE (next = min(old, neighbors)), so the
     // label sum strictly decreases on any change — an equal sum IS the
-    // fixed point. The sum rides the eager checkpoint's job as an
-    // observed metric (zero extra actions per sweep).
+    // fixed point. The sum is an EXACT aggregate over the fresh
+    // checkpoint (cheap: narrow scan of cached data), deliberately NOT
+    // an observed metric riding the checkpoint job — SQL-metric
+    // accumulators over-count under task re-execution (speculation,
+    // stage retry), which would stall the equality test and fail a
+    // converged graph at maxIter on a real cluster.
     // decimal(38,0) sum: 10^12 long ids would overflow a long sum
-    var prevSum = {
-      val r = labels.agg(sum(col("cluster").cast("decimal(38,0)"))).head()
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("cluster").cast("decimal(38,0)"))).head()
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -315,16 +320,11 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("cluster")).as("nmin"))
-      val obs = new org.apache.spark.sql.Observation()
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .observe(obs, sum(col("cluster").cast("decimal(38,0)")).as("lsum"))
         .localCheckpoint(true)
-      val s = obs.get.get("lsum").collect {
-        case d: java.math.BigDecimal => d
-        case d: scala.math.BigDecimal => d.bigDecimal
-      }.getOrElse(java.math.BigDecimal.ZERO)
+      val s = labelSum(next)
       // the superseded checkpoint would otherwise pin a full vertex
       // copy in executor storage per sweep
       labels.unpersist(blocking = false)
@@ -350,17 +350,24 @@ object Dedup {
     * greedy form drops both b and c even though c never paired with
     * the survivor a; this form keeps exactly one per component).
     */
-  def removeNearDuplicatesCC(df: DataFrame, idCol: String, textCol: String,
-                             shingleN: Int = 3, k: Int = 64, bands: Int = 0,
-                             threshold: Double = 0.7,
-                             maxBucket: Int = 64): DataFrame = {
-    val pairs = minhashPairs(df, idCol, textCol, shingleN, k, bands,
-      threshold, maxBucket)
+  /** Shared tail of the CC removal wrappers: every non-minimal
+    * cluster member is a loser; anti-join keeps min-id survivors plus
+    * all singletons.
+    */
+  private def dropClusterLosers(df: DataFrame, idCol: String,
+                                pairs: DataFrame): DataFrame = {
     val losers = connectedComponents(pairs)
       .where(col("id") =!= col("cluster"))
       .select(col("id").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  def removeNearDuplicatesCC(df: DataFrame, idCol: String, textCol: String,
+                             shingleN: Int = 3, k: Int = 64, bands: Int = 0,
+                             threshold: Double = 0.7,
+                             maxBucket: Int = 64): DataFrame =
+    dropClusterLosers(df, idCol,
+      minhashPairs(df, idCol, textCol, shingleN, k, bands, threshold, maxBucket))
 
   /** Diagnostic: what the maxBucket skew cap silently drops — bucket
     * count, capped-bucket count, and rows over the cap. Surfaces the
@@ -467,14 +474,10 @@ object Dedup {
                                    shingleN: Int = 3, k: Int = 64,
                                    bands: Int = 0, threshold: Double = 0.7,
                                    maxBucket: Int = 64,
-                                   capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
-    val pairs = minhashPairsStaged(df, idCol, textCol, stagePath, shingleN,
-      k, bands, threshold, maxBucket, capObs = capObs)
-    val losers = connectedComponents(pairs)
-      .where(col("id") =!= col("cluster"))
-      .select(col("id").as(idCol)).distinct()
-    df.join(losers, Seq(idCol), "left_anti")
-  }
+                                   capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame =
+    dropClusterLosers(df, idCol,
+      minhashPairsStaged(df, idCol, textCol, stagePath, shingleN,
+        k, bands, threshold, maxBucket, capObs = capObs))
 
   /** Hot-block diagnostic for the exact-jaccard path: per the same
     * (block, length-bucket) keys jaccardWithinShingled joins on,

@@ -108,13 +108,18 @@ object TokenEncoder {
   def allPartIds(plan: Map[String, (Int, Int)]): Set[Int] =
     (0 until (planSaltTotal(plan) + OverflowSlots)).toSet
 
+  /** The overflow slot a plan-unknown source hashes into — one
+    * formula shared by the encode partitioner and the pruned reader.
+    */
+  def overflowSlotOf(plan: Map[String, (Int, Int)], source: String): Int =
+    planSaltTotal(plan) +
+      (((hash64(source) % OverflowSlots) + OverflowSlots) % OverflowSlots).toInt
+
   def partIdOf(plan: Map[String, (Int, Int)], r: TokenRow): Int =
     plan.get(r.source) match {
       case Some((b, salts)) =>
         b + (((hash64(r.doc_id) % salts) + salts) % salts).toInt
-      case None =>
-        planSaltTotal(plan) +
-          (((hash64(r.source) % OverflowSlots) + OverflowSlots) % OverflowSlots).toInt
+      case None => overflowSlotOf(plan, r.source)
     }
 
   /** Encode the given logical partitions (all when `only` is None) into
@@ -313,19 +318,26 @@ object TokenEncoder {
     * exact resume — the plan on disk is the source of truth.
     */
   def loadOrCreatePlan(ds: Dataset[TokenRow], outDir: String,
-                       targetRowsPerPart: Int): Map[String, (Int, Int)] = {
-    val f = new java.io.File(s"$outDir/plan.json")
-    if (f.exists()) {
-      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
-      txt.linesIterator.filter(_.nonEmpty).map { line =>
-        val Array(src, b, s) = line.split("\t")
-        (src, (b.toInt, s.toInt))
-      }.toMap
-    } else {
+                       targetRowsPerPart: Int): Map[String, (Int, Int)] =
+    loadPlan(outDir).getOrElse {
       val plan = partitionPlan(ds, targetRowsPerPart)
       savePlan(plan, outDir)
       plan
+    }
+
+  /** Parse the pinned plan.json if present — the ONE reader shared by
+    * the encoder's resume path and the pruned decoder.
+    */
+  def loadPlan(outDir: String): Option[Map[String, (Int, Int)]] = {
+    val f = new java.io.File(s"$outDir/plan.json")
+    if (!f.exists()) None
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      Some(txt.linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(src, b, s) = line.split("\t")
+        (src, (b.toInt, s.toInt))
+      }.toMap)
     }
   }
 
@@ -482,23 +494,11 @@ object TokenDecoder {
   def readSource(spark: SparkSession, outDir: String, source: String,
                  verifyChecksums: Boolean = false): Dataset[TokenRow] = {
     import spark.implicits._
-    val plan = {
-      val f = new java.io.File(s"$outDir/plan.json")
-      require(f.exists(), s"no plan.json in $outDir")
-      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
-      txt.linesIterator.filter(_.nonEmpty).map { line =>
-        val Array(src, b, s) = line.split("\t")
-        (src, (b.toInt, s.toInt))
-      }.toMap
-    }
+    val plan = TokenEncoder.loadPlan(outDir)
+      .getOrElse(throw new IllegalArgumentException(s"no plan.json in $outDir"))
     val ids: Seq[Int] = plan.get(source) match {
       case Some((base, salts)) => base until (base + salts)
-      case None =>
-        val slot = TokenEncoder.planSaltTotal(plan) +
-          (((TokenEncoder.hash64(source) % TokenEncoder.OverflowSlots)
-            + TokenEncoder.OverflowSlots) % TokenEncoder.OverflowSlots).toInt
-        Seq(slot)
+      case None => Seq(TokenEncoder.overflowSlotOf(plan, source))
     }
     readBlocks(spark, outDir, Some(ids.toSet), verifyChecksums)
       .filter(_.source == source)

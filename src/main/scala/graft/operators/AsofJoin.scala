@@ -142,8 +142,13 @@ object AsofJoin {
       key, "__cbkt", suffix = "_carry")
       .select(col(key), col("__bkt"), col("__close_carry"))
 
-    // ---- 3. combine ------------------------------------------------
-    within.join(carried, Seq(key, "__bkt"), "left")
+    // ---- 3. combine (null-safe on key AND bucket: asofJoin's window
+    // groups NULL keys / NULL ts together, so the carry delivery must
+    // match them too or the bucketed form would diverge on NULLs) ----
+    val carriedR = carried
+      .withColumnRenamed(key, "__ck").withColumnRenamed("__bkt", "__cb")
+    within.join(carriedR,
+        col(key) <=> col("__ck") && col("__bkt") <=> col("__cb"), "left")
       .withColumn("__rf", coalesce(col("__rw"), col("__close_carry")))
       .select(lCols.map(col) ++
         rCols.map(c => col("__rf").getField(c).as(s"$c$suffix")): _*)

@@ -171,22 +171,23 @@ object Ivf {
     assigned.join(broadcast(probes), Seq("ivf_cell"))
   }
 
-  /** Batched IVF top-k: Q queries, one restricted corpus scan. The
-    * probed (qid, row) stream scores against the matching query
-    * vector via a broadcast (qid -> vector) map join, then a
-    * per-query window keeps top-k (WindowGroupLimit pushes the limit
-    * below the exchange — see Similarity.bruteTopKBatch).
+  /** Score a (qid, vec, id) stream against its matching query vector
+    * (broadcast qid -> vector map join) and keep each query's top-k
+    * (rounded-sim desc, id tiebreak; WindowGroupLimit pushes the limit
+    * below the exchange — see Similarity.bruteTopKBatch). The ONE
+    * scoring definition behind searchBatch and any externally
+    * restricted scan (e.g. a dumped probe subset re-scored for
+    * verification) — the verified form and the production form cannot
+    * diverge.
     */
-  def searchBatch(assigned: DataFrame, vecCol: String, idCol: String,
-                  idx: IvfIndex, queries: Seq[(Long, Array[Float])],
-                  topK: Int, nprobe: Int = 2): DataFrame = {
-    val spark = assigned.sparkSession
+  def scoreBatch(restricted: DataFrame, vecCol: String, idCol: String,
+                 queries: Seq[(Long, Array[Float])], topK: Int): DataFrame = {
+    val spark = restricted.sparkSession
     import spark.implicits._
-    val probed = probeBatch(assigned, idx, queries, nprobe)
     val qvecs = broadcast(
       queries.toDF("qid", "__qvec")
         .withColumn("__qvec", col("__qvec").cast("array<float>")))
-    val scored = probed.join(qvecs, Seq("qid"))
+    val scored = restricted.join(qvecs, Seq("qid"))
       .select(col("qid"), col(idCol),
         round(Similarity.cosine(col(vecCol), col("__qvec")), 3).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
@@ -194,4 +195,11 @@ object Ivf {
     scored.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= topK).drop("__rn")
   }
+
+  /** Batched IVF top-k: Q queries, one restricted corpus scan. */
+  def searchBatch(assigned: DataFrame, vecCol: String, idCol: String,
+                  idx: IvfIndex, queries: Seq[(Long, Array[Float])],
+                  topK: Int, nprobe: Int = 2): DataFrame =
+    scoreBatch(probeBatch(assigned, idx, queries, nprobe),
+      vecCol, idCol, queries, topK)
 }

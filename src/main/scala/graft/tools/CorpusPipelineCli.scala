@@ -75,6 +75,9 @@ object CorpusPipelineCli {
       .withColumn("n_tok", size(col("tokens")))
       .select("doc_id", "tokens", "n_tok", "source")
       .as[graft.model.TokenRow]
+      // three downstream consumers (pack plan, encode, roundtrip gate)
+      // would each re-run the whole document pipeline otherwise
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 5b. sequence-packing plan: how the sampled corpus chunks into
     // fixed 512-token training sequences (per-source stats)
@@ -98,6 +101,7 @@ object CorpusPipelineCli {
       back.toDF().exceptAll(rows.toDF()).count()
     println(s"STAGE decode_verify     rows=${back.count()} mismatches=$bad")
     println(if (bad == 0) "PIPELINE-OK" else "PIPELINE-MISMATCH")
+    rows.unpersist(blocking = false)
     spark.stop()
     if (bad != 0) sys.exit(1)
   }

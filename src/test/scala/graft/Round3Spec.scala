@@ -298,10 +298,17 @@ class Round3Spec extends SparkSpecBase {
       .toDF("k", "ts", "v", "w")
     val left = (0 until 300).map(i =>
       (i % 7L, rng.nextInt(11000).toLong, i.toLong)).toDF("k", "ts", "lid")
+      // NULL join keys: asofJoin's window groups them together, so the
+      // bucketed form must match them in the carry joins too
+      .withColumn("k", when(col("lid") % 11 === 0, lit(null)).otherwise(col("k")))
+    val rightN = right
+      .withColumn("k", when(col("ts") % 13 === 0, lit(null)).otherwise(col("k")))
+      // re-establish uniqueness per (k, ts) after the nulling merge
+      .groupBy("k", "ts").agg(max("v").as("v"), max("w").as("w"))
     for (bucket <- Seq(100.0, 1000.0, 100000.0)) {
-      val a = AsofJoin.asofJoin(left, right, "k", "ts")
+      val a = AsofJoin.asofJoin(left, rightN, "k", "ts")
         .orderBy("lid").collect().toSeq
-      val b = AsofJoin.asofJoinBucketed(left, right, "k", "ts", bucket)
+      val b = AsofJoin.asofJoinBucketed(left, rightN, "k", "ts", bucket)
         .orderBy("lid").collect().toSeq
       assert(a == b, s"bucket=$bucket")
     }
