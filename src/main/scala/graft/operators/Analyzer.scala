@@ -154,14 +154,22 @@ object Analyzer {
         val header = f"${"field"}%-12s ${"total"}%10s ${"n_uniq"}%10s " +
           f"${"minlen"}%7s ${"maxlen"}%7s ${"avglen"}%9s ${"share"}%8s  flags"
         val lines = rows.map { r =>
+          // empty/all-null fields leave min/max/avg/share NULL — print
+          // "-" rather than NPE on primitive unboxing
+          def l(c: String): String =
+            Option(r.getAs[Any](c)).fold("-")(v => f"${v.asInstanceOf[Long]}%d")
+          def d(c: String): String =
+            Option(r.getAs[Any](c)).fold("-")(v => f"${v.asInstanceOf[Double]}%.2f")
+          def b(c: String): Boolean =
+            Option(r.getAs[Any](c)).exists(_.asInstanceOf[Boolean])
           val flags = Seq(
-            if (r.getAs[Boolean]("is_uniq")) Some("uniq") else None,
-            if (r.getAs[Boolean]("is_dictkey")) Some("dictkey") else None)
+            if (b("is_uniq")) Some("uniq") else None,
+            if (b("is_dictkey")) Some("dictkey") else None)
             .flatten.mkString(",")
-          f"${r.getAs[String]("field")}%-12s ${r.getAs[Long]("total")}%10d " +
-            f"${r.getAs[Long]("n_uniq")}%10d ${r.getAs[Long]("minlen")}%7d " +
-            f"${r.getAs[Long]("maxlen")}%7d ${r.getAs[Double]("avglen")}%9.2f " +
-            f"${r.getAs[Double]("share_uniq")}%8.2f  $flags"
+          f"${r.getAs[String]("field")}%-12s ${l("total")}%10s " +
+            f"${l("n_uniq")}%10s ${l("minlen")}%7s " +
+            f"${l("maxlen")}%7s ${d("avglen")}%9s " +
+            f"${d("share_uniq")}%8s  $flags"
         }
         (header +: lines.toSeq).mkString("\n")
     }

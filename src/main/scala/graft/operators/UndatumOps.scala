@@ -137,8 +137,10 @@ object UndatumOps {
         round(col(s"__av_$i"), 4).as("avglen"))
     }
     row.select(explode(array(structs: _*)).as("s")).select("s.*")
+      // try_divide: an all-null/empty field has total=0 and ANSI mode
+      // would otherwise throw DIVIDE_BY_ZERO; share is NULL there
       .withColumn("share_uniq",
-        round(lit(100.0) * col("n_uniq") / col("total"), 4))
+        round(lit(100.0) * try_divide(col("n_uniq"), col("total")), 4))
       .withColumn("is_uniq", col("n_uniq") === col("total"))
       .withColumn("is_dictkey", col("share_uniq") < dictShare)
       .orderBy("field")
