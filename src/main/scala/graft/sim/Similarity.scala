@@ -141,7 +141,12 @@ object Similarity {
   def cosineLshCandidates(df: DataFrame, vecCol: String, idCol: String,
                           blockCol: String, nPlanes: Int = 6,
                           seed: Long = 42L): DataFrame = {
-    val dim = df.select(col(vecCol)).head().getSeq[Float](0).length
+    // dimensionality probe: an empty corpus has no pairs (and no dim)
+    val first = df.select(col(vecCol)).take(1)
+    if (first.isEmpty)
+      return df.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id_a"), lit(0L).as("id_b")).limit(0)
+    val dim = first(0).getSeq[Float](0).length
     val ps = planes(nPlanes, dim, seed)
     val base = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
         col(vecCol).as("v"))

@@ -45,6 +45,29 @@ class EdgeSpec extends SparkSpecBase {
     assert(graft.dedup.Dedup.connectedComponents(none).count() == 0)
   }
 
+  test("cosine LSH candidate generation over an empty corpus is empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, Array[Float])]
+      .toDF("vec_id", "label", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    assert(graft.sim.Similarity.cosineLshCandidates(
+      empty, "embedding", "vec_id", "label").count() == 0)
+    assert(graft.sim.Similarity.cosinePairsLsh(
+      empty, "embedding", "vec_id", "label", 0.5).count() == 0)
+  }
+
+  test("encode of an empty dataset completes and decodes to empty") {
+    import spark.implicits._
+    val empty = spark.emptyDataset[graft.model.TokenRow]
+    val out = tmpDir("graft-empty-enc")
+    val lineage = graft.encode.TokenEncoder.run(empty, out,
+      graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 100))
+    assert(lineage.count() == 0)
+    // a second run is a committed no-op, and reading back yields empty
+    assert(graft.encode.TokenEncoder.run(empty, out,
+      graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 100)).count() == 0)
+  }
+
   test("rangeJoin with no intervals returns no rows") {
     import spark.implicits._
     val pts = Seq(("k", 1L, 5L)).toDF("k", "pid", "t")
