@@ -9,7 +9,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   *
   * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
   * Functions: shingles_ll, minhash_sig, sig_agree, jaccard_ll,
-  * simhash64.
+  * simhash64, vec_dot.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "64-bit simhash of text"),
       (es: Seq[Expression]) => graft.functions.SimHash64Expr(es.head)))
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "float-vector dot product (double fold)"),
+      (es: Seq[Expression]) => graft.functions.VecDotExpr(es(0), es(1))))
   }
 }
 
@@ -43,5 +46,6 @@ object GraftExtensions {
     graft.functions.SigAgree.register(spark)
     graft.functions.JaccardSim.register(spark)
     graft.functions.SimHash.register(spark)
+    graft.functions.VecDot.register(spark)
   }
 }

@@ -14,8 +14,18 @@ object Similarity {
   /** Sequential-order double dot product of two float-array columns.
     * Matches a DuckDB list_sum(list_transform(...)) oracle bit-for-bit
     * because both fold left in index order over doubles.
+    *
+    * Round 3: native codegen'd kernel (functions.VecDot) — the HOF
+    * chain (`aggregate(zip_with(...))`) runs interpreted (HOFs have no
+    * codegen path) and was the per-comparison cost on every similarity
+    * query; the kernel folds in the identical order, so every oracle
+    * value is unchanged. `dotHof` keeps the declarative reference
+    * formulation for the equivalence property test.
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = graft.functions.VecDot.vecDot(a, b)
+
+  /** Declarative reference formulation (interpreted; test-only). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

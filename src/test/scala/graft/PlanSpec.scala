@@ -89,7 +89,8 @@ class PlanSpec extends SparkSpecBase {
     // per-pair expressions reference v_a/v_b; SQRT there would mean
     // norms recomputed per joined row (the round-1 plan). Norms must
     // only appear below the join (per-side scalar columns nrm_a/nrm_b).
-    val perPair = p.linesIterator.filter(_.contains("zip_with(v_a")).mkString("\n")
+    // Round 3: the dot is the native vec_dot kernel, not zip_with.
+    val perPair = p.linesIterator.filter(_.contains("vec_dot(v_a")).mkString("\n")
     assert(perPair.nonEmpty && !perPair.contains("SQRT"), perPair.take(800))
     assert(p.contains("nrm_a") && p.contains("SQRT"), p.take(800))
   }

@@ -22,6 +22,34 @@ class Round3Spec extends SparkSpecBase {
     (0 until n).map(i => (i.toLong, label, Array.fill(dim)(rng.nextGaussian().toFloat)))
   }
 
+  test("native vec_dot is bit-identical to the HOF fold") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 500).map { i =>
+      val d = 1 + rng.nextInt(80)
+      (i.toLong, Array.fill(d)(rng.nextGaussian().toFloat),
+        Array.fill(d)((rng.nextGaussian() * 100).toFloat))
+    }.toDF("id", "a", "b")
+      .withColumn("a", col("a").cast("array<float>"))
+      .withColumn("b", col("b").cast("array<float>"))
+    val cmp = rows.select(col("id"),
+        Similarity.dot(col("a"), col("b")).as("native"),
+        Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .collect()
+    cmp.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"id=${r.getLong(0)}")
+    }
+    // length mismatch -> NULL, exactly like the HOF fold
+    val mm = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
+      .withColumn("a", col("a").cast("array<float>"))
+      .withColumn("b", col("b").cast("array<float>"))
+      .select(Similarity.dot(col("a"), col("b")).as("native"),
+        Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .collect()(0)
+    assert(mm.isNullAt(0) && mm.isNullAt(1))
+  }
+
   test("cosinePairsWithin diverts a hot block to the LSH path") {
     val df = vecs(randVecs(60, "hot"))
     // limit 20 < 60-row block: must take the LSH-bucketed plan —
