@@ -9,7 +9,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   *
   * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
   * Functions: shingles_ll, minhash_sig, sig_agree, jaccard_ll,
-  * simhash64, vec_dot.
+  * simhash64, vec_dot, vec_dist2.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "float-vector dot product (double fold)"),
       (es: Seq[Expression]) => graft.functions.VecDotExpr(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("vec_dist2"),
+      info("vec_dist2", "squared L2 distance of two float vectors"),
+      (es: Seq[Expression]) => graft.functions.VecDist2Expr(es(0), es(1))))
   }
 }
 
@@ -47,5 +50,6 @@ object GraftExtensions {
     graft.functions.JaccardSim.register(spark)
     graft.functions.SimHash.register(spark)
     graft.functions.VecDot.register(spark)
+    graft.functions.VecDist2.register(spark)
   }
 }

@@ -84,14 +84,14 @@ object Ivf {
       .map(_.getSeq[Float](1).toArray))
 
   /** Columnar nearest-centroid assignment: argmin over k squared
-    * distances, each a zip_with+aggregate fold (codegen'd, no UDF).
+    * distances, each one native vec_dist2 kernel call.
     */
   def cellOf(vecCol: Column, idx: IvfIndex): Column = {
+    // native vec_dist2 kernel — the HOF fold ran interpreted (see
+    // functions.VecDist2; fold order identical, assignments bit-equal)
     val dists = idx.centroids.map { c =>
       val cl = array(c.map(lit(_)): _*)
-      aggregate(zip_with(vecCol, cl,
-          (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-        lit(0.0), (acc, v) => acc + v)
+      graft.functions.VecDist2.vecDist2(vecCol, cl)
     }
     // index of the minimum distance
     array_position(array(dists: _*), array_min(array(dists: _*))).cast("int") - 1
@@ -120,9 +120,7 @@ object Ivf {
   def assign(df: DataFrame, vecCol: String, idx: IvfIndex): DataFrame = {
     val dists = idx.centroids.map { c =>
       val cl = array(c.map(lit(_)): _*)
-      aggregate(zip_with(col(vecCol), cl,
-          (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-        lit(0.0), (acc, v) => acc + v)
+      graft.functions.VecDist2.vecDist2(col(vecCol), cl)
     }
     df.withColumn("__ivf_d", array(dists.toIndexedSeq: _*))
       .withColumn("ivf_cell",
