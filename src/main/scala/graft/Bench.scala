@@ -162,6 +162,58 @@ object Bench {
     val thr2 = samples2.collect { case (c, t) if c == 2 => t }.max
     val thr8 = samples2.collect { case (c, t) if c == 8 => t }.max
     val eff28 = thr8 / (thr2 * 4.0)
+
+    // --- the no-shuffle lever on a partId-clustered copy of the SAME
+    // input (staging is a previous pipeline stage — untimed): encode
+    // with the exchange elided, one timed run per level, so the
+    // artifact carries the lever evidence alongside the headline
+    def noShufRun(cpus: Int): Double = {
+      val s = session(cpus)
+      try {
+        import s.implicits._
+        val input = ensureInput(s, benchRows)
+        val clusPath = s"${localDir()}/graft-input-clustered-$benchRows"
+        val planPath = s"${localDir()}/graft-input-plan-$benchRows.tsv"
+        val target = math.max(1000L, benchRows / 128).toInt
+        val plan: Map[String, (Int, Int)] =
+          if (new java.io.File(planPath).exists())
+            java.nio.file.Files.readString(java.nio.file.Paths.get(planPath))
+              .linesIterator.filter(_.nonEmpty).map { l =>
+                val Array(src, b, n) = l.split("\t"); (src, (b.toInt, n.toInt))
+              }.toMap
+          else {
+            val plain = s.read.parquet(input).as[graft.model.TokenRow]
+            val p = TokenEncoder.partitionPlan(plain, target)
+            val nParts = TokenEncoder.planSaltTotal(p) + TokenEncoder.OverflowSlots
+            val pB = p
+            plain.map(r => (TokenEncoder.partIdOf(pB, r), r)).toDF("partId", "r")
+              .repartition(nParts, org.apache.spark.sql.functions.col("partId"))
+              .select("r.*").write.mode("overwrite").parquet(clusPath)
+            java.nio.file.Files.writeString(java.nio.file.Paths.get(planPath),
+              p.toSeq.sortBy(_._1).map { case (k, (b, n)) => s"$k\t$b\t$n" }
+                .mkString("\n"))
+            p
+          }
+        val out = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(localDir()), s"graft-noshuf-$cpus").toString
+        TokenEncoder.savePlan(plan, out)
+        val ds = s.read.parquet(clusPath).as[graft.model.TokenRow]
+        val t0 = System.nanoTime()
+        val lineage = TokenEncoder.run(ds, out, EncodeConfig(
+          targetRowsPerPart = target, cacheInput = false, noShuffle = true))
+        val tok = lineage.agg(sum("totalTokens")).collect()(0).getLong(0)
+        val secs = (System.nanoTime() - t0) / 1e9
+        new ProcessBuilder("rm", "-rf", out).start().waitFor()
+        tok / secs
+      } finally {
+        s.stop()
+        org.apache.spark.sql.SparkSession.clearActiveSession()
+        org.apache.spark.sql.SparkSession.clearDefaultSession()
+      }
+    }
+    val thrNsLo = noShufRun(cpusLo)
+    val thrNsHi = noShufRun(cpusHi)
+
     val sHi = session(cpusHi)
 
     // decode throughput (symmetric transform) at both levels — the
@@ -218,7 +270,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode":{"rows":$benchRows,"tokens":$tokHi,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"tokens_per_sec_lo":${thrLo.toLong},"tokens_per_sec_hi":${thrHi.toLong},"reps":$reps,"inversion_retries":$inversionRetries,"decode_retries":$decodeRetries,"scaling_efficiency":$eff%.3f,"tokens_per_sec_c2":${thr2.toLong},"tokens_per_sec_c8":${thr8.toLong},"scaling_efficiency_2_8":$eff28%.3f,"decode_tokens_per_sec":${thrDec.toLong},"decode_tokens_per_sec_lo":${thrDecLoF.toLong},"decode_scaling_efficiency":$effDec%.3f,"compression_ratio":$ratio%.3f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode":{"rows":$benchRows,"tokens":$tokHi,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"tokens_per_sec_lo":${thrLo.toLong},"tokens_per_sec_hi":${thrHi.toLong},"reps":$reps,"inversion_retries":$inversionRetries,"decode_retries":$decodeRetries,"scaling_efficiency":$eff%.3f,"tokens_per_sec_c2":${thr2.toLong},"tokens_per_sec_c8":${thr8.toLong},"scaling_efficiency_2_8":$eff28%.3f,"noshuffle_tokens_per_sec_lo":${thrNsLo.toLong},"noshuffle_tokens_per_sec_hi":${thrNsHi.toLong},"decode_tokens_per_sec":${thrDec.toLong},"decode_tokens_per_sec_lo":${thrDecLoF.toLong},"decode_scaling_efficiency":$effDec%.3f,"compression_ratio":$ratio%.3f}}""")
     sHi2.stop()
   }
 }
