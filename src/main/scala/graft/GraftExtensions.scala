@@ -9,7 +9,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   *
   * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
   * Functions: shingles_ll, minhash_sig, sig_agree, jaccard_ll,
-  * simhash64, vec_dot, vec_dist2.
+  * simhash64, vec_dot, vec_dist2, type_guess.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -38,6 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_dist2"),
       info("vec_dist2", "squared L2 distance of two float vectors"),
       (es: Seq[Expression]) => graft.functions.VecDist2Expr(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("type_guess"),
+      info("type_guess", "per-value type guess (undatum guess_datatype)"),
+      (es: Seq[Expression]) => graft.functions.TypeGuessExpr(es.head)))
   }
 }
 
@@ -51,5 +54,6 @@ object GraftExtensions {
     graft.functions.SimHash.register(spark)
     graft.functions.VecDot.register(spark)
     graft.functions.VecDist2.register(spark)
+    graft.functions.TypeGuess.register(spark)
   }
 }

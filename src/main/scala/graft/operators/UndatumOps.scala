@@ -187,7 +187,17 @@ object UndatumOps {
     "^[0-9]{2}/[0-9]{2}/[0-9]{4}$",
     "^[0-9]{4}/[0-9]{2}/[0-9]{2}$")
 
-  def guessType(c: Column): Column = {
+  def guessType(c: Column): Column =
+    // null/empty decided here; everything else is ONE native byte
+    // scan (functions.TypeGuess) — the declarative form below ran 7
+    // regexes per value and made the type queries regex-bound
+    when(c.isNull || c === "", "empty")
+      .otherwise(graft.functions.TypeGuess.typeGuess(c))
+
+  /** Declarative regex reference formulation (test-only; the property
+    * test pins the native kernel to it value-for-value).
+    */
+  def guessTypeRegex(c: Column): Column = {
     val isDate = datePatterns.map(c.rlike).reduce(_ || _)
     when(c.isNull || c === "", "empty")
       .when(c.rlike("^[0-9]+$"),

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.Observation
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
+import graft.operators.UndatumOps
 import graft.sim.Similarity
 
 /** Round-3 behaviors: the exact-cosine hot-block guard and the
@@ -20,6 +21,42 @@ class Round3Spec extends SparkSpecBase {
                        seed: Long = 11L): Seq[(Long, String, Array[Float])] = {
     val rng = new scala.util.Random(seed)
     (0 until n).map(i => (i.toLong, label, Array.fill(dim)(rng.nextGaussian().toFloat)))
+  }
+
+  test("native type_guess matches the regex formulation value-for-value") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    // NOTE no all-digit strings past 19 chars here: the regex+ANSI
+    // formulation CRASHES on those (CAST_INVALID_INPUT) — the kernel's
+    // uint32 classification for them is checked separately below
+    val adversarial = Seq(
+      "", "0", "254", "255", "65534", "65535", "123456789",
+      "9223372036854775807",
+      "-1", "-1.5", "1.", ".5", "1.2.3", "-0.0", "007",
+      "2021-03-04", "04.03.2021", "03/04/2021", "2021/03/04",
+      "2021-3-04", "21.03.2021x", "x2021-03-04", "2021-03-044",
+      "abc", "1a2", "näme", "данные", "12 34", " 12", "12 ",
+      "1e5", "0x1F", "+5", "--3", "3.14", "-3.14")
+    val random = (0 until 300).map { _ =>
+      val pool = "0123456789.-/abc "
+      (0 until (1 + rng.nextInt(12)))
+        .map(_ => pool(rng.nextInt(pool.length))).mkString
+    }
+    val df = (adversarial ++ random).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "v")
+    val cmp = df.select(col("id"), col("v"),
+        UndatumOps.guessType(col("v")).as("native"),
+        UndatumOps.guessTypeRegex(col("v")).as("regex"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.getString(2) == r.getString(3),
+        s"value='${r.getString(1)}' native=${r.getString(2)} regex=${r.getString(3)}")
+    }
+    // the >19-digit case: regex+ANSI cast would overflow-crash; the
+    // kernel classifies it as uint32 (documented divergence)
+    val big = Seq(("99999999999999999999")).toDF("v")
+      .select(UndatumOps.guessType(col("v"))).collect()(0).getString(0)
+    assert(big == "uint32")
   }
 
   test("native vec_dot is bit-identical to the HOF fold") {
