@@ -677,6 +677,14 @@ object SparkEntry {
           "embedding", "vec_id", idx, qs, topK = 5, nprobe = 3)
           .orderBy("qid", "vec_id")
       }),
+      "q_analyze_file" -> ((s, d) =>
+        // same analyzeFile entry point + profile, pointed at the
+        // existing parquet — Verify's form synthesizes a csv+zip
+        // INPUT first, which is staging, not engine cost
+        graft.operators.Analyzer.report(
+          graft.operators.Analyzer.analyzeFile(s, s"$d/documents.parquet").df,
+          Seq("lang", "source", "text"))
+          .orderBy("field")),
       "q_stats_by_source" -> ((s, d) => {
         import s.implicits._
         graft.synth.TokenSynth.dataset(s, 3000)
