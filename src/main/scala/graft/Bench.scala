@@ -214,6 +214,16 @@ object Bench {
     val thrNsLo = noShufRun(cpusLo)
     val thrNsHi = noShufRun(cpusHi)
 
+    // pure-JVM kernel scaling 1 -> 8 (no Spark, no shuffle, no disk):
+    // linear here + flat 8 -> 32 above = the host's single memory bus
+    // is the ceiling, not the plan shape (a real N -> 4N executor
+    // scale-up multiplies buses). Best-of-2 per level.
+    val kern1 = math.max(graft.tools.KernelScaling.measure(1),
+      graft.tools.KernelScaling.measure(1))
+    val kern8 = math.max(graft.tools.KernelScaling.measure(8),
+      graft.tools.KernelScaling.measure(8))
+    val kernEff18 = kern8 / (kern1 * 8.0)
+
     val sHi = session(cpusHi)
 
     // decode throughput (symmetric transform) at both levels — the
@@ -270,7 +280,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode":{"rows":$benchRows,"tokens":$tokHi,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"tokens_per_sec_lo":${thrLo.toLong},"tokens_per_sec_hi":${thrHi.toLong},"reps":$reps,"inversion_retries":$inversionRetries,"decode_retries":$decodeRetries,"scaling_efficiency":$eff%.3f,"tokens_per_sec_c2":${thr2.toLong},"tokens_per_sec_c8":${thr8.toLong},"scaling_efficiency_2_8":$eff28%.3f,"noshuffle_tokens_per_sec_lo":${thrNsLo.toLong},"noshuffle_tokens_per_sec_hi":${thrNsHi.toLong},"decode_tokens_per_sec":${thrDec.toLong},"decode_tokens_per_sec_lo":${thrDecLoF.toLong},"decode_scaling_efficiency":$effDec%.3f,"compression_ratio":$ratio%.3f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode":{"rows":$benchRows,"tokens":$tokHi,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"tokens_per_sec_lo":${thrLo.toLong},"tokens_per_sec_hi":${thrHi.toLong},"reps":$reps,"inversion_retries":$inversionRetries,"decode_retries":$decodeRetries,"scaling_efficiency":$eff%.3f,"tokens_per_sec_c2":${thr2.toLong},"tokens_per_sec_c8":${thr8.toLong},"scaling_efficiency_2_8":$eff28%.3f,"noshuffle_tokens_per_sec_lo":${thrNsLo.toLong},"noshuffle_tokens_per_sec_hi":${thrNsHi.toLong},"kernel_tokens_per_sec_1":${kern1.toLong},"kernel_tokens_per_sec_8":${kern8.toLong},"kernel_scaling_1_8":$kernEff18%.3f,"decode_tokens_per_sec":${thrDec.toLong},"decode_tokens_per_sec_lo":${thrDecLoF.toLong},"decode_scaling_efficiency":$effDec%.3f,"compression_ratio":$ratio%.3f}}""")
     sHi2.stop()
   }
 }

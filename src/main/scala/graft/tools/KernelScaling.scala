@@ -10,35 +10,45 @@ import graft.codec.BlockCodec
   *   sbt "runMain graft.tools.KernelScaling"
   */
 object KernelScaling {
-  def main(args: Array[String]): Unit = {
+
+  private lazy val blocks: Array[Array[Int]] = {
     val rng = new scala.util.Random(3)
     val phrases = Array.fill(30)(Array.fill(3 + rng.nextInt(6))(rng.nextInt(30000)))
-    val blocks: Array[Array[Int]] = Array(
+    val bs: Array[Array[Int]] = Array(
       Array.fill(1000000)(rng.nextInt(4096)),                      // bitpack
       Array.fill(250)(rng.nextInt(40)).flatMap(v => Array.fill(4000)(v)), // rle
       Array.fill(180000)(phrases(rng.nextInt(30))).flatten.take(1000000), // fsst/dict
       Array.fill(1000000)((1 << 27) + rng.nextInt(1 << 12))        // for
     )
-    val tokensPerRound = blocks.map(_.length.toLong).sum
-    // warmup
-    blocks.foreach(b => BlockCodec.encodeAuto(b, b.length))
-    Seq(1, 8, 32).foreach { t =>
-      val pool = Executors.newFixedThreadPool(t)
-      val rounds = t * 4
-      val t0 = System.nanoTime()
-      (0 until rounds).foreach { r =>
-        pool.submit(new Runnable {
-          def run(): Unit = {
-            val b = blocks(r % blocks.length)
-            BlockCodec.encodeAuto(b, b.length)
-          }
-        })
-      }
-      pool.shutdown()
-      pool.awaitTermination(600, TimeUnit.SECONDS)
-      val secs = (System.nanoTime() - t0) / 1e9
-      val thr = (tokensPerRound * rounds / blocks.length) / secs
-      println(f"threads=$t%2d rounds=$rounds aggregate_tokens_per_sec=${thr.toLong}")
-    }
+    bs.foreach(b => BlockCodec.encodeAuto(b, b.length)) // warm JIT
+    bs
   }
+
+  /** Aggregate kernel tokens/sec on T threads — callable from Bench
+    * so the compute-scaling evidence (linear below the bandwidth
+    * ceiling) lands in the official JSON.
+    */
+  def measure(t: Int): Double = {
+    val tokensPerRound = blocks.map(_.length.toLong).sum
+    val pool = Executors.newFixedThreadPool(t)
+    val rounds = t * 4
+    val t0 = System.nanoTime()
+    (0 until rounds).foreach { r =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val b = blocks(r % blocks.length)
+          BlockCodec.encodeAuto(b, b.length)
+        }
+      })
+    }
+    pool.shutdown()
+    pool.awaitTermination(600, TimeUnit.SECONDS)
+    val secs = (System.nanoTime() - t0) / 1e9
+    (tokensPerRound * rounds / blocks.length) / secs
+  }
+
+  def main(args: Array[String]): Unit =
+    Seq(1, 8, 32).foreach { t =>
+      println(f"threads=$t%2d aggregate_tokens_per_sec=${measure(t).toLong}")
+    }
 }
