@@ -197,6 +197,13 @@ object Bench {
         val out = java.nio.file.Files.createTempDirectory(
           java.nio.file.Paths.get(localDir()), s"graft-noshuf-$cpus").toString
         TokenEncoder.savePlan(plan, out)
+        // the staged files are ~1-2MB each at bench scale; Spark's
+        // default 128MB packing would coalesce ~144 files into a
+        // handful of input partitions and strangle the no-shuffle
+        // path's parallelism (a real staged table has GB files).
+        // One partition per file restores the layout the lever models.
+        s.conf.set("spark.sql.files.maxPartitionBytes", 4L << 20)
+        s.conf.set("spark.sql.files.openCostInBytes", 0L)
         val ds = s.read.parquet(clusPath).as[graft.model.TokenRow]
         val t0 = System.nanoTime()
         val lineage = TokenEncoder.run(ds, out, EncodeConfig(

@@ -66,6 +66,12 @@ object NoShufProbe {
           }.toMap
       }
 
+    // staged files are small at probe scale; default 128MB packing
+    // would coalesce them into a few input partitions and strangle
+    // the no-shuffle path (see Bench.noShufRun)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", 4L << 20)
+    spark.conf.set("spark.sql.files.openCostInBytes", 0L)
+
     def run(path: String, noShuf: Boolean): Double = {
       val out = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(base), "enc").toString
