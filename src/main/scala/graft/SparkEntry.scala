@@ -353,7 +353,26 @@ object SparkEntry {
       graft.encode.Packing.packingStats(docs, "doc_id", "n_tok", "source", 256)
         .orderBy("grp")
     }),
+    "q_repetition" -> ((s, d) => {
+      // Gopher-style duplicate-bigram share per doc, basis points
+      graft.functions.Shingles.register(s)
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.repetitionBp(col("text"), 2).as("rep_bp"))
+        .orderBy("doc_id")
+    }),
     // ---- dedup ----------------------------------------------------
+    "q_decontaminate" -> ((s, d) => {
+      // benchmark decontamination: docs whose md5(doc_id) starts with
+      // '0' act as the held-out "benchmark suite"; every other doc is
+      // scored by its distinct-bigram overlap with that set. The
+      // benchmark n-gram set is broadcast — the corpus is scanned
+      // once, no shuffle of document text.
+      val docs = t(s, d, "documents")
+      val isBench = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+      Dedup.decontaminate(docs.where(!isBench), docs.where(isBench),
+          "doc_id", "text", 2)
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")
+    }),
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactDedup(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")),
     "q_minhash_pairs" -> ((s, d) => {
@@ -1000,6 +1019,41 @@ object SparkEntry {
         |  + (1500 - CAST(floor(CAST(1500*least(4*p,L) AS DOUBLE)/L1) AS BIGINT))
         |  + (1500 - CAST(floor(CAST(1500*least(4*g,L) AS DOUBLE)/L1) AS BIGINT)) AS quality_bp
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') ws
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  greatest(CAST(len(ws) AS BIGINT) - 1, 0) total,
+        |  CASE WHEN len(ws) >= 2 THEN CAST(len(list_distinct(
+        |    list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))) AS BIGINT)
+        |  ELSE CAST(0 AS BIGINT) END dist
+        |  FROM w)
+        |SELECT doc_id, CASE WHEN total > 0
+        |  THEN CAST(floor(10000.0 * (total - dist) / total) AS BIGINT)
+        |  ELSE CAST(0 AS BIGINT) END AS rep_bp
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 2
+        |  THEN list_distinct(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1]))
+        |  ELSE [] END sh FROM w),
+        |bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+        |docs AS (SELECT doc_id, sh FROM sh
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM docs),
+        |h AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) hits
+        |  FROM e JOIN bench USING (g) GROUP BY e.doc_id)
+        |SELECT d.doc_id, CAST(len(d.sh) AS BIGINT) AS n_grams,
+        |  coalesce(h.hits, CAST(0 AS BIGINT)) AS hits,
+        |  CASE WHEN len(d.sh) > 0
+        |    THEN CAST(floor(10000.0 * coalesce(h.hits, 0) / len(d.sh)) AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS contam_bp
+        |FROM docs d LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -544,4 +544,57 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Distinct hashed word n-grams of a benchmark corpus — the
+    * contamination reference set. Benchmark suites are tiny relative
+    * to a training corpus (MBs vs TBs), so the result is meant to be
+    * `broadcast()` into [[decontaminate]]'s probe join.
+    */
+  def benchmarkNgrams(bench: DataFrame, textCol: String, n: Int = 2): DataFrame = {
+    graft.functions.Shingles.register(bench.sparkSession)
+    bench.select(explode(graft.functions.Shingles.shinglesNative(col(textCol), n))
+      .as("ngram")).distinct()
+  }
+
+  /** Benchmark decontamination: for each document, how many of its
+    * distinct word n-grams appear in the benchmark set (the standard
+    * test-set-overlap check run before training).
+    *
+    * Output: (id, n_grams, hits, contam_bp) where contam_bp =
+    * floor(10000 * hits / n_grams) and n_grams counts the doc's
+    * DISTINCT n-grams (0-gram docs score 0).
+    *
+    * Scale shape: the benchmark n-gram set is broadcast, so the corpus
+    * scan probes a hash map with zero shuffle of document data; only
+    * the (id, 1) hit stream — rare by construction — is shuffled for
+    * the per-doc count. A 100-TB corpus pays one scan + a tiny
+    * aggregate.
+    */
+  def decontaminate(docs: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 2): DataFrame = {
+    graft.functions.Shingles.register(docs.sparkSession)
+    val sh = docs.select(col(idCol).as("id"),
+      graft.functions.Shingles.shinglesNative(col(textCol), n).as("sh"))
+    val totals = sh.select(col("id"), size(col("sh")).cast("long").as("n_grams"))
+    val hits = sh.select(col("id"), explode(col("sh")).as("ngram"))
+      .join(broadcast(benchmarkNgrams(bench, textCol, n)), "ngram")
+      .groupBy("id").agg(count(lit(1)).cast("long").as("hits"))
+    totals.join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        when(col("n_grams") > 0,
+          floor(lit(10000) * coalesce(col("hits"), lit(0L)) / col("n_grams"))
+            .cast("long")).otherwise(0L).as("contam_bp"))
+  }
+
+  /** Drop documents whose benchmark overlap is at or above
+    * `thresholdBp` basis points of their distinct n-grams.
+    */
+  def removeContaminated(docs: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, thresholdBp: Long,
+                         n: Int = 2): DataFrame = {
+    val flagged = decontaminate(docs, bench, idCol, textCol, n)
+      .where(col("contam_bp") >= thresholdBp).select(col("id"))
+    docs.join(flagged, docs(idCol) === flagged("id"), "left_anti")
+  }
 }

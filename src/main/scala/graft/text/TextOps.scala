@@ -114,4 +114,19 @@ object TextOps {
       filter(split(text, "\\s+"), x => x =!= lit("")),
       lit(1469598103934665603L),
       (acc, w) => acc * lit(1099511628211L) + xxhash64(w))
+
+  /** Within-document repetition score in basis points: the share of
+    * word n-gram POSITIONS occupied by a repeated n-gram,
+    * floor(10000 * (total - distinct) / total), 0 for docs with fewer
+    * than n words (Gopher-style duplicate-n-gram filter; Rae et al.
+    * 2021, public). Distinct counting rides the native shingle kernel,
+    * so a corpus scan stays one codegen'd pass per doc.
+    */
+  def repetitionBp(text: Column, n: Int = 2): Column = {
+    val total = greatest(tokenCount(text) - (n - 1), lit(0L))
+    val distinct = size(graft.functions.Shingles.shinglesNative(text, n)).cast("long")
+    when(total > 0,
+      floor(lit(10000) * (total - distinct) / total).cast("long"))
+      .otherwise(0L)
+  }
 }

@@ -450,4 +450,39 @@ class Round3Spec extends SparkSpecBase {
     assert(m("rows_dropped").asInstanceOf[Long] > 0L)
     assert(m("max_bucket_rows").asInstanceOf[Long] == 50L)
   }
+
+  test("repetitionBp: repeated bigrams score, short/empty docs score 0") {
+    import spark.implicits._
+    graft.functions.Shingles.register(spark)
+    val docs = Seq(
+      (1L, "a b a b a b"),          // 5 bigram slots, 2 distinct -> 6000
+      (2L, "all words are unique here"), // 4 slots, 4 distinct -> 0
+      (3L, "single"),               // < n words -> 0
+      (4L, ""),                     // empty -> 0
+      (5L, "x x x x x")             // 4 slots, 1 distinct -> 7500
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        graft.text.TextOps.repetitionBp(col("text"), 2).as("rep_bp"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 6000L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 7500L)))
+  }
+
+  test("decontaminate counts benchmark n-gram overlap; removal drops flagged docs") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"), // 4 bigrams, 3 hit -> 7500
+      (2L, "quick brown cow"),           // 2 bigrams, 1 hit -> 5000
+      (3L, "nothing shared at all"),     // 0 hits
+      (4L, "one")                        // no bigrams -> 0/0 -> 0
+    ).toDF("doc_id", "text")
+    val scored = Dedup.decontaminate(docs, bench, "doc_id", "text", 2)
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(scored == Seq(
+      (1L, 4L, 3L, 7500L), (2L, 2L, 1L, 5000L),
+      (3L, 3L, 0L, 0L), (4L, 0L, 0L, 0L)))
+    val kept = Dedup.removeContaminated(docs, bench, "doc_id", "text",
+      thresholdBp = 5000L, n = 2)
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+  }
 }
