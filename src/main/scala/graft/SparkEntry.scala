@@ -360,6 +360,25 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.repetitionBp(col("text"), 2).as("rep_bp"))
         .orderBy("doc_id")
     }),
+    "q_redact" -> ((s, d) =>
+      // PII scrub: a synthetic email+URL tail is appended to every doc
+      // so both patterns fire on every row (the corpus itself has none)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextOps.redact(concat(col("text"),
+            lit(" ping admin.01+x@mail.example.org or https://ex.io/a?b=1#f then done")))
+            .as("clean"))
+        .orderBy("doc_id")),
+    "q_mix_sample" -> ((s, d) => {
+      // domain mixing: 2:1:1 token budget across three sources; docs
+      // taken in md5(id) order until each source's budget is reached
+      val docs = t(s, d, "documents")
+        .withColumn("n_tok", TextOps.tokenCount(col("text")))
+      UndatumOps.mixSample(docs, "doc_id", "n_tok", "source",
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25), 2048L)
+        .select(col("doc_id"), col("source"), col("n_tok"))
+        .orderBy("doc_id")
+    }),
     // ---- dedup ----------------------------------------------------
     "q_decontaminate" -> ((s, d) => {
       // benchmark decontamination: docs whose md5(doc_id) starts with
@@ -1033,6 +1052,27 @@ object SparkEntry {
         |  THEN CAST(floor(10000.0 * (total - dist) / total) AS BIGINT)
         |  ELSE CAST(0 AS BIGINT) END AS rep_bp
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_redact" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(
+        |  text || ' ping admin.01+x@mail.example.org or https://ex.io/a?b=1#f then done',
+        |  'https?://[^\s]+', '[URL]', 'g'),
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mix_sample" ->
+      """WITH tc AS (SELECT doc_id, source,
+        |  CAST(len(list_filter(string_split_regex(text,'\s+'), x -> x <> '')) AS BIGINT) n_tok
+        |  FROM documents),
+        |wt AS (SELECT * FROM (VALUES
+        |  ('src0', CAST(1024 AS BIGINT)),
+        |  ('src1', CAST(512 AS BIGINT)),
+        |  ('src2', CAST(512 AS BIGINT))) w(source, b)),
+        |c AS (SELECT tc.doc_id, tc.source, tc.n_tok, wt.b,
+        |  sum(tc.n_tok) OVER (PARTITION BY tc.source
+        |    ORDER BY md5(CAST(tc.doc_id AS VARCHAR)), tc.doc_id
+        |    ROWS UNBOUNDED PRECEDING) cum
+        |  FROM tc JOIN wt USING (source))
+        |SELECT doc_id, source, n_tok FROM c
+        |WHERE cum - n_tok < b ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') ws

@@ -275,6 +275,42 @@ object UndatumOps {
       .drop("__rn")
   }
 
+  /** Token-budget domain mixing — the corpus-mixing stage of a
+    * training-data pipeline (up/down-weight web vs books vs code):
+    * each source gets budget_s = floor(weight_s / Σweights × total)
+    * tokens and contributes its docs in md5(id) order until the
+    * PRE-doc cumulative token count reaches that budget (the
+    * straddling doc is kept — the budget is a floor, and downstream
+    * concat-and-chunk packing trims the tail). Deterministic across
+    * engines and runs; sources absent from `weights` contribute
+    * nothing.
+    *
+    * Scale shape: the window sorts only (source, id, n_tok) scalars —
+    * the wide doc rows rejoin by id afterwards — and the budget table
+    * is broadcast. One shuffle on source over scalars; at 10^12 docs
+    * a hot source serializes its cumsum, so pre-aggregate to (source,
+    * md5-bucket) subtotals first if one source dominates.
+    */
+  def mixSample(df: DataFrame, idCol: String, tokCol: String,
+                srcCol: String, weights: Map[String, Double],
+                totalTokenBudget: Long): DataFrame = {
+    val wsum = weights.values.sum
+    require(wsum > 0, "weights must have positive mass")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val budgets = weights.toSeq
+      .map { case (s, w) => (s, math.floor(w / wsum * totalTokenBudget).toLong) }
+      .toDF(srcCol, "__budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(srcCol).orderBy(md5(col(idCol).cast(StringType)), col(idCol))
+    val kept = df.select(col(srcCol), col(idCol), col(tokCol))
+      .join(broadcast(budgets), srcCol)
+      .withColumn("__cum", sum(col(tokCol)).over(w))
+      .where(col("__cum") - col(tokCol) < col("__budget"))
+      .select(col(idCol))
+    df.join(kept, Seq(idCol), "left_semi")
+  }
+
   /** `undatum validate` (undatum/cmds/validator.py:47-119): rule over
     * a column; modes stats / invalid / all.
     */

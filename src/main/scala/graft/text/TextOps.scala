@@ -122,6 +122,17 @@ object TextOps {
     * 2021, public). Distinct counting rides the native shingle kernel,
     * so a corpus scan stays one codegen'd pass per doc.
     */
+  /** PII scrub: mask URLs then email addresses with placeholder
+    * tokens (URLs first, or the mailto-ish tail of a URL would be
+    * half-masked as an email). Both patterns are RE2-compatible so
+    * any engine replays them identically; plain codegen'd
+    * regexp_replace — one scan, no UDF.
+    */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "https?://[^\\s]+", "[URL]"),
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+
   def repetitionBp(text: Column, n: Int = 2): Column = {
     val total = greatest(tokenCount(text) - (n - 1), lit(0L))
     val distinct = size(graft.functions.Shingles.shinglesNative(text, n)).cast("long")

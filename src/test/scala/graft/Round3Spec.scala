@@ -485,4 +485,53 @@ class Round3Spec extends SparkSpecBase {
       thresholdBp = 5000L, n = 2)
     assert(kept.select("doc_id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
   }
+
+  test("redact masks URLs before emails, repeatedly, leaves clean text alone") {
+    import spark.implicits._
+    val got = Seq(
+      "mail me at bob.smith+tag@corp.example.com today",
+      "see https://a.io/x?y=1#z and http://b.org too",
+      "mixed https://c.net/mailto?x@y.com tail a@b.co",
+      "nothing to hide here"
+    ).toDF("text")
+      .select(graft.text.TextOps.redact(col("text")).as("c"))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      "mail me at [EMAIL] today",
+      "see [URL] and [URL] too",
+      "mixed [URL] tail [EMAIL]",
+      "nothing to hide here"))
+  }
+
+  test("mixSample: md5-prefix per source up to the token budget, deterministic") {
+    import spark.implicits._
+    val docs = (0L until 40L).map { i =>
+      (i, if (i % 2 == 0) "a" else "b", 10L + (i % 7))
+    }.toDF("id", "src", "n_tok")
+    val weights = Map("a" -> 0.75, "b" -> 0.25)
+    val kept = UndatumOps.mixSample(docs, "id", "n_tok", "src", weights, 200L)
+    val bySrc = kept.groupBy("src")
+      .agg(sum("n_tok").as("tok"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // budgets: a=150, b=50; each source's PRE-doc cum stays under
+    // budget, so kept tokens < budget + max_doc_tok (16)
+    assert(bySrc("a")._1 >= 150L && bySrc("a")._1 < 150L + 17L)
+    assert(bySrc("b")._1 >= 50L && bySrc("b")._1 < 50L + 17L)
+    // the kept set is the md5-order prefix: re-derive it independently
+    val order = docs.select(col("src"), col("id"), col("n_tok"))
+      .withColumn("k", md5(col("id").cast("string")))
+      .as[(String, Long, Long, String)].collect()
+    val expected = order.groupBy(_._1).flatMap { case (s, rows) =>
+      val budget = (weights(s) / 1.0 * 200L).toLong
+      var cum = 0L
+      rows.sortBy(r => (r._4, r._2)).takeWhile { r =>
+        val pre = cum; cum += r._3; pre < budget
+      }.map(_._2).toSeq
+    }.toSet
+    assert(kept.select("id").as[Long].collect().toSet == expected)
+    // a source with no weight contributes nothing
+    val none = UndatumOps.mixSample(docs, "id", "n_tok", "src",
+      Map("a" -> 1.0), 100L)
+    assert(none.where(col("src") === "b").count() == 0L)
+  }
 }
