@@ -16,7 +16,7 @@ import graft.model.ColumnStats
   *    narrow relative to magnitude, FSST when 4-gram repetition is
   *    high (both new here; the reference has no sub-file codecs)
   *
-  * Selection computes cheap stats, narrows to <=3 candidate codecs,
+  * Selection computes cheap stats, narrows to <=4 candidate codecs,
   * encodes each, and keeps the smallest — deterministic and
   * near-optimal; encode kernels are fast enough that trying 2-3
   * candidates costs less than a mis-pick at scale.
@@ -30,7 +30,8 @@ object BlockCodec {
     CodecIds.BitPack -> BitPackCodec,
     CodecIds.For -> ForCodec,
     CodecIds.Fsst -> FsstCodec,
-    CodecIds.DeltaFor -> DeltaForCodec
+    CodecIds.DeltaFor -> DeltaForCodec,
+    CodecIds.MiniPack -> MiniPackCodec
   )
 
   private val CardCap = 1 << 16
@@ -64,6 +65,28 @@ object BlockCodec {
     // 95th-percentile zigzag-delta width: robust to occasional wide
     // jumps (doc boundaries) that the miniblock DeltaFor format absorbs
     var deltaW = 0
+    // 90th-percentile RAW width: p90 far below width(max) means widths
+    // are position-clustered (mixed doc regimes / lone outliers) and
+    // the per-miniblock pack pays the local width — MiniPack signal
+    var w90 = 0
+    if (sampleN >= 1) {
+      val whist = new Array[Int](34)
+      var neg = false
+      var j = 0
+      while (j < sampleN) {
+        val v = values(j)
+        if (v < 0) neg = true else whist(Bits.widthInt(v)) += 1
+        j += 1
+      }
+      if (neg) w90 = 33
+      else {
+        val target = math.ceil(0.9 * sampleN).toInt
+        var cum = 0
+        var w = 0
+        while (w < whist.length && cum < target) { cum += whist(w); if (cum < target) w += 1 }
+        w90 = math.min(w, 33)
+      }
+    }
     if (sampleN >= 2) {
       val hist = new Array[Int](35)
       var j = 1
@@ -92,7 +115,7 @@ object BlockCodec {
       }
       rep = repeats.toDouble / math.max(1, sampleN - 3)
     }
-    ColumnStats(n.toLong, min, max, seen.size.toLong, !cardCapped, runs, maxRun, rep, deltaW)
+    ColumnStats(n.toLong, min, max, seen.size.toLong, !cardCapped, runs, maxRun, rep, deltaW, w90)
   }
 
   /** Stats -> ordered candidate codec ids. */
@@ -104,17 +127,23 @@ object BlockCodec {
     // dict: distinct-share rule (undatum dictshare) + representable card
     if (s.cardExact && s.card <= DictCodec.maxCard && s.uniqShare < 70.0)
       out += CodecIds.Dict
-    if (s.repeat4Share > 0.25 && s.min >= 0) out += CodecIds.Fsst
     val range = s.max.toLong - s.min.toLong
     val wFor = Bits.width(range)
     val wRaw = if (s.min >= 0) Bits.widthInt(s.max) else 33
+    // sampled p90 width well under width(max): mixed-regime docs or a
+    // lone outlier — the per-miniblock pack pays the local width
+    if (s.min >= 0 && s.sampleW90 + 2 < wRaw) out += CodecIds.MiniPack
+    if (s.repeat4Share > 0.25 && s.min >= 0) out += CodecIds.Fsst
     // sorted / smoothly-varying streams: sampled deltas far narrower
     // than both the raw and FOR widths
     if (s.sampleDeltaW + 4 < math.min(wRaw, wFor)) out += CodecIds.DeltaFor
     if (wFor + 4 < wRaw) out += CodecIds.For
-    if (s.min >= 0 && wRaw <= 24) out += CodecIds.BitPack
-    if (out.isEmpty || wRaw > 24) out += CodecIds.Plain
-    out.distinct.take(3).toSeq
+    // any non-negative stream bit-packs at width(max) <= 31 — on
+    // incompressible random data this is still a guaranteed 1/32 cut
+    // over Plain, which zstd cannot match
+    if (s.min >= 0) out += CodecIds.BitPack
+    if (out.isEmpty || s.min < 0) out += CodecIds.Plain
+    out.distinct.take(4).toSeq
   }
 
   final case class BlockEncoded(

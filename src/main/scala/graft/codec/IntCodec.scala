@@ -32,9 +32,11 @@ object CodecIds {
   val For = 4
   val Fsst = 5
   val DeltaFor = 6
+  val MiniPack = 7
   val names: Map[Int, String] = Map(
     Plain -> "plain", Dict -> "dict", Rle -> "rle", BitPack -> "bitpack",
-    For -> "for", Fsst -> "fsst", DeltaFor -> "deltafor")
+    For -> "for", Fsst -> "fsst", DeltaFor -> "deltafor",
+    MiniPack -> "minipack")
 }
 
 /** Raw 4-byte little-endian values — the universal fallback. */
@@ -177,6 +179,57 @@ object DeltaForCodec extends IntCodec {
         out(i + k) = prev.toInt
         k += 1
       }
+      i += m
+    }
+    out
+  }
+}
+
+/** Per-miniblock bit-packing (the non-delta sibling of DeltaFor's
+  * miniblock format): 128-value miniblocks each carry their own bit
+  * width, so a block that concatenates documents from different value
+  * regimes (4-bit next to 12-bit next to a lone 31-bit outlier) pays
+  * the LOCAL width per miniblock instead of the global width(max) for
+  * every token. Requires non-negative input (null otherwise).
+  */
+object MiniPackCodec extends IntCodec {
+  val id = CodecIds.MiniPack
+  val name = "minipack"
+  private val Mini = 128
+
+  def encode(values: Array[Int], n: Int): Encoded = {
+    val out = new ByteBuf(n + 16)
+    val longs = new Array[Long](Mini)
+    var i = 0
+    while (i < n) {
+      val m = math.min(Mini, n - i)
+      var max = 0
+      var k = 0
+      while (k < m) {
+        val v = values(i + k)
+        if (v < 0) return null
+        if (v > max) max = v
+        longs(k) = v.toLong
+        k += 1
+      }
+      val w = Bits.widthInt(max)
+      out.writeByte(w)
+      Bits.pack(longs, m, w, out)
+      i += m
+    }
+    Encoded(Array.emptyByteArray, out.toArray)
+  }
+
+  def decode(symtab: Array[Byte], payload: Array[Byte], n: Int): Array[Int] = {
+    val out = new Array[Int](n)
+    val r = new ByteReader(payload)
+    var i = 0
+    while (i < n) {
+      val m = math.min(Mini, n - i)
+      val w = r.readByte()
+      val longs = Bits.unpack(r, m, w)
+      var k = 0
+      while (k < m) { out(i + k) = longs(k).toInt; k += 1 }
       i += m
     }
     out

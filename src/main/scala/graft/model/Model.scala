@@ -33,7 +33,11 @@ final case class ColumnStats(
     runs: Long,         // number of value-change runs
     maxRun: Int,
     repeat4Share: Double, // share of 4-grams seen before (sampled) — FSST signal
-    sampleDeltaW: Int     // max zigzag-delta bit width over a sampled prefix
+    sampleDeltaW: Int,    // 95p zigzag-delta bit width over a sampled prefix
+    sampleW90: Int        // 90p raw value bit width over the sample (33 if a
+                          // negative was sampled) — miniblock-pack signal:
+                          // p90 far under width(max) means width is position-
+                          // clustered (docs of different regimes in one block)
 ) {
   def avgRun: Double = if (runs == 0) 0.0 else n.toDouble / runs
   def uniqShare: Double = if (n == 0) 100.0 else 100.0 * card.toDouble / n
@@ -41,7 +45,7 @@ final case class ColumnStats(
 
 object ColumnStats {
   val empty: ColumnStats =
-    ColumnStats(0L, Int.MaxValue, Int.MinValue, 0L, cardExact = true, 0L, 0, 0.0, 0)
+    ColumnStats(0L, Int.MaxValue, Int.MinValue, 0L, cardExact = true, 0L, 0, 0.0, 0, 0)
 }
 
 /** One encoded column block: the unit of compressed storage.
