@@ -564,27 +564,29 @@ object Dedup {
     * floor(10000 * hits / n_grams) and n_grams counts the doc's
     * DISTINCT n-grams (0-gram docs score 0).
     *
-    * Scale shape: the benchmark n-gram set is broadcast, so the corpus
-    * scan probes a hash map with zero shuffle of document data; only
-    * the (id, 1) hit stream — rare by construction — is shuffled for
-    * the per-doc count. A 100-TB corpus pays one scan + a tiny
-    * aggregate.
+    * Scale shape: ONE corpus scan — the benchmark n-gram set is
+    * broadcast, so each exploded n-gram probes a hash map with zero
+    * shuffle of document text (explode_outer keeps 0-gram docs).
+    * Map-side partial aggregation collapses the per-doc count before
+    * the exchange, so the shuffle carries one row per (doc,
+    * partition), not one per n-gram.
     */
   def decontaminate(docs: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int = 2): DataFrame = {
     graft.functions.Shingles.register(docs.sparkSession)
     val sh = docs.select(col(idCol).as("id"),
       graft.functions.Shingles.shinglesNative(col(textCol), n).as("sh"))
-    val totals = sh.select(col("id"), size(col("sh")).cast("long").as("n_grams"))
-    val hits = sh.select(col("id"), explode(col("sh")).as("ngram"))
-      .join(broadcast(benchmarkNgrams(bench, textCol, n)), "ngram")
-      .groupBy("id").agg(count(lit(1)).cast("long").as("hits"))
-    totals.join(hits, Seq("id"), "left")
-      .select(col("id"), col("n_grams"),
-        coalesce(col("hits"), lit(0L)).as("hits"),
+    sh.select(col("id"), size(col("sh")).cast("long").as("n_grams"),
+        explode_outer(col("sh")).as("ngram"))
+      .join(broadcast(benchmarkNgrams(bench, textCol, n)
+        .withColumn("__hit", lit(1L))), Seq("ngram"), "left")
+      .groupBy("id")
+      .agg(first(col("n_grams")).as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("hits"))
+      .select(col("id"), col("n_grams"), col("hits"),
         when(col("n_grams") > 0,
-          floor(lit(10000) * coalesce(col("hits"), lit(0L)) / col("n_grams"))
-            .cast("long")).otherwise(0L).as("contam_bp"))
+          floor(lit(10000) * col("hits") / col("n_grams")).cast("long"))
+          .otherwise(0L).as("contam_bp"))
   }
 
   /** Drop documents whose benchmark overlap is at or above
