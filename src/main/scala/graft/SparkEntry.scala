@@ -360,6 +360,18 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.repetitionBp(col("text"), 2).as("rep_bp"))
         .orderBy("doc_id")
     }),
+    "q_tokenize" -> ((s, d) => {
+      // rank-vocab tokenizer: top-30 corpus words -> ids 0..29, OOV ->
+      // 30; output fully exploded so the oracle checks every position
+      val docs = t(s, d, "documents")
+      val vocab = TextOps.buildVocab(docs, "text", 30)
+      TextOps.tokenize(docs, "doc_id", "text", "source", vocab, 30)
+        // tokenize standardizes doc_id to string (TokenRow contract);
+        // cast back so the compare matches the table's bigint ids
+        .select(col("doc_id").cast("long").as("doc_id"),
+          posexplode(col("tokens")).as(Seq("pos", "tok")))
+        .orderBy("doc_id", "pos")
+    }),
     "q_redact" -> ((s, d) =>
       // PII scrub: a synthetic email+URL tail is appended to every doc
       // so both patterns fire on every row (the corpus itself has none)
@@ -1052,6 +1064,21 @@ object SparkEntry {
         |  THEN CAST(floor(10000.0 * (total - dist) / total) AS BIGINT)
         |  ELSE CAST(0 AS BIGINT) END AS rep_bp
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_tokenize" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') ws
+        |  FROM documents),
+        |vocab AS (SELECT w, CAST(row_number() OVER (ORDER BY n DESC, w) - 1 AS INT) tok_id
+        |  FROM (SELECT w, count(*) n
+        |        FROM (SELECT unnest(ws) AS w FROM w)
+        |        GROUP BY w ORDER BY n DESC, w LIMIT 30)),
+        |e AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+        |  i -> {'pos': CAST(i - 1 AS INT), 'wd': ws[i]}), recursive := true)
+        |  FROM w)
+        |SELECT e.doc_id, e.pos,
+        |  CAST(coalesce(v.tok_id, 30) AS INT) AS tok
+        |FROM e LEFT JOIN vocab v ON e.wd = v.w
+        |ORDER BY doc_id, pos""".stripMargin,
     "q_redact" ->
       """SELECT doc_id, regexp_replace(regexp_replace(
         |  text || ' ping admin.01+x@mail.example.org or https://ex.io/a?b=1#f then done',

@@ -122,6 +122,49 @@ object TextOps {
     * 2021, public). Distinct counting rides the native shingle kernel,
     * so a corpus scan stays one codegen'd pass per doc.
     */
+  /** Rank vocabulary: the top-k corpus words by frequency, id = 0-based
+    * frequency rank (ties broken lexicographically) — the lookup-table
+    * tokenizer's vocabulary, built with one map-side-combined count.
+    */
+  def buildVocab(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                 k: Int): org.apache.spark.sql.DataFrame = {
+    val head = docs
+      .select(explode(filter(split(lower(col(textCol)), "\\s+"),
+        w => w =!= lit(""))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(k)
+    // the window runs over <=k rows (the vocab, not the corpus): a
+    // single-task rank assignment over a lookup-table-sized input
+    head.withColumn("tok_id",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("w"))) - 1).cast("int"))
+      .select("w", "tok_id")
+  }
+
+  /** Lookup-table tokenization: whitespace words to vocab ids, unknown
+    * words to `oovId` — the raw-text-to-TokenRow bridge in front of the
+    * encode pipeline. The vocab collects to the driver and ships as a
+    * literal map, so tokenization is ONE codegen'd corpus scan with no
+    * join and no shuffle (a 100k-entry vocab is KBs–MBs; for a
+    * multi-GB vocab switch to a broadcast join over exploded words).
+    */
+  def tokenize(docs: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, srcCol: String,
+               vocab: org.apache.spark.sql.DataFrame,
+               oovId: Int): org.apache.spark.sql.DataFrame = {
+    val entries = vocab.collect()
+      .map(r => (r.getAs[String]("w"), r.getAs[Int]("tok_id"))).toMap
+    val m = typedlit(entries)
+    docs.select(col(idCol).cast("string").as("doc_id"),
+        transform(filter(split(lower(col(textCol)), "\\s+"),
+          w => w =!= lit("")),
+          w => coalesce(element_at(m, w), lit(oovId))).cast("array<int>")
+          .as("tokens"),
+        col(srcCol).as("source"))
+      .withColumn("n_tok", size(col("tokens")))
+      .select("doc_id", "tokens", "n_tok", "source")
+  }
+
   /** PII scrub: mask URLs then email addresses with placeholder
     * tokens (URLs first, or the mailto-ish tail of a URL would be
     * half-masked as an email). Both patterns are RE2-compatible so

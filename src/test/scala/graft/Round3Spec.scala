@@ -486,6 +486,26 @@ class Round3Spec extends SparkSpecBase {
     assert(kept.select("doc_id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
   }
 
+  test("buildVocab ranks by frequency then word; tokenize maps OOV to the sentinel") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b a b c b a", "s1"),
+      (2L, "a c zz", "s1")
+    ).toDF("doc_id", "text", "source")
+    // counts: b=3, a=3, c=2, zz=1 -> rank: a(0), b(1) [tie a<b], c(2)
+    val vocab = graft.text.TextOps.buildVocab(docs, "text", 3)
+      .as[(String, Int)].collect().toMap
+    assert(vocab == Map("a" -> 0, "b" -> 1, "c" -> 2))
+    val toks = graft.text.TextOps.tokenize(docs, "doc_id", "text", "source",
+        graft.text.TextOps.buildVocab(docs, "text", 3), oovId = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "tokens", "n_tok", "source")
+      .as[(String, Seq[Int], Int, String)].collect().toSeq
+    assert(toks == Seq(
+      ("1", Seq(1, 0, 1, 2, 1, 0), 6, "s1"),
+      ("2", Seq(0, 2, 3), 3, "s1")))
+  }
+
   test("redact masks URLs before emails, repeatedly, leaves clean text alone") {
     import spark.implicits._
     val got = Seq(
