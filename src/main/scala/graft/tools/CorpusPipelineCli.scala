@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
   *
   *   runMain graft.tools.CorpusPipelineCli [sfDir] [outDir]
   *
-  * quality filter -> exact dedup -> minhash near-dup pairs ->
+  * quality filter -> PII redaction -> repetition filter -> benchmark
+  * decontamination -> exact dedup -> minhash near-dup pairs ->
   * transitive cluster removal (connected components, one survivor per
-  * cluster) -> per-source quota sample -> tokenize -> sequence-packing
-  * plan -> encode (salted, resumable) -> checksum-verified decode ->
-  * roundtrip gate. Prints one line per stage and PIPELINE-OK on a
-  * clean roundtrip.
+  * cluster) -> per-source quota sample -> token-budget domain mixing
+  * -> rank-vocab tokenize -> sequence-packing plan -> encode (salted,
+  * resumable) -> checksum-verified decode -> roundtrip gate. Prints
+  * one line per stage and PIPELINE-OK on a clean roundtrip.
   */
 object CorpusPipelineCli {
   def main(args: Array[String]): Unit = {
@@ -38,13 +39,30 @@ object CorpusPipelineCli {
     val scored = docs.withColumn("quality_bp",
         graft.text.TextOps.qualityScoreBp(col("text")))
       .withColumn("lang_pred", graft.text.TextOps.langId(col("text")))
-    val kept = scored.where(col("quality_bp") >= 3000)
-    println(s"STAGE quality_gate      rows=${kept.count()}")
+    val kept0 = scored.where(col("quality_bp") >= 3000)
+    println(s"STAGE quality_gate      rows=${kept0.count()}")
+
+    // 1b. PII redaction (before any hashing, so dedup sees scrubbed
+    // text) + within-doc repetition filter (Gopher duplicate-bigram
+    // share; the synthetic corpus is repetitive, so the gate is loose)
+    graft.functions.Shingles.register(spark)
+    val kept = kept0.withColumn("text", graft.text.TextOps.redact(col("text")))
+      .where(graft.text.TextOps.repetitionBp(col("text"), 2) < 9000)
+    println(s"STAGE redact_repetition rows=${kept.count()}")
+
+    // 1c. benchmark decontamination: a held-out md5-derived doc subset
+    // plays the benchmark suite; docs whose EVERY bigram appears in it
+    // are dropped (shared-vocab corpus -> only total containment goes)
+    val isBench = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    val decon = graft.dedup.Dedup.removeContaminated(
+      kept.where(!isBench), kept.where(isBench), "doc_id", "text",
+      thresholdBp = 10000L, n = 2)
+    println(s"STAGE decontaminate     rows=${decon.count()}")
 
     // 2. exact dedup survivors (hash-grouped shuffle)
-    val survivors = graft.dedup.Dedup.exactDedup(kept, "doc_id", "text")
+    val survivors = graft.dedup.Dedup.exactDedup(decon, "doc_id", "text")
       .select("doc_id")
-    val exactDeduped = kept.join(survivors, Seq("doc_id"), "left_semi")
+    val exactDeduped = decon.join(survivors, Seq("doc_id"), "left_semi")
     println(s"STAGE exact_dedup       rows=${exactDeduped.count()}")
 
     // 3. near-dup removal with CANONICAL cluster semantics: verified
@@ -61,19 +79,23 @@ object CorpusPipelineCli {
     println(s"STAGE near_dedup        rows=${nearDeduped.count()} " +
       s"cap_dropped=${capObs.get("rows_dropped")}")
 
-    // 4. per-source quota (reproducible stratified sample)
+    // 4. per-source quota (reproducible stratified sample), then
+    // token-budget domain mixing (uniform weights here; a real run
+    // up/down-weights domains)
     val sampled = graft.operators.UndatumOps.stratifiedSample(
       nearDeduped, "source", "doc_id", 20)
-    println(s"STAGE quota_sample      rows=${sampled.count()}")
+      .withColumn("n_tok0", graft.text.TextOps.tokenCount(col("text")))
+    val srcs = sampled.select("source").distinct().as[String].collect()
+    val budget = sampled.agg(sum("n_tok0")).as[Long].collect()(0) * 3 / 4
+    val mixed = graft.operators.UndatumOps.mixSample(sampled, "doc_id",
+      "n_tok0", "source", srcs.map(_ -> 1.0).toMap, budget)
+    println(s"STAGE quota_mix         rows=${mixed.count()} token_budget=$budget")
 
-    // 5. tokenize (hash-bucketed words) into the encode input shape
-    val rows = sampled.select(
-        col("doc_id").cast("string").as("doc_id"),
-        expr("transform(filter(split(text, '\\\\s+'), x -> x != ''), " +
-          "w -> CAST(pmod(xxhash64(w), 50000) AS INT))").as("tokens"),
-        col("source"))
-      .withColumn("n_tok", size(col("tokens")))
-      .select("doc_id", "tokens", "n_tok", "source")
+    // 5. rank-vocab tokenize (top-4096 words, OOV sentinel = 4096)
+    // into the encode input shape
+    val vocab = graft.text.TextOps.buildVocab(mixed, "text", 4096)
+    val rows = graft.text.TextOps.tokenize(
+        mixed, "doc_id", "text", "source", vocab, oovId = 4096)
       .as[graft.model.TokenRow]
       // three downstream consumers (pack plan, encode, roundtrip gate)
       // would each re-run the whole document pipeline otherwise
