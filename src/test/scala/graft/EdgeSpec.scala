@@ -75,4 +75,35 @@ class EdgeSpec extends SparkSpecBase {
     assert(graft.operators.RangeJoin.rangeJoin(pts, none, "t", "s", "e",
       10, Seq("k")).count() == 0)
   }
+
+  test("decontaminate against an empty benchmark scores zero hits") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "")).toDF("doc_id", "text")
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val scored = graft.dedup.Dedup.decontaminate(docs, none, "doc_id", "text", 2)
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(scored == Seq((1L, 2L, 0L, 0L), (2L, 0L, 0L, 0L)))
+  }
+
+  test("tokenize with an empty vocab maps every word to the OOV id") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y", "s")).toDF("doc_id", "text", "source")
+    val emptyDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    val vocab = graft.text.TextOps.buildVocab(emptyDocs, "text", 10)
+    assert(vocab.count() == 0)
+    val toks = graft.text.TextOps.tokenize(docs, "doc_id", "text", "source",
+        vocab, oovId = 99)
+      .select("tokens").as[Seq[Int]].collect()
+    assert(toks.toSeq == Seq(Seq(99, 99)))
+  }
+
+  test("mixSample with zero budget keeps nothing; empty input stays empty") {
+    import spark.implicits._
+    val docs = Seq((1L, "a", 5L)).toDF("id", "src", "n_tok")
+    assert(graft.operators.UndatumOps.mixSample(docs, "id", "n_tok", "src",
+      Map("a" -> 1.0), 0L).count() == 0)
+    val empty = Seq.empty[(Long, String, Long)].toDF("id", "src", "n_tok")
+    assert(graft.operators.UndatumOps.mixSample(empty, "id", "n_tok", "src",
+      Map("a" -> 1.0), 100L).count() == 0)
+  }
 }
