@@ -34,6 +34,31 @@ object EncodeStream {
       }
       .start()
 
+  /** Streaming RAW-TEXT ingest: (doc_id, text, source) micro-batches
+    * are quality-gated, PII-redacted, tokenized against a FIXED vocab
+    * (the map ships once with the query plan — a streaming job cannot
+    * re-rank the vocabulary per batch without breaking id stability),
+    * then land in the columnar store via [[streamingEncode]]'s
+    * exactly-once path. The whole per-batch transform is one
+    * codegen'd scan: gate + redact + tokenize are all built-in
+    * expressions, no joins, no shuffle before the encode exchange.
+    */
+  def streamingTextIngest(stream: org.apache.spark.sql.DataFrame,
+                          vocab: org.apache.spark.sql.DataFrame,
+                          outDir: String,
+                          oovId: Int,
+                          minQualityBp: Long = 0L,
+                          cfg: EncodeConfig = EncodeConfig()): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    import stream.sparkSession.implicits._
+    val gated = stream
+      .where(graft.text.TextOps.qualityScoreBp(col("text")) >= minQualityBp)
+      .withColumn("text", graft.text.TextOps.redact(col("text")))
+    val rows = graft.text.TextOps.tokenize(
+      gated, "doc_id", "text", "source", vocab, oovId).as[TokenRow]
+    streamingEncode(rows, outDir, cfg)
+  }
+
   /** Decode every committed batch dir back to rows. */
   def readAll(spark: SparkSession, outDir: String,
               verifyChecksums: Boolean = false): Dataset[TokenRow] = {

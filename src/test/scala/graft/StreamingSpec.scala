@@ -123,6 +123,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(graft.streaming.EncodeStream.readAll(spark, outDir).count() == 90)
   }
 
+  test("streamingTextIngest gates, redacts, tokenizes and lands batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val outDir = tmpDir("txt-stream")
+    // fixed vocab built OFFLINE (id stability across batches)
+    val vocabSrc = Seq((0L, "alpha beta beta gamma", "s")).toDF("doc_id", "text", "source")
+    val vocab = graft.text.TextOps.buildVocab(vocabSrc, "text", 3)
+    // beta(0) alpha(1) gamma(2); OOV -> 3
+    val mem = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.EncodeStream.streamingTextIngest(
+      mem.toDF().toDF("doc_id", "text", "source"), vocab, outDir,
+      oovId = 3, minQualityBp = 0L,
+      graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 10))
+    try {
+      mem.addData((1L, "alpha beta zz mail me a@b.co", "s1"))
+      q.processAllAvailable()
+      mem.addData((2L, "gamma gamma", "s2"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = graft.streaming.EncodeStream.readAll(spark, outDir,
+        verifyChecksums = true)
+      .collect().map(r => r.doc_id -> r.tokens.toSeq).toMap
+    // redact runs before tokenize: the email collapses to one OOV word
+    assert(back == Map(
+      "1" -> Seq(1, 0, 3, 3, 3, 3),
+      "2" -> Seq(2, 2)))
+  }
+
   test("streamingDedup drops within-watermark duplicates, bounds state") {
     val s = spark
     import s.implicits._
