@@ -504,6 +504,30 @@ object TokenDecoder {
       .filter(_.source == source)
   }
 
+  /** Metadata-only decode: (doc_id, n_tok, source) per row WITHOUT
+    * touching the token payload — the select below reaches the
+    * parquet scan as column pruning, so the store's heaviest column
+    * (payload, ~95% of bytes) is never read. Stats/mixing/packing
+    * queries over an encoded corpus run at metadata cost — the
+    * classic columnar projection win applied to our own format.
+    */
+  def readMeta(spark: SparkSession, outDir: String): Dataset[graft.model.TokenMeta] = {
+    import spark.implicits._
+    val cols = spark.read.parquet(s"$outDir/blocks")
+      .select("blockId", "docIdsEnc", "sourcesEnc", "lengthsEnc", "blockRows")
+    val committed = spark.read.parquet(s"$outDir/lineage")
+      .select("blockId").distinct()
+    cols.join(committed, Seq("blockId"), "left_semi")
+      .as[(String, Array[Byte], Array[Byte], Array[Byte], Int)]
+      .flatMap { case (_, dEnc, sEnc, lEnc, nRows) =>
+        val docIds = graft.codec.StringCols.decodeDocIds(dEnc, nRows)
+        val sources = graft.codec.StringCols.decodeSources(sEnc, nRows)
+        val lens = new ByteReader(lEnc)
+        (0 until nRows).iterator.map(i =>
+          graft.model.TokenMeta(docIds(i), lens.readVarInt(), sources(i)))
+      }
+  }
+
   private def readBlocks(spark: SparkSession, outDir: String,
                          partIds: Option[Set[Int]],
                          verifyChecksums: Boolean): Dataset[TokenRow] = {

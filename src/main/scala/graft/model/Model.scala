@@ -15,6 +15,16 @@ final case class TokenRow(
     source: String
 )
 
+/** Row metadata without the token payload — what [[graft.encode]]'s
+  * metadata-only decode (`TokenDecoder.readMeta`) yields when a query
+  * needs counts/sources but not the tokens themselves.
+  */
+final case class TokenMeta(
+    doc_id: String,
+    n_tok: Int,
+    source: String
+)
+
 /** Per-column-block statistics driving codec selection.
   *
   * Direct lineage from the reference's stats accumulator

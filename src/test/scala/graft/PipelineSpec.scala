@@ -41,6 +41,20 @@ class PipelineSpec extends SparkSpecBase {
     assertSameTable(synth, TokenDecoder.read(spark, out))
   }
 
+  test("readMeta matches the full decode's metadata without reading payloads") {
+    import spark.implicits._
+    val out = tmpDir("meta")
+    TokenEncoder.run(synth, out, EncodeConfig(targetRowsPerPart = 1000))
+    val meta = TokenDecoder.readMeta(spark, out)
+    // payload (and symtab) must be pruned out of the parquet scan
+    val plan = meta.queryExecution.executedPlan.toString
+    assert(!plan.contains("payload"), plan)
+    val got = meta.collect().map(m => (m.doc_id, m.n_tok, m.source)).sorted.toSeq
+    val want = TokenDecoder.read(spark, out).collect()
+      .map(r => (r.doc_id, r.n_tok, r.source)).sorted.toSeq
+    assert(got == want)
+  }
+
   test("resume completes a partial encode exactly (no dup, no skip)") {
     import spark.implicits._
     val out = tmpDir("resume")
