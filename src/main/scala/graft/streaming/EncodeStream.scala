@@ -59,6 +59,39 @@ object EncodeStream {
     streamingEncode(rows, outDir, cfg)
   }
 
+  /** Offline compaction: re-encode the accumulated micro-batch dirs
+    * into ONE store at `targetDir` (fresh partition plan sized for the
+    * full row count, fewer+larger blocks), verify the compacted store
+    * decodes to exactly the union of its inputs, and only then drop
+    * the source batch dirs. The verify-before-delete order makes a
+    * crashed compaction re-runnable: either the batches are all still
+    * there, or the target is complete — never neither.
+    */
+  def compact(spark: SparkSession, outDir: String, targetDir: String,
+              cfg: EncodeConfig = EncodeConfig()): Long = {
+    val rows = readAll(spark, outDir, verifyChecksums = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      TokenEncoder.run(rows, targetDir, cfg)
+      val back = TokenDecoder.read(spark, targetDir, verifyChecksums = true)
+      val bad = rows.toDF().exceptAll(back.toDF()).count() +
+        back.toDF().exceptAll(rows.toDF()).count()
+      require(bad == 0,
+        s"compaction verify failed: $bad row mismatches — batch dirs kept")
+      val n = back.count()
+      Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .foreach { d =>
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          rm(d)
+        }
+      n
+    } finally { rows.unpersist(blocking = false); () }
+  }
+
   /** Decode every committed batch dir back to rows. */
   def readAll(spark: SparkSession, outDir: String,
               verifyChecksums: Boolean = false): Dataset[TokenRow] = {

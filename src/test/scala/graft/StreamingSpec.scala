@@ -152,6 +152,34 @@ class StreamingSpec extends SparkSpecBase {
       "2" -> Seq(2, 2)))
   }
 
+  test("compact folds batch dirs into one store, verifies, then drops them") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val outDir = tmpDir("cmp-stream")
+    val mem = MemoryStream[graft.model.TokenRow]
+    val rows1 = (0 until 30).map(i =>
+      graft.model.TokenRow(s"c$i", Array.tabulate(12)(j => (i * 7 + j) % 89), 12, s"s${i % 2}"))
+    val rows2 = (30 until 50).map(i =>
+      graft.model.TokenRow(s"c$i", Array.fill(9)(i % 13), 9, s"s${i % 2}"))
+    val q = graft.streaming.EncodeStream.streamingEncode(mem.toDS(), outDir,
+      graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 10))
+    try {
+      mem.addData(rows1: _*); q.processAllAvailable()
+      mem.addData(rows2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val target = tmpDir("cmp-target")
+    val n = graft.streaming.EncodeStream.compact(spark, outDir, target,
+      graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 50))
+    assert(n == 50)
+    // batch dirs are gone; the compacted store holds the exact union
+    assert(!new java.io.File(outDir).listFiles().exists(_.getName.startsWith("batch=")))
+    val back = graft.encode.TokenDecoder.read(spark, target, verifyChecksums = true)
+    val want = (rows1 ++ rows2).toDS()
+    assert(want.toDF().exceptAll(back.toDF()).count() == 0)
+    assert(back.toDF().exceptAll(want.toDF()).count() == 0)
+  }
+
   test("streamingDedup drops within-watermark duplicates, bounds state") {
     val s = spark
     import s.implicits._
