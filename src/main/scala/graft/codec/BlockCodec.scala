@@ -206,12 +206,29 @@ object BlockCodec {
       }
     }
     if (best == null) { best = PlainCodec.encode(values, n); bestId = CodecIds.Plain }
+    var finalId = bestId
+    var finalPost = 0
+    var finalSym = best.symtab
+    var finalPay = best.payload
     if (zstd && best.payload.length > 64) {
       val z = com.github.luben.zstd.Zstd.compress(best.payload, ZstdLevel)
-      if (z.length < best.payload.length)
-        return BlockEncoded(bestId, 1, best.symtab, z, s)
+      if (z.length < finalPay.length) { finalPost = 1; finalPay = z }
     }
-    BlockEncoded(bestId, 0, best.symtab, best.payload, s)
+    // blocks the old wRaw>24 rule gave to Plain now win as BitPack
+    // PRE-zstd — but packing at >24 bits destroys byte alignment, and
+    // zstd over byte-aligned raw values can beat zstd over the packed
+    // stream on STRUCTURED wide data (e.g. high-card hashed ids with
+    // byte-level regularity). Compare the two FINAL on-disk sizes.
+    if (zstd && finalId == CodecIds.BitPack && n > 16 &&
+        Bits.widthInt(s.max) > 24) {
+      val p = PlainCodec.encode(values, n)
+      val pz = com.github.luben.zstd.Zstd.compress(p.payload, ZstdLevel)
+      if (pz.length < finalSym.length.toLong + finalPay.length) {
+        finalId = CodecIds.Plain; finalPost = 1
+        finalSym = Array.emptyByteArray; finalPay = pz
+      }
+    }
+    BlockEncoded(finalId, finalPost, finalSym, finalPay, s)
   }
 
   def decode(codecId: Int, postCodec: Int, symtab: Array[Byte],

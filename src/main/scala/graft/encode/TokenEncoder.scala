@@ -513,11 +513,8 @@ object TokenDecoder {
     */
   def readMeta(spark: SparkSession, outDir: String): Dataset[graft.model.TokenMeta] = {
     import spark.implicits._
-    val cols = spark.read.parquet(s"$outDir/blocks")
+    committedBlocks(spark, outDir, None)
       .select("blockId", "docIdsEnc", "sourcesEnc", "lengthsEnc", "blockRows")
-    val committed = spark.read.parquet(s"$outDir/lineage")
-      .select("blockId").distinct()
-    cols.join(committed, Seq("blockId"), "left_semi")
       .as[(String, Array[Byte], Array[Byte], Array[Byte], Int)]
       .flatMap { case (_, dEnc, sEnc, lEnc, nRows) =>
         val docIds = graft.codec.StringCols.decodeDocIds(dEnc, nRows)
@@ -528,18 +525,25 @@ object TokenDecoder {
       }
   }
 
-  private def readBlocks(spark: SparkSession, outDir: String,
-                         partIds: Option[Set[Int]],
-                         verifyChecksums: Boolean): Dataset[TokenRow] = {
-    import spark.implicits._
+  /** Committed (lineage-present) blocks, optionally partId-pruned —
+    * the ONE definition of "live block" every decode path shares.
+    */
+  private def committedBlocks(spark: SparkSession, outDir: String,
+                              partIds: Option[Set[Int]]): org.apache.spark.sql.DataFrame = {
     val all = spark.read.parquet(s"$outDir/blocks")
     val pruned = partIds.fold(all)(ids =>
       all.where(org.apache.spark.sql.functions.col("partId")
         .isInCollection(ids.map(Int.box))))
-    val blocks = pruned.as[EncodedBlock]
     val committed = spark.read.parquet(s"$outDir/lineage")
       .select("blockId").distinct()
-    val live = blocks.join(committed, Seq("blockId"), "left_semi").as[EncodedBlock]
+    pruned.join(committed, Seq("blockId"), "left_semi")
+  }
+
+  private def readBlocks(spark: SparkSession, outDir: String,
+                         partIds: Option[Set[Int]],
+                         verifyChecksums: Boolean): Dataset[TokenRow] = {
+    import spark.implicits._
+    val live = committedBlocks(spark, outDir, partIds).as[EncodedBlock]
     if (!verifyChecksums) live.flatMap(decodeBlock)
     else live.flatMap { b =>
       val tokens = BlockCodec.decode(b.codecId, b.postCodec, b.symtab, b.payload,

@@ -61,48 +61,62 @@ object EncodeStream {
 
   /** Offline compaction: re-encode the accumulated micro-batch dirs
     * into ONE store at `targetDir` (fresh partition plan sized for the
-    * full row count, fewer+larger blocks), verify the compacted store
-    * decodes to exactly the union of its inputs, and only then drop
-    * the source batch dirs. The verify-before-delete order makes a
-    * crashed compaction re-runnable: either the batches are all still
-    * there, or the target is complete — never neither.
+    * full row count, fewer+larger blocks), verify EVERY batch row is
+    * present in the compacted store, and only then drop exactly the
+    * batch dirs that were read — a batch committed by a still-running
+    * stream after the listing is untouched and survives for the next
+    * compaction. Verify-before-delete + containment (not equality)
+    * makes a crash mid-delete re-runnable: the rerun reads the
+    * surviving batches, run() resumes the already-complete target as
+    * a no-op, containment still holds, and the remaining dirs are
+    * dropped.
     */
   def compact(spark: SparkSession, outDir: String, targetDir: String,
               cfg: EncodeConfig = EncodeConfig()): Long = {
-    val rows = readAll(spark, outDir, verifyChecksums = true)
+    val dirs = committedBatchDirs(outDir)
+    if (dirs.isEmpty) return 0L
+    val rows = readDirs(spark, dirs, verifyChecksums = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       TokenEncoder.run(rows, targetDir, cfg)
       val back = TokenDecoder.read(spark, targetDir, verifyChecksums = true)
-      val bad = rows.toDF().exceptAll(back.toDF()).count() +
-        back.toDF().exceptAll(rows.toDF()).count()
-      require(bad == 0,
-        s"compaction verify failed: $bad row mismatches — batch dirs kept")
+      val missing = rows.toDF().exceptAll(back.toDF()).count()
+      require(missing == 0,
+        s"compaction verify failed: $missing batch rows absent from " +
+          s"$targetDir — batch dirs kept")
       val n = back.count()
-      Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-        .foreach { d =>
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete(); ()
-          }
-          rm(d)
+      dirs.foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
         }
+        rm(new java.io.File(d))
+      }
       n
     } finally { rows.unpersist(blocking = false); () }
   }
 
-  /** Decode every committed batch dir back to rows. */
-  def readAll(spark: SparkSession, outDir: String,
-              verifyChecksums: Boolean = false): Dataset[TokenRow] = {
-    import spark.implicits._
-    val dirs = Option(new java.io.File(outDir).listFiles())
+  /** Batch dirs with committed lineage, one listing (the unit compact
+    * reads AND later deletes — same snapshot, no race window).
+    */
+  private def committedBatchDirs(outDir: String): Seq[String] =
+    Option(new java.io.File(outDir).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
       .map(_.getAbsolutePath)
       .filter(d => new java.io.File(s"$d/lineage").exists())
+      .toSeq
+
+  private def readDirs(spark: SparkSession, dirs: Seq[String],
+                       verifyChecksums: Boolean): Dataset[TokenRow] = {
+    import spark.implicits._
     if (dirs.isEmpty) spark.emptyDataset[TokenRow]
     else dirs.map(d => TokenDecoder.read(spark, d, verifyChecksums))
       .reduce(_ union _)
   }
+
+  /** Decode every committed batch dir back to rows. */
+  def readAll(spark: SparkSession, outDir: String,
+              verifyChecksums: Boolean = false): Dataset[TokenRow] =
+    readDirs(spark, committedBatchDirs(outDir), verifyChecksums)
 }

@@ -115,13 +115,6 @@ object TextOps {
       lit(1469598103934665603L),
       (acc, w) => acc * lit(1099511628211L) + xxhash64(w))
 
-  /** Within-document repetition score in basis points: the share of
-    * word n-gram POSITIONS occupied by a repeated n-gram,
-    * floor(10000 * (total - distinct) / total), 0 for docs with fewer
-    * than n words (Gopher-style duplicate-n-gram filter; Rae et al.
-    * 2021, public). Distinct counting rides the native shingle kernel,
-    * so a corpus scan stays one codegen'd pass per doc.
-    */
   /** Rank vocabulary: the top-k corpus words by frequency, id = 0-based
     * frequency rank (ties broken lexicographically) — the lookup-table
     * tokenizer's vocabulary, built with one map-side-combined count.
@@ -144,9 +137,11 @@ object TextOps {
   /** Lookup-table tokenization: whitespace words to vocab ids, unknown
     * words to `oovId` — the raw-text-to-TokenRow bridge in front of the
     * encode pipeline. The vocab collects to the driver and ships as a
-    * literal map, so tokenization is ONE codegen'd corpus scan with no
-    * join and no shuffle (a 100k-entry vocab is KBs–MBs; for a
-    * multi-GB vocab switch to a broadcast join over exploded words).
+    * Spark broadcast HashMap consulted by ONE udf call per document
+    * (O(1) hash lookup per word — a literal-map `element_at` would be
+    * a LINEAR scan of the vocab per word, GetMapValue has no index).
+    * One corpus scan, no join, no shuffle; the broadcast ships once
+    * per executor regardless of vocab size.
     */
   def tokenize(docs: org.apache.spark.sql.DataFrame, idCol: String,
                textCol: String, srcCol: String,
@@ -154,12 +149,13 @@ object TextOps {
                oovId: Int): org.apache.spark.sql.DataFrame = {
     val entries = vocab.collect()
       .map(r => (r.getAs[String]("w"), r.getAs[Int]("tok_id"))).toMap
-    val m = typedlit(entries)
+    val bc = docs.sparkSession.sparkContext.broadcast(entries)
+    val lookup = udf((ws: Seq[String]) =>
+      if (ws == null) Array.emptyIntArray
+      else ws.map(w => bc.value.getOrElse(w, oovId)).toArray)
     docs.select(col(idCol).cast("string").as("doc_id"),
-        transform(filter(split(lower(col(textCol)), "\\s+"),
-          w => w =!= lit("")),
-          w => coalesce(element_at(m, w), lit(oovId))).cast("array<int>")
-          .as("tokens"),
+        lookup(filter(split(lower(col(textCol)), "\\s+"),
+          w => w =!= lit(""))).as("tokens"),
         col(srcCol).as("source"))
       .withColumn("n_tok", size(col("tokens")))
       .select("doc_id", "tokens", "n_tok", "source")
@@ -176,6 +172,13 @@ object TextOps {
       regexp_replace(text, "https?://[^\\s]+", "[URL]"),
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
 
+  /** Within-document repetition score in basis points: the share of
+    * word n-gram POSITIONS occupied by a repeated n-gram,
+    * floor(10000 * (total - distinct) / total), 0 for docs with fewer
+    * than n words (Gopher-style duplicate-n-gram filter; Rae et al.
+    * 2021, public). Distinct counting rides the native shingle kernel,
+    * so a corpus scan stays one codegen'd pass per doc.
+    */
   def repetitionBp(text: Column, n: Int = 2): Column = {
     val total = greatest(tokenCount(text) - (n - 1), lit(0L))
     val distinct = size(graft.functions.Shingles.shinglesNative(text, n)).cast("long")

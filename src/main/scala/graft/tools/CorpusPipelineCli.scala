@@ -85,6 +85,10 @@ object CorpusPipelineCli {
     val sampled = graft.operators.UndatumOps.stratifiedSample(
       nearDeduped, "source", "doc_id", 20)
       .withColumn("n_tok0", graft.text.TextOps.tokenCount(col("text")))
+      // the sources collect, budget agg, mixSample, vocab build and
+      // tokenize below are each an action — without this persist every
+      // one re-runs the whole gate->dedup->CC pipeline from scratch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val srcs = sampled.select("source").distinct().as[String].collect()
     val budget = sampled.agg(sum("n_tok0")).as[Long].collect()(0) * 3 / 4
     val mixed = graft.operators.UndatumOps.mixSample(sampled, "doc_id",
@@ -124,6 +128,7 @@ object CorpusPipelineCli {
     println(s"STAGE decode_verify     rows=${back.count()} mismatches=$bad")
     println(if (bad == 0) "PIPELINE-OK" else "PIPELINE-MISMATCH")
     rows.unpersist(blocking = false)
+    sampled.unpersist(blocking = false)
     spark.stop()
     if (bad != 0) sys.exit(1)
   }
