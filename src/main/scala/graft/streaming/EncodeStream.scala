@@ -69,7 +69,11 @@ object EncodeStream {
     * makes a crash mid-delete re-runnable: the rerun reads the
     * surviving batches, run() resumes the already-complete target as
     * a no-op, containment still holds, and the remaining dirs are
-    * dropped.
+    * dropped. Each compaction targets a FRESH dir; pointing a
+    * completed target at genuinely NEW batches fails the containment
+    * verify and keeps the batches (the new rows map to partitions the
+    * pinned plan already committed, so resume would skip them — the
+    * verify catches this instead of losing data).
     */
   def compact(spark: SparkSession, outDir: String, targetDir: String,
               cfg: EncodeConfig = EncodeConfig()): Long = {

@@ -180,6 +180,45 @@ class StreamingSpec extends SparkSpecBase {
     assert(back.toDF().exceptAll(want.toDF()).count() == 0)
   }
 
+  test("compact rerun after a crash mid-delete completes cleanly") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val outDir = tmpDir("cmp-crash")
+    val mem = MemoryStream[graft.model.TokenRow]
+    val rows1 = (0 until 20).map(i =>
+      graft.model.TokenRow(s"x$i", Array.fill(8)(i % 19), 8, "sA"))
+    val rows2 = (20 until 40).map(i =>
+      graft.model.TokenRow(s"x$i", Array.fill(6)(i % 23), 6, "sB"))
+    val q = graft.streaming.EncodeStream.streamingEncode(mem.toDS(), outDir,
+      graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 10))
+    try {
+      mem.addData(rows1: _*); q.processAllAvailable()
+      mem.addData(rows2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // snapshot batch=0, compact, then put batch=0 back — the state a
+    // crash between the two dir deletes leaves behind
+    val b0 = new java.io.File(s"$outDir/batch=0")
+    val saved = new java.io.File(tmpDir("cmp-saved"), "batch=0")
+    def cp(from: java.io.File, to: java.io.File): Unit = {
+      if (from.isDirectory) {
+        to.mkdirs()
+        from.listFiles().foreach(f => cp(f, new java.io.File(to, f.getName)))
+      } else java.nio.file.Files.copy(from.toPath, to.toPath)
+    }
+    cp(b0, saved)
+    val target = tmpDir("cmp-crash-target")
+    assert(graft.streaming.EncodeStream.compact(spark, outDir, target,
+      graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 40)) == 40)
+    cp(saved, new java.io.File(outDir, "batch=0")) // "crash" restored one dir
+    // rerun: target already complete, containment holds, leftover drops
+    assert(graft.streaming.EncodeStream.compact(spark, outDir, target,
+      graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 40)) == 40)
+    assert(!new java.io.File(outDir).listFiles().exists(_.getName.startsWith("batch=")))
+    val back = graft.encode.TokenDecoder.read(spark, target, verifyChecksums = true)
+    assert(back.count() == 40)
+  }
+
   test("streamingDedup drops within-watermark duplicates, bounds state") {
     val s = spark
     import s.implicits._
