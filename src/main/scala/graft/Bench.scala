@@ -205,6 +205,15 @@ object Bench {
         s.conf.set("spark.sql.files.maxPartitionBytes", 4L << 20)
         s.conf.set("spark.sql.files.openCostInBytes", 0L)
         val ds = s.read.parquet(clusPath).as[graft.model.TokenRow]
+        // same warm-up protocol as the shuffled arms (oneRun): a 1/10
+        // pre-run pays JIT/codegen compilation outside the timed
+        // window, so the two arms' numbers are comparable
+        val warmOut = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(localDir()), s"graft-noshuf-warm-$cpus").toString
+        TokenEncoder.savePlan(plan, warmOut)
+        TokenEncoder.run(ds.limit((benchRows / 10).toInt), warmOut, EncodeConfig(
+          targetRowsPerPart = target, cacheInput = false, noShuffle = true))
+        new ProcessBuilder("rm", "-rf", warmOut).start().waitFor()
         val t0 = System.nanoTime()
         val lineage = TokenEncoder.run(ds, out, EncodeConfig(
           targetRowsPerPart = target, cacheInput = false, noShuffle = true))

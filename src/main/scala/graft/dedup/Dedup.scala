@@ -315,31 +315,40 @@ object Dedup {
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
-    while (iter < maxIter && !converged) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("cluster")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .localCheckpoint(true)
-      val s = labelSum(next)
-      // the superseded checkpoint would otherwise pin a full vertex
-      // copy in executor storage per sweep
-      labels.unpersist(blocking = false)
-      labels = next
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      iter += 1
+    try {
+      // maxIter bounds the PROPAGATION sweeps (≈ component diameter);
+      // convergence is only observable as one extra unchanged-sum
+      // sweep, so the loop allows maxIter+1 — without it a component
+      // needing exactly maxIter sweeps would finish correctly and
+      // still be reported as non-converged
+      while (iter < maxIter + 1 && !converged) {
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(min(col("cluster")).as("nmin"))
+        val next = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+          .localCheckpoint(true)
+        val s = labelSum(next)
+        // the superseded checkpoint would otherwise pin a full vertex
+        // copy in executor storage per sweep
+        labels.unpersist(blocking = false)
+        labels = next
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        iter += 1
+      }
+      // partially-propagated labels are WRONG clusters, not approximate
+      // ones (a >maxIter-diameter chain would report one component as
+      // several) — refuse rather than return them
+      require(converged,
+        s"connectedComponents did not converge in $maxIter sweeps — " +
+        "a component's diameter exceeds maxIter; raise maxIter")
+    } finally {
+      // release the edge checkpoint on the refusal path too
+      edges.unpersist(blocking = false)
     }
-    // partially-propagated labels are WRONG clusters, not approximate
-    // ones (a >maxIter-diameter chain would report one component as
-    // several) — refuse rather than return them
-    require(converged,
-      s"connectedComponents did not converge in $maxIter sweeps — " +
-      "a component's diameter exceeds maxIter; raise maxIter")
-    edges.unpersist(blocking = false)
     labels
   }
 

@@ -22,6 +22,9 @@ object VecDist2 {
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // a NULL element poisons to NULL like the HOF fold — getFloat
+      // alone would silently read 0.0
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
       acc += d * d
       i += 1

@@ -25,7 +25,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 object VecDot {
 
   /** Static kernel called from generated code; java.lang.Double so a
-    * length mismatch can yield NULL like the HOF fold.
+    * length mismatch OR a NULL element can yield NULL like the HOF
+    * fold (zip_with's null element poisons the product, the sum fold
+    * poisons to NULL — getFloat alone would silently read 0.0).
     */
   def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
@@ -33,6 +35,7 @@ object VecDot {
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }

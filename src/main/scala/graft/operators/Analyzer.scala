@@ -138,13 +138,15 @@ object Analyzer {
           }.mkString("{", ", ", "}")
         }.mkString("[", ",\n ", "]")
       case "yaml" =>
-        // block-sequence-of-mappings form; strings single-quoted with
-        // the YAML quote-doubling escape
+        // block-sequence-of-mappings form; string values emitted as
+        // YAML double-quoted scalars, which share JSON's escape rules
+        // — single-quoting only doubled quotes and left newlines /
+        // control chars to corrupt the block structure
         rows.map { r =>
           cols.zipWithIndex.map { case (c, i) =>
             val v = r.getAs[Any](c)
             val vs = v match {
-              case s: String => "'" + s.replace("'", "''") + "'"
+              case s: String => "\"" + jsonEscape(s) + "\""
               case other => String.valueOf(other)
             }
             (if (i == 0) "- " else "  ") + c + ": " + vs
@@ -192,7 +194,7 @@ object Analyzer {
             "\"" + jsonEscape(k) + "\": \"" + jsonEscape(v) + "\""
           }.mkString(", ") + ", \"fields\": " + renderReport(df, "json") + "}"
         case "yaml" =>
-          head.map { case (k, v) => s"$k: '${v.replace("'", "''")}'" }
+          head.map { case (k, v) => s"""$k: "${jsonEscape(v)}"""" }
             .mkString("\n") + "\nfields:\n" + renderReport(df, "yaml")
         case _ =>
           head.map { case (k, v) => f"$k%-10s $v" }.mkString("\n") +

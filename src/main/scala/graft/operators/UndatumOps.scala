@@ -239,6 +239,10 @@ object UndatumOps {
     * `empty`, mixed types -> str).
     */
   def typeHistogram(df: DataFrame, fields: Seq[String]): DataFrame = {
+    // register on the DataFrame's OWN session — a charset-clone df
+    // (Converter.read exotic encodings) has an empty registry, and
+    // the helper's active-session registration would miss it
+    graft.functions.TypeGuess.register(df.sparkSession)
     // one scan with an F-way explode (was F scans via unionAll)
     val structs = fields.map { f =>
       struct(lit(f).as("field"), guessType(col(f).cast(StringType)).as("vtype"))

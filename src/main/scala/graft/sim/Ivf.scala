@@ -118,6 +118,9 @@ object Ivf {
     * interpreted, so it never does.
     */
   def assign(df: DataFrame, vecCol: String, idx: IvfIndex): DataFrame = {
+    // register on the df's OWN session (charset-clone dfs start with
+    // an empty registry the active-session fallback misses)
+    graft.functions.VecDist2.register(df.sparkSession)
     val dists = idx.centroids.map { c =>
       val cl = array(c.map(lit(_)): _*)
       graft.functions.VecDist2.vecDist2(col(vecCol), cl)
@@ -182,6 +185,7 @@ object Ivf {
                  queries: Seq[(Long, Array[Float])], topK: Int): DataFrame = {
     val spark = restricted.sparkSession
     import spark.implicits._
+    graft.functions.VecDot.register(spark)
     val qvecs = broadcast(
       queries.toDF("qid", "__qvec")
         .withColumn("__qvec", col("__qvec").cast("array<float>")))

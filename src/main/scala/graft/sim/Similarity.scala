@@ -24,6 +24,13 @@ object Similarity {
     */
   def dot(a: Column, b: Column): Column = graft.functions.VecDot.vecDot(a, b)
 
+  /** Register the native kernels on the DataFrame's OWN session — a
+    * charset-clone df (Converter.read exotic encodings) starts with an
+    * empty registry the Column helpers' active-session fallback misses.
+    */
+  private def ensureKernels(df: DataFrame): Unit =
+    graft.functions.VecDot.register(df.sparkSession)
+
   /** Declarative reference formulation (interpreted; test-only). */
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -39,6 +46,7 @@ object Similarity {
     */
   def bruteTopK(df: DataFrame, vecCol: String, idCol: String,
                 query: Array[Float], k: Int): DataFrame = {
+    ensureKernels(df)
     val q = array(query.map(v => lit(v)): _*)
     df.select(col(idCol), round(cosine(col(vecCol), q), 3).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
@@ -59,6 +67,7 @@ object Similarity {
   def bruteTopKBatch(df: DataFrame, vecCol: String, idCol: String,
                      queries: DataFrame, qidCol: String, qvecCol: String,
                      k: Int): DataFrame = {
+    ensureKernels(df)
     val q = broadcast(
       queries.select(col(qidCol).as("qid"), col(qvecCol).as("__qvec")))
     val scored = df.crossJoin(q)
@@ -107,6 +116,7 @@ object Similarity {
                         blockCol: String, threshold: Double,
                         maxPerBlock: Int = 0,
                         autoLshBlockLimit: Int = 4096): DataFrame = {
+    ensureKernels(df)
     if (maxPerBlock <= 0 && autoLshBlockLimit > 0) {
       val hottest = df.groupBy(col(blockCol)).count()
         .agg(max(col("count"))).head()
@@ -151,11 +161,14 @@ object Similarity {
   def cosineLshCandidates(df: DataFrame, vecCol: String, idCol: String,
                           blockCol: String, nPlanes: Int = 6,
                           seed: Long = 42L): DataFrame = {
-    // dimensionality probe: an empty corpus has no pairs (and no dim)
+    ensureKernels(df)
+    // dimensionality probe: an empty corpus has no pairs (and no dim).
+    // The empty result reuses the INPUT id column's type — a literal
+    // 0L schema would be bigint even for string ids, and a caller
+    // unioning empty and non-empty runs would hit a schema mismatch
     val first = df.select(col(vecCol)).take(1)
     if (first.isEmpty)
-      return df.sparkSession.emptyDataFrame
-        .select(lit(0L).as("id_a"), lit(0L).as("id_b")).limit(0)
+      return df.select(col(idCol).as("id_a"), col(idCol).as("id_b")).limit(0)
     val dim = first(0).getSeq[Float](0).length
     val ps = planes(nPlanes, dim, seed)
     val base = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
@@ -176,6 +189,7 @@ object Similarity {
     */
   def cosineScorePairs(df: DataFrame, cand: DataFrame, vecCol: String,
                        idCol: String, threshold: Double): DataFrame = {
+    ensureKernels(df)
     val docs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"))
     cand.select("id_a", "id_b")
@@ -240,6 +254,7 @@ object Similarity {
   def annScan(df: DataFrame, vecCol: String, query: Array[Float],
               nPlanes: Int = 8, probeNeighbors: Boolean = true,
               seed: Long = 42L): DataFrame = {
+    ensureKernels(df)
     val ps = planes(nPlanes, query.length, seed)
     def bucketOf(v: Array[Float]): Long = {
       var b = 0L

@@ -64,6 +64,12 @@ object Converter {
           .option("sep", o.delimiter)
           .option("encoding", o.encoding)
           .option("inferSchema", o.inferSchema.toString)
+          // quoted embedded newlines are legal CSV and our own csv
+          // sink writes them; without multiLine the reader splits the
+          // record mid-value. Cost: a multiLine csv file is read as
+          // ONE split (not line-splittable) — correctness over
+          // parallelism here; columnar formats are the scale path
+          .option("multiLine", "true")
           .csv(path)
       case "jsonl" => spark.read.json(path)
       case "json" =>
@@ -104,6 +110,12 @@ object Converter {
         makeFlat(df).write.mode("overwrite")
           .option("header", header.toString)
           .option("compression", if (compression.nonEmpty) compression else "none")
+          // the writer TRIMS cell whitespace by default (univocity
+          // ignore*WhiteSpace=true on write) — "trailing\n" would land
+          // as "trailing" and break round-trip fidelity; the reader's
+          // defaults are already non-trimming
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
           .csv(path)
       case "jsonl" =>
         w.option("compression", if (compression.nonEmpty) compression else "none")

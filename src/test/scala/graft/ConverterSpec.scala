@@ -44,6 +44,23 @@ class ConverterSpec extends SparkSpecBase {
     }
   }
 
+  test("csv round-trips embedded newlines, quotes, commas and unicode") {
+    import spark.implicits._
+    val tricky = Seq(
+      (1L, "plain text"),
+      (2L, "line one\nline two"),
+      (3L, "a \"quoted\" value, with comma"),
+      (4L, "trailing\n"),
+      (5L, "данные ümlaut")
+    ).toDF("id", "text")
+    val dir = tmpDir("conv-tricky")
+    Converter.write(tricky, dir, "csv")
+    val back = Converter.read(spark, dir, ReadOptions("csv"))
+      .select(col("id").cast("long"), col("text"))
+    assert(tricky.exceptAll(back).count() == 0 &&
+      back.exceptAll(tricky).count() == 0)
+  }
+
   for ((codec, ext) <- Seq(("gzip", ".csv.gz"), ("bzip2", ".csv.bz2"))) {
     test(s"csv round trip with $codec compression (compressed containers)") {
       val dir = tmpDir(s"conv-$codec")

@@ -163,7 +163,7 @@ class Round3Spec extends SparkSpecBase {
     assert(text.contains("container  zip") && text.contains("name"))
     // yaml render is a parseable-looking block sequence
     val yaml = a.render("yaml")
-    assert(yaml.contains("format: 'csv'") && yaml.contains("- field: 'id'"))
+    assert(yaml.contains("format: \"csv\"") && yaml.contains("- field: \"id\""))
   }
 
   test("renderReport json escapes quotes and backslashes in names") {
@@ -253,6 +253,51 @@ class Round3Spec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(cc.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L))
+  }
+
+  test("vec_dot/vec_dist2 poison to NULL on NULL elements, like the HOF fold") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[java.lang.Float](1.0f, 2.0f), Seq[java.lang.Float](3.0f, 4.0f)),
+      (2L, Seq[java.lang.Float](1.0f, null), Seq[java.lang.Float](3.0f, 4.0f))
+    ).toDF("id", "a", "b")
+      .withColumn("a", col("a").cast("array<float>"))
+      .withColumn("b", col("b").cast("array<float>"))
+    val got = df.select(col("id"),
+        Similarity.dot(col("a"), col("b")).as("d"),
+        graft.functions.VecDist2.vecDist2(col("a"), col("b")).as("d2"))
+      .orderBy("id").collect()
+    assert(got(0).getDouble(1) == 11.0 && got(0).getDouble(2) == 8.0)
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2))
+    // the HOF reference form agrees
+    val hof = df.where(col("id") === 2)
+      .select(Similarity.dotHof(col("a"), col("b"))).collect()(0)
+    assert(hof.isNullAt(0))
+  }
+
+  test("yaml render escapes control characters in string values") {
+    import spark.implicits._
+    val df = Seq(("v", 1L)).toDF("bad\ncol", "n")
+    val out = graft.operators.Analyzer.renderReport(df, "yaml")
+    // the field NAME lands as a value of the `field:` key — it must be
+    // escaped, never a raw newline inside the scalar
+    assert(out.contains("\"bad\\ncol\""), out)
+  }
+
+  test("connectedComponents converges on a component needing exactly maxIter sweeps") {
+    import spark.implicits._
+    // path 1-2-3-4: the min label needs 3 propagation sweeps to reach
+    // node 4, and convergence is only observable as a 4th unchanged
+    // sweep — maxIter=3 must still succeed (regression: the loop used
+    // to count the confirming sweep against the budget and refuse)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, maxIter = 3).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // a genuinely over-budget diameter still refuses
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, maxIter = 2).collect()
+    }
   }
 
   test("removeNearDuplicatesCC keeps exactly one survivor per cluster") {
