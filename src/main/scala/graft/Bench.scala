@@ -292,16 +292,26 @@ object Bench {
     // --- query surface timings at the high parallelism level --------
     // benchQueries = same engine plans minus oracle side-channel
     // dump+re-read I/O (Verify still times/checks the dumping forms)
-    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // a throwing query must NOT be timed as a success — its
+    // time-until-crash would silently pollute "queries" and "total",
+    // making the JSON unfalsifiable from the artifact alone
+    val attempts = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(sHi2, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(sHi2, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] query $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
+    val results = attempts.collect { case (n, t, true) => n -> t }
+    val failed = attempts.collect { case (n, _, false) => n }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode":{"rows":$benchRows,"tokens":$tokHi,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"tokens_per_sec_lo":${thrLo.toLong},"tokens_per_sec_hi":${thrHi.toLong},"reps":$reps,"inversion_retries":$inversionRetries,"decode_retries":$decodeRetries,"scaling_efficiency":$eff%.3f,"tokens_per_sec_c2":${thr2.toLong},"tokens_per_sec_c8":${thr8.toLong},"scaling_efficiency_2_8":$eff28%.3f,"noshuffle_tokens_per_sec_lo":${thrNsLo.toLong},"noshuffle_tokens_per_sec_hi":${thrNsHi.toLong},"kernel_tokens_per_sec_1":${kern1.toLong},"kernel_tokens_per_sec_8":${kern8.toLong},"kernel_scaling_1_8":$kernEff18%.3f,"decode_tokens_per_sec":${thrDec.toLong},"decode_tokens_per_sec_lo":${thrDecLoF.toLong},"decode_scaling_efficiency":$effDec%.3f,"compression_ratio":$ratio%.3f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_failed":$failedJson,"sf":"$sfDir","encode":{"rows":$benchRows,"tokens":$tokHi,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"tokens_per_sec_lo":${thrLo.toLong},"tokens_per_sec_hi":${thrHi.toLong},"reps":$reps,"inversion_retries":$inversionRetries,"decode_retries":$decodeRetries,"scaling_efficiency":$eff%.3f,"tokens_per_sec_c2":${thr2.toLong},"tokens_per_sec_c8":${thr8.toLong},"scaling_efficiency_2_8":$eff28%.3f,"noshuffle_tokens_per_sec_lo":${thrNsLo.toLong},"noshuffle_tokens_per_sec_hi":${thrNsHi.toLong},"kernel_tokens_per_sec_1":${kern1.toLong},"kernel_tokens_per_sec_8":${kern8.toLong},"kernel_scaling_1_8":$kernEff18%.3f,"decode_tokens_per_sec":${thrDec.toLong},"decode_tokens_per_sec_lo":${thrDecLoF.toLong},"decode_scaling_efficiency":$effDec%.3f,"compression_ratio":$ratio%.3f}}""")
     sHi2.stop()
   }
 }

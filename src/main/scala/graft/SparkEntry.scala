@@ -424,10 +424,14 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, d) => {
       // per-doc hashes dump to the side-channel; the oracle recomputes
       // ALL hamming<=3 pairs from them (xor + bit_count self-join),
-      // verifying the pigeonhole blocking's completeness
+      // verifying the pigeonhole blocking's completeness. The oracled
+      // form runs UNCAPPED so that claim holds on any corpus — the
+      // capped production default is a skew valve whose drops are
+      // surfaced in-query via the Observation metrics (Round3Spec)
       val h = dumpSide(
         Dedup.simhashOf(t(s, d, "documents"), "doc_id", "text"), "simhash")
-      Dedup.simhashPairsFromHashes(h, maxHamming = 3).orderBy("id_a", "id_b")
+      Dedup.simhashPairsFromHashes(h, maxHamming = 3,
+        maxBucket = Int.MaxValue).orderBy("id_a", "id_b")
     }),
     "q_jaccard_within" -> ((s, d) =>
       // staged: shingle the corpus once, then probe/verify off the stage
@@ -698,7 +702,9 @@ object SparkEntry {
           .orderBy("id_a", "id_b")
       }),
       "q_simhash_pairs" -> ((s, d) =>
-        Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+        // uncapped like the Verify form, so both time the same plan
+        Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
+          maxHamming = 3, maxBucket = Int.MaxValue)
           .orderBy("id_a", "id_b")),
       "q_cosine_lsh" -> ((s, d) =>
         Similarity.cosinePairsLsh(t(s, d, "embeddings"), "embedding", "vec_id",
@@ -919,8 +925,8 @@ object SparkEntry {
         |SELECT field, CASE
         |  WHEN v IS NULL OR v = '' THEN 'empty'
         |  WHEN regexp_matches(v, '^[0-9]+$') THEN
-        |    CASE WHEN CAST(v AS BIGINT) < 255 THEN 'uint8'
-        |         WHEN CAST(v AS BIGINT) < 65535 THEN 'uint16'
+        |    CASE WHEN TRY_CAST(v AS BIGINT) < 255 THEN 'uint8'
+        |         WHEN TRY_CAST(v AS BIGINT) < 65535 THEN 'uint16'
         |         ELSE 'uint32' END
         |  WHEN regexp_matches(v, '^-?[0-9]+\.[0-9]+$') THEN 'float'
         |  WHEN regexp_matches(v, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
@@ -941,8 +947,8 @@ object SparkEntry {
         |typed AS (SELECT field, CASE
         |  WHEN v IS NULL OR v = '' THEN 'empty'
         |  WHEN regexp_matches(v, '^[0-9]+$') THEN
-        |    CASE WHEN CAST(v AS BIGINT) < 255 THEN 'uint8'
-        |         WHEN CAST(v AS BIGINT) < 65535 THEN 'uint16'
+        |    CASE WHEN TRY_CAST(v AS BIGINT) < 255 THEN 'uint8'
+        |         WHEN TRY_CAST(v AS BIGINT) < 65535 THEN 'uint16'
         |         ELSE 'uint32' END
         |  WHEN regexp_matches(v, '^-?[0-9]+\.[0-9]+$') THEN 'float'
         |  WHEN regexp_matches(v, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')

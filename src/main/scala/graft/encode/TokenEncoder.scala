@@ -336,7 +336,7 @@ object TokenEncoder {
         java.nio.charset.StandardCharsets.UTF_8)
       Some(txt.linesIterator.filter(_.nonEmpty).map { line =>
         val Array(src, b, s) = line.split("\t")
-        (src, (b.toInt, s.toInt))
+        (java.net.URLDecoder.decode(src, "UTF-8"), (b.toInt, s.toInt))
       }.toMap)
     }
   }
@@ -350,9 +350,13 @@ object TokenEncoder {
     val f = new java.io.File(s"$outDir/plan.json")
     f.getParentFile.mkdirs()
     val tmp = new java.io.File(s"$outDir/plan.json.tmp")
+    // URL-encode the source: a name containing '\t' or '\n' would
+    // corrupt the line format and silently remap partIds on resume —
+    // the exact failure the pinned plan exists to prevent
     java.nio.file.Files.write(tmp.toPath,
       plan.toSeq.sortBy(_._1)
-        .map { case (src, (b, s)) => s"$src\t$b\t$s" }
+        .map { case (src, (b, s)) =>
+          s"${java.net.URLEncoder.encode(src, "UTF-8")}\t$b\t$s" }
         .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     require(tmp.renameTo(f) || f.exists(), s"cannot commit plan.json in $outDir")
   }

@@ -226,14 +226,19 @@ object Sniff {
     if (b(0) == 0x00 && b(1) == 0x00 && b(2) == 0xFE && b(3) == 0xFF) return "UTF-32BE"
     if (b(0) == 0xFF && b(1) == 0xFE) return "UTF-16LE"
     if (b(0) == 0xFE && b(1) == 0xFF) return "UTF-16BE"
+    // streaming decode with endOfInput=false: a multi-byte character
+    // TRUNCATED by the prefix boundary is underflow, not an error — a
+    // full-buffer decode() would throw on it and misclassify a valid
+    // >1MB UTF-8 file (e.g. Cyrillic text) as windows-1251
     val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-    try {
-      dec.decode(java.nio.ByteBuffer.wrap(prefix))
-      "UTF-8"
-    } catch {
-      case _: java.nio.charset.CharacterCodingException =>
-        val hi = prefix.count(b => (b & 0xFF) >= 0xC0)
-        if (hi > prefix.length / 10) "windows-1251" else "ISO-8859-1"
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    val res = dec.decode(java.nio.ByteBuffer.wrap(prefix),
+      java.nio.CharBuffer.allocate(prefix.length + 1), false)
+    if (!res.isError) "UTF-8"
+    else {
+      val hi = prefix.count(b => (b & 0xFF) >= 0xC0)
+      if (hi > prefix.length / 10) "windows-1251" else "ISO-8859-1"
     }
   }
 

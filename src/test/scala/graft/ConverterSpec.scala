@@ -44,6 +44,17 @@ class ConverterSpec extends SparkSpecBase {
     }
   }
 
+  test("encoding sniff tolerates a multi-byte char truncated at the prefix edge") {
+    // a valid UTF-8 stream cut mid-character (the 1MB prefix boundary
+    // case) must still classify as UTF-8, not fall through to CP1251
+    val full = ("данные " * 50).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val truncated = java.util.Arrays.copyOf(full, full.length - 1) // cuts 'е' in half
+    assert(graft.sources.Sniff.encoding(truncated) == "UTF-8")
+    // genuinely malformed bytes still fall through
+    val bad = Array.fill[Byte](100)(0xD0.toByte)
+    assert(graft.sources.Sniff.encoding(bad) != "UTF-8")
+  }
+
   test("csv round-trips embedded newlines, quotes, commas and unicode") {
     import spark.implicits._
     val tricky = Seq(

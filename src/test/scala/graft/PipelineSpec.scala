@@ -41,6 +41,13 @@ class PipelineSpec extends SparkSpecBase {
     assertSameTable(synth, TokenDecoder.read(spark, out))
   }
 
+  test("plan.json survives source names containing tabs and newlines") {
+    val out = tmpDir("plan-esc")
+    val plan = Map("web\tmirror" -> (0, 2), "a\nb" -> (2, 1), "plain" -> (3, 1))
+    TokenEncoder.savePlan(plan, out)
+    assert(TokenEncoder.loadPlan(out).contains(plan))
+  }
+
   test("readMeta matches the full decode's metadata without reading payloads") {
     import spark.implicits._
     val out = tmpDir("meta")
