@@ -315,6 +315,47 @@ object UndatumOps {
     df.join(kept, Seq(idCol), "left_semi")
   }
 
+  /** Scale form of [[mixSample]], identical results: the per-source
+    * window above sorts ALL of a source's rows in one task, which
+    * serializes on a dominant source at 10^12 docs. Here the md5
+    * ordering is split at its first byte into 256 buckets (the prefix
+    * order is preserved across buckets by construction), per-bucket
+    * subtotals roll up in a 256-rows-per-source window, and each
+    * bucket's global cumsum = its offset + a within-bucket cumsum —
+    * so the big sort runs at source×256 parallelism and the only
+    * serialized window touches 256 scalar rows per source.
+    */
+  def mixSampleBucketed(df: DataFrame, idCol: String, tokCol: String,
+                        srcCol: String, weights: Map[String, Double],
+                        totalTokenBudget: Long): DataFrame = {
+    val wsum = weights.values.sum
+    require(wsum > 0, "weights must have positive mass")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val budgets = weights.toSeq
+      .map { case (s, w) => (s, math.floor(w / wsum * totalTokenBudget).toLong) }
+      .toDF(srcCol, "__budget")
+    val keyed = df.select(col(srcCol), col(idCol), col(tokCol))
+      .join(broadcast(budgets), srcCol)
+      .withColumn("__k", md5(col(idCol).cast(StringType)))
+      .withColumn("__bkt", substring(col("__k"), 1, 2))
+    val subtotals = keyed.groupBy(col(srcCol), col("__bkt"))
+      .agg(sum(col(tokCol)).as("__bktTok"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol)).orderBy(col("__bkt"))
+    val offsets = subtotals.withColumn("__off",
+      coalesce(sum(col("__bktTok")).over(wB) - col("__bktTok"), lit(0L)))
+      .select(col(srcCol), col("__bkt"), col("__off"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol), col("__bkt")).orderBy(col("__k"), col(idCol))
+    val kept = keyed
+      .join(offsets, Seq(srcCol, "__bkt"))
+      .withColumn("__cum", col("__off") + sum(col(tokCol)).over(wIn))
+      .where(col("__cum") - col(tokCol) < col("__budget"))
+      .select(col(idCol))
+    df.join(kept, Seq(idCol), "left_semi")
+  }
+
   /** `undatum validate` (undatum/cmds/validator.py:47-119): rule over
     * a column; modes stats / invalid / all.
     */

@@ -255,6 +255,22 @@ class Round3Spec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("mixSampleBucketed selects exactly the same rows as mixSample") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val docs = (0L until 500L).map { i =>
+      (i, s"s${rng.nextInt(3)}", 1L + rng.nextInt(40)) }
+      .toDF("id", "src", "n_tok")
+    val weights = Map("s0" -> 0.5, "s1" -> 0.3, "s2" -> 0.2)
+    for (budget <- Seq(0L, 500L, 3000L, 1000000L)) {
+      val a = UndatumOps.mixSample(docs, "id", "n_tok", "src", weights, budget)
+        .select("id").as[Long].collect().sorted.toSeq
+      val b = UndatumOps.mixSampleBucketed(docs, "id", "n_tok", "src", weights, budget)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(a == b, s"budget=$budget")
+    }
+  }
+
   test("vec_dot/vec_dist2 poison to NULL on NULL elements, like the HOF fold") {
     import spark.implicits._
     val df = Seq(
