@@ -91,7 +91,7 @@ object CorpusPipelineCli {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val srcs = sampled.select("source").distinct().as[String].collect()
     val budget = sampled.agg(sum("n_tok0")).as[Long].collect()(0) * 3 / 4
-    val mixed = graft.operators.UndatumOps.mixSample(sampled, "doc_id",
+    val mixed = graft.operators.UndatumOps.mixSampleBucketed(sampled, "doc_id",
       "n_tok0", "source", srcs.map(_ -> 1.0).toMap, budget)
     println(s"STAGE quota_mix         rows=${mixed.count()} token_budget=$budget")
 
