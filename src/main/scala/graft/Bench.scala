@@ -173,15 +173,13 @@ object Bench {
         import s.implicits._
         val input = ensureInput(s, benchRows)
         val clusPath = s"${localDir()}/graft-input-clustered-$benchRows"
-        val planPath = s"${localDir()}/graft-input-plan-$benchRows.tsv"
+        // staged-plan persistence reuses the canonical (escaped)
+        // plan.json serializer — a private TSV here would be a second
+        // on-disk format for the same data
+        val planDir = s"${localDir()}/graft-input-plan-$benchRows"
         val target = math.max(1000L, benchRows / 128).toInt
         val plan: Map[String, (Int, Int)] =
-          if (new java.io.File(planPath).exists())
-            java.nio.file.Files.readString(java.nio.file.Paths.get(planPath))
-              .linesIterator.filter(_.nonEmpty).map { l =>
-                val Array(src, b, n) = l.split("\t"); (src, (b.toInt, n.toInt))
-              }.toMap
-          else {
+          TokenEncoder.loadPlan(planDir).getOrElse {
             val plain = s.read.parquet(input).as[graft.model.TokenRow]
             val p = TokenEncoder.partitionPlan(plain, target)
             val nParts = TokenEncoder.planSaltTotal(p) + TokenEncoder.OverflowSlots
@@ -189,9 +187,7 @@ object Bench {
             plain.map(r => (TokenEncoder.partIdOf(pB, r), r)).toDF("partId", "r")
               .repartition(nParts, org.apache.spark.sql.functions.col("partId"))
               .select("r.*").write.mode("overwrite").parquet(clusPath)
-            java.nio.file.Files.writeString(java.nio.file.Paths.get(planPath),
-              p.toSeq.sortBy(_._1).map { case (k, (b, n)) => s"$k\t$b\t$n" }
-                .mkString("\n"))
+            TokenEncoder.savePlan(p, planDir)
             p
           }
         val out = java.nio.file.Files.createTempDirectory(

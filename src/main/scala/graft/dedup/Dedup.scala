@@ -341,10 +341,14 @@ object Dedup {
       }
       // partially-propagated labels are WRONG clusters, not approximate
       // ones (a >maxIter-diameter chain would report one component as
-      // several) — refuse rather than return them
-      require(converged,
-        s"connectedComponents did not converge in $maxIter sweeps — " +
-        "a component's diameter exceeds maxIter; raise maxIter")
+      // several) — refuse rather than return them, and release the
+      // final label checkpoint too (it is only returned on success)
+      if (!converged) {
+        labels.unpersist(blocking = false)
+        throw new IllegalArgumentException(
+          s"connectedComponents did not converge in $maxIter sweeps — " +
+          "a component's diameter exceeds maxIter; raise maxIter")
+      }
     } finally {
       // release the edge checkpoint on the refusal path too
       edges.unpersist(blocking = false)

@@ -334,12 +334,21 @@ object TokenEncoder {
     else {
       val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8)
-      Some(txt.linesIterator.filter(_.nonEmpty).map { line =>
+      // v2 files URL-encode the source (tab/newline safety); files
+      // without the marker predate the escaping and are read verbatim
+      // — decoding them would corrupt legacy names containing '+'/'%'
+      val lines = txt.linesIterator.filter(_.nonEmpty).toSeq
+      val v2 = lines.headOption.contains(PlanMarker)
+      val body = if (v2) lines.tail else lines
+      Some(body.map { line =>
         val Array(src, b, s) = line.split("\t")
-        (java.net.URLDecoder.decode(src, "UTF-8"), (b.toInt, s.toInt))
+        val name = if (v2) java.net.URLDecoder.decode(src, "UTF-8") else src
+        (name, (b.toInt, s.toInt))
       }.toMap)
     }
   }
+
+  private val PlanMarker = "#graft-plan-v2"
 
   /** Persist a plan as the output dir's pinned plan.json — lets a
     * caller that computed (or inherited) a plan from a previous stage
@@ -352,11 +361,12 @@ object TokenEncoder {
     val tmp = new java.io.File(s"$outDir/plan.json.tmp")
     // URL-encode the source: a name containing '\t' or '\n' would
     // corrupt the line format and silently remap partIds on resume —
-    // the exact failure the pinned plan exists to prevent
+    // the exact failure the pinned plan exists to prevent. The v2
+    // marker line lets loadPlan read pre-escaping files verbatim.
     java.nio.file.Files.write(tmp.toPath,
-      plan.toSeq.sortBy(_._1)
+      (PlanMarker +: plan.toSeq.sortBy(_._1)
         .map { case (src, (b, s)) =>
-          s"${java.net.URLEncoder.encode(src, "UTF-8")}\t$b\t$s" }
+          s"${java.net.URLEncoder.encode(src, "UTF-8")}\t$b\t$s" })
         .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     require(tmp.renameTo(f) || f.exists(), s"cannot commit plan.json in $outDir")
   }

@@ -219,22 +219,25 @@ object Sniff {
     * reference's fixtures exercise — ru_cp1251 / ru_utf8. The claim
     * stays scoped to these.)
     */
-  def encoding(prefix: Array[Byte]): String = {
+  /** `complete = false` means the prefix was CUT at a byte budget
+    * (sniffFile's 1MB cap): a multi-byte character truncated at the
+    * boundary is then underflow, not an error. For a complete file
+    * (the default) a dangling multi-byte lead at EOF IS malformed —
+    * an ISO-8859-1 file ending in 0xE9 must not classify as UTF-8.
+    */
+  def encoding(prefix: Array[Byte], complete: Boolean = true): String = {
     def b(i: Int) = if (i < prefix.length) prefix(i) & 0xFF else -1
     if (b(0) == 0xEF && b(1) == 0xBB && b(2) == 0xBF) return "UTF-8"
     if (b(0) == 0xFF && b(1) == 0xFE && b(2) == 0x00 && b(3) == 0x00) return "UTF-32LE"
     if (b(0) == 0x00 && b(1) == 0x00 && b(2) == 0xFE && b(3) == 0xFF) return "UTF-32BE"
     if (b(0) == 0xFF && b(1) == 0xFE) return "UTF-16LE"
     if (b(0) == 0xFE && b(1) == 0xFF) return "UTF-16BE"
-    // streaming decode with endOfInput=false: a multi-byte character
-    // TRUNCATED by the prefix boundary is underflow, not an error — a
-    // full-buffer decode() would throw on it and misclassify a valid
-    // >1MB UTF-8 file (e.g. Cyrillic text) as windows-1251
     val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
-    val res = dec.decode(java.nio.ByteBuffer.wrap(prefix),
-      java.nio.CharBuffer.allocate(prefix.length + 1), false)
+    val out = java.nio.CharBuffer.allocate(prefix.length + 1)
+    var res = dec.decode(java.nio.ByteBuffer.wrap(prefix), out, complete)
+    if (!res.isError && complete) res = dec.flush(out)
     if (!res.isError) "UTF-8"
     else {
       val hi = prefix.count(b => (b & 0xFF) >= 0xC0)
@@ -248,7 +251,9 @@ object Sniff {
       val buf = new Array[Byte](maxBytes)
       val n = math.max(0, in.read(buf))
       val bytes = java.util.Arrays.copyOf(buf, n)
-      val enc = encoding(bytes)
+      // a full buffer means the file continues past the cap — the
+      // prefix may cut a multi-byte character, so decode tolerantly
+      val enc = encoding(bytes, complete = n < maxBytes)
       val text = new String(bytes, enc)
       val line1 = text.linesIterator.nextOption().getOrElse("")
       (enc, delimiter(line1))

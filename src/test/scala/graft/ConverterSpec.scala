@@ -48,11 +48,20 @@ class ConverterSpec extends SparkSpecBase {
     // a valid UTF-8 stream cut mid-character (the 1MB prefix boundary
     // case) must still classify as UTF-8, not fall through to CP1251
     val full = ("данные " * 50).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val truncated = java.util.Arrays.copyOf(full, full.length - 1) // cuts 'е' in half
-    assert(graft.sources.Sniff.encoding(truncated) == "UTF-8")
-    // genuinely malformed bytes still fall through
+    // drop the trailing space AND half of the 2-byte 'е' so the buffer
+    // ends on a dangling UTF-8 lead byte
+    val truncated = java.util.Arrays.copyOf(full, full.length - 2)
+    assert(graft.sources.Sniff.encoding(truncated, complete = false) == "UTF-8")
+    // but the SAME dangling lead at the end of a COMPLETE file is
+    // malformed — an ISO-8859-1 file ending in 0xE9 ("café") must not
+    // classify as UTF-8
+    assert(graft.sources.Sniff.encoding(truncated) != "UTF-8")
+    val cafe = "plain ascii then café"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(graft.sources.Sniff.encoding(cafe) == "ISO-8859-1")
+    // genuinely malformed bytes still fall through either way
     val bad = Array.fill[Byte](100)(0xD0.toByte)
-    assert(graft.sources.Sniff.encoding(bad) != "UTF-8")
+    assert(graft.sources.Sniff.encoding(bad, complete = false) != "UTF-8")
   }
 
   test("csv round-trips embedded newlines, quotes, commas and unicode") {

@@ -43,9 +43,18 @@ class PipelineSpec extends SparkSpecBase {
 
   test("plan.json survives source names containing tabs and newlines") {
     val out = tmpDir("plan-esc")
-    val plan = Map("web\tmirror" -> (0, 2), "a\nb" -> (2, 1), "plain" -> (3, 1))
+    val plan = Map("web\tmirror" -> (0, 2), "a\nb" -> (2, 1),
+      "c++docs" -> (3, 1), "100%web" -> (4, 1))
     TokenEncoder.savePlan(plan, out)
     assert(TokenEncoder.loadPlan(out).contains(plan))
+    // a legacy (pre-marker) plan file reads VERBATIM — '+' and '%' in
+    // old source names must not be URL-decoded
+    val legacy = tmpDir("plan-legacy")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$legacy/plan.json"),
+      "c++docs\t0\t2\n100%web\t2\t1")
+    assert(TokenEncoder.loadPlan(legacy)
+      .contains(Map("c++docs" -> (0, 2), "100%web" -> (2, 1))))
   }
 
   test("readMeta matches the full decode's metadata without reading payloads") {
