@@ -391,6 +391,17 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_tok"))
         .orderBy("doc_id")
     }),
+    "q_mix_bucketed" -> ((s, d) => {
+      // the 256-bucket scale form of the same mixing — identical
+      // selections by construction, proven here against the SAME
+      // DuckDB oracle semantics rather than only against mixSample
+      val docs = t(s, d, "documents")
+        .withColumn("n_tok", TextOps.tokenCount(col("text")))
+      UndatumOps.mixSampleBucketed(docs, "doc_id", "n_tok", "source",
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25), 2048L)
+        .select(col("doc_id"), col("source"), col("n_tok"))
+        .orderBy("doc_id")
+    }),
     // ---- dedup ----------------------------------------------------
     "q_decontaminate" -> ((s, d) => {
       // benchmark decontamination: docs whose md5(doc_id) starts with
@@ -1092,6 +1103,21 @@ object SparkEntry {
         |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS clean
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_mix_sample" ->
+      """WITH tc AS (SELECT doc_id, source,
+        |  CAST(len(list_filter(string_split_regex(text,'\s+'), x -> x <> '')) AS BIGINT) n_tok
+        |  FROM documents),
+        |wt AS (SELECT * FROM (VALUES
+        |  ('src0', CAST(1024 AS BIGINT)),
+        |  ('src1', CAST(512 AS BIGINT)),
+        |  ('src2', CAST(512 AS BIGINT))) w(source, b)),
+        |c AS (SELECT tc.doc_id, tc.source, tc.n_tok, wt.b,
+        |  sum(tc.n_tok) OVER (PARTITION BY tc.source
+        |    ORDER BY md5(CAST(tc.doc_id AS VARCHAR)), tc.doc_id
+        |    ROWS UNBOUNDED PRECEDING) cum
+        |  FROM tc JOIN wt USING (source))
+        |SELECT doc_id, source, n_tok FROM c
+        |WHERE cum - n_tok < b ORDER BY doc_id""".stripMargin,
+    "q_mix_bucketed" ->
       """WITH tc AS (SELECT doc_id, source,
         |  CAST(len(list_filter(string_split_regex(text,'\s+'), x -> x <> '')) AS BIGINT) n_tok
         |  FROM documents),

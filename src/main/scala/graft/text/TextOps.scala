@@ -161,6 +161,22 @@ object TextOps {
       .select("doc_id", "tokens", "n_tok", "source")
   }
 
+  /** Inverse of [[tokenize]] for inspection/debugging: token ids back
+    * to whitespace-joined words via the broadcast inverse table;
+    * unknown ids (the OOV sentinel included) render as `oovToken`.
+    * Lossy exactly where tokenize is (case folding, whitespace runs,
+    * OOV words).
+    */
+  def detokenize(tokens: Column, vocab: org.apache.spark.sql.DataFrame,
+                 oovToken: String = "<unk>"): Column = {
+    val inverse = vocab.collect()
+      .map(r => (r.getAs[Int]("tok_id"), r.getAs[String]("w"))).toMap
+    val bc = vocab.sparkSession.sparkContext.broadcast(inverse)
+    val render = udf((ts: Seq[Int]) =>
+      if (ts == null) "" else ts.map(t => bc.value.getOrElse(t, oovToken)).mkString(" "))
+    render(tokens)
+  }
+
   /** PII scrub: mask URLs then email addresses with placeholder
     * tokens (URLs first, or the mailto-ish tail of a URL would be
     * half-masked as an email). Both patterns are RE2-compatible so

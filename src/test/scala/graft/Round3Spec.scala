@@ -567,6 +567,24 @@ class Round3Spec extends SparkSpecBase {
       ("2", Seq(0, 2, 3), 3, "s1")))
   }
 
+  test("detokenize inverts tokenize up to case/whitespace/OOV") {
+    import spark.implicits._
+    val docs = Seq((1L, "Alpha beta  ZZ beta", "s")).toDF("doc_id", "text", "source")
+    val vocab = graft.text.TextOps.buildVocab(docs, "text", 3)
+    // counts: beta=2, alpha=1, zz=1 -> beta(0), alpha(1), zz(2)
+    val toks = graft.text.TextOps.tokenize(docs, "doc_id", "text", "source",
+      vocab, oovId = 3)
+    val back = toks.select(
+        graft.text.TextOps.detokenize(col("tokens"), vocab).as("t"))
+      .as[String].collect()(0)
+    assert(back == "alpha beta zz beta")
+    // an OOV id renders as the sentinel
+    val withOov = toks.select(graft.text.TextOps.detokenize(
+      array_union(col("tokens"), array(lit(3))), vocab).as("t"))
+      .as[String].collect()(0)
+    assert(withOov == "alpha beta zz <unk>")
+  }
+
   test("redact masks URLs before emails, repeatedly, leaves clean text alone") {
     import spark.implicits._
     val got = Seq(
