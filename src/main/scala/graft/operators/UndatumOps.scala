@@ -279,6 +279,28 @@ object UndatumOps {
       .drop("__rn")
   }
 
+  /** Scale form of [[stratifiedSample]], identical rows: the per-group
+    * window above sorts ALL of a dominant group's rows in one task.
+    * Here each (group, md5-first-byte) bucket takes its own local
+    * top-k in parallel (a superset of the group's global top-k, since
+    * the global k smallest md5 keys live in at most k buckets), then
+    * the final rank runs over at most 256·k survivors per group.
+    */
+  def stratifiedSampleBucketed(df: DataFrame, field: String, idCol: String,
+                               k: Int): DataFrame = {
+    val key = md5(col(idCol).cast(StringType))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(field), substring(key, 1, 2))
+      .orderBy(key, col(idCol))
+    val wGlobal = org.apache.spark.sql.expressions.Window
+      .partitionBy(field).orderBy(key, col(idCol))
+    df.withColumn("__lrn", row_number().over(wLocal))
+      .where(col("__lrn") <= k)
+      .withColumn("__rn", row_number().over(wGlobal))
+      .where(col("__rn") <= k)
+      .drop("__lrn", "__rn")
+  }
+
   /** Token-budget domain mixing — the corpus-mixing stage of a
     * training-data pipeline (up/down-weight web vs books vs code):
     * each source gets budget_s = floor(weight_s / Σweights × total)

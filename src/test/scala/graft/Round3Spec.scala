@@ -255,6 +255,20 @@ class Round3Spec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("stratifiedSampleBucketed selects exactly the same rows as stratifiedSample") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val docs = (0L until 600L).map(i => (i, s"g${rng.nextInt(4)}"))
+      .toDF("id", "grp")
+    for (k <- Seq(1, 5, 50, 1000)) {
+      val a = UndatumOps.stratifiedSample(docs, "grp", "id", k)
+        .select("id").as[Long].collect().sorted.toSeq
+      val b = UndatumOps.stratifiedSampleBucketed(docs, "grp", "id", k)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(a == b, s"k=$k")
+    }
+  }
+
   test("mixSampleBucketed selects exactly the same rows as mixSample") {
     import spark.implicits._
     val rng = new scala.util.Random(5)
