@@ -255,6 +255,26 @@ class Round3Spec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("packSequencesBucketed computes exactly the same spans as packSequences") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    // skewed ids (not uniform) + empty docs + one dominant group
+    val docs = (0L until 400L).map { i =>
+      val id = if (i % 3 == 0) i * 1000 else i
+      (id, if (i % 5 == 0) "small" else "big",
+        if (i % 17 == 0) 0L else 1L + rng.nextInt(300))
+    }.toDF("id", "grp", "n_tok")
+    val cols = Seq("grp", "id", "n_tok", "seq_first", "seq_last", "spans")
+    for (seqLen <- Seq(64, 512)) {
+      val a = graft.encode.Packing.packSequences(docs, "id", "n_tok", "grp", seqLen)
+        .select(cols.map(col): _*).orderBy("grp", "id").collect().toSeq
+      val b = graft.encode.Packing.packSequencesBucketed(docs, "id", "n_tok", "grp",
+          seqLen, buckets = 16)
+        .select(cols.map(col): _*).orderBy("grp", "id").collect().toSeq
+      assert(a == b, s"seqLen=$seqLen")
+    }
+  }
+
   test("stratifiedSampleBucketed selects exactly the same rows as stratifiedSample") {
     import spark.implicits._
     val rng = new scala.util.Random(17)
