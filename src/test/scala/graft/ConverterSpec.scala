@@ -196,4 +196,24 @@ class ConverterSpec extends SparkSpecBase {
     assert(df.select("Статус").distinct().collect().map(_.getString(0)).toSeq ==
       Seq("Действует"))
   }
+
+  test("native kernels resolve on a charset-clone DataFrame (empty registry)") {
+    // Converter.read binds exotic-charset reads to a cloned session
+    // whose function registry starts EMPTY — the df-level ops must
+    // register their kernels on the df's own session, or analysis
+    // throws an undefined-function error (regression for the
+    // active-session registration bug)
+    val dir = tmpDir("clone-reg")
+    val path = s"$dir/ru.csv"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      "num;status\n254;Действует\n70000;Нет".getBytes("windows-1251"))
+    val df = Converter.read(spark, path,
+      ReadOptions("csv", delimiter = ";",
+        encoding = "windows-1251", inferSchema = false))
+    assert(df.sparkSession ne spark) // really the clone path
+    val hist = graft.operators.UndatumOps.typeHistogram(df, Seq("num", "status"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(hist == Set(("num", "uint8", 1L), ("num", "uint32", 1L),
+      ("status", "str", 2L)))
+  }
 }
