@@ -178,8 +178,11 @@ object Bench {
         // on-disk format for the same data
         val planDir = s"${localDir()}/graft-input-plan-$benchRows"
         val target = math.max(1000L, benchRows / 128).toInt
+        // the staged parquet and its plan must exist TOGETHER — a
+        // partial tmp cleanup that kept one would crash or mis-stage
+        val staged = new java.io.File(s"$clusPath/_SUCCESS").exists()
         val plan: Map[String, (Int, Int)] =
-          TokenEncoder.loadPlan(planDir).getOrElse {
+          TokenEncoder.loadPlan(planDir).filter(_ => staged).getOrElse {
             val plain = s.read.parquet(input).as[graft.model.TokenRow]
             val p = TokenEncoder.partitionPlan(plain, target)
             val nParts = TokenEncoder.planSaltTotal(p) + TokenEncoder.OverflowSlots
