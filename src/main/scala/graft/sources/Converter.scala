@@ -232,6 +232,22 @@ object Sniff {
     if (b(0) == 0x00 && b(1) == 0x00 && b(2) == 0xFE && b(3) == 0xFF) return "UTF-32BE"
     if (b(0) == 0xFF && b(1) == 0xFE) return "UTF-16LE"
     if (b(0) == 0xFE && b(1) == 0xFF) return "UTF-16BE"
+    // BOM-less UTF-16 (common in Windows exports): mostly-Latin text
+    // encodes as alternating NUL bytes — high-byte NULs on even
+    // offsets = BE, on odd = LE. Threshold 30% keeps CJK-heavy UTF-16
+    // (few NULs) from slipping through to the 8-bit fallbacks, while
+    // no sane 8-bit text file contains NUL bytes at all.
+    if (prefix.length >= 8) {
+      var evenNul = 0; var oddNul = 0
+      var i = 0
+      while (i < prefix.length) {
+        if (prefix(i) == 0) { if (i % 2 == 0) evenNul += 1 else oddNul += 1 }
+        i += 1
+      }
+      val half = prefix.length / 2
+      if (evenNul > half * 3 / 10 && oddNul == 0) return "UTF-16BE"
+      if (oddNul > half * 3 / 10 && evenNul == 0) return "UTF-16LE"
+    }
     val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)

@@ -98,6 +98,11 @@ class ConverterSpec extends SparkSpecBase {
     assert(enc(0xFF, 0xFE, 0x00, 0x00) == "UTF-32LE")
     assert(enc(0x00, 0x00, 0xFE, 0xFF) == "UTF-32BE")
     assert(Sniff.encoding("plain ascii".getBytes) == "UTF-8")
+    // BOM-less UTF-16 (Windows exports): alternating NUL bytes
+    assert(Sniff.encoding("id;name\n1;John".getBytes("UTF-16LE")) == "UTF-16LE")
+    assert(Sniff.encoding("id;name\n1;John".getBytes("UTF-16BE")) == "UTF-16BE")
+    // NUL-free 8-bit text is untouched by the heuristic
+    assert(Sniff.encoding("Регистрация".getBytes("windows-1251")) == "windows-1251")
   }
 
   test("zip/zstd/lz4 container round trips (iterable.py:10-27 containers)") {
