@@ -202,6 +202,20 @@ class ConverterSpec extends SparkSpecBase {
       Seq("Действует"))
   }
 
+  test("BOM-less UTF-16LE csv: sniff detects, read decodes") {
+    val dir = tmpDir("conv-utf16")
+    val path = s"$dir/w.csv"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      "id;name\n1;Müller\n2;Søren".getBytes("UTF-16LE"))
+    val (enc, delim) = Sniff.sniffFile(path)
+    assert(enc == "UTF-16LE" && delim == ";")
+    val df = Converter.read(spark, path,
+      ReadOptions("csv", delimiter = delim, encoding = enc, inferSchema = false))
+    assert(df.count() == 2)
+    assert(df.select("name").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("Müller", "Søren"))
+  }
+
   test("native kernels resolve on a charset-clone DataFrame (empty registry)") {
     // Converter.read binds exotic-charset reads to a cloned session
     // whose function registry starts EMPTY — the df-level ops must
