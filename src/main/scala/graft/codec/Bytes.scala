@@ -151,10 +151,15 @@ object Bits {
 
   def widthInt(v: Int): Int = if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(v)
 
-  /** Pack n values (given as Longs in [0, 2^w), w <= 63) LSB-first. */
+  /** Pack n values (given as Longs in [0, 2^w), w <= 56) LSB-first.
+    * The width cap is the single-long refill path's limit: unpack
+    * refills `readByte << accBits`, which drops a byte's high bits
+    * once accBits > 56 — widths 57..63 would silently corrupt. All
+    * current codecs stay far under (max 34 via DeltaFor's zigzag).
+    */
   def pack(values: Array[Long], n: Int, w: Int, out: ByteBuf): Unit = {
     if (w == 0) return
-    require(w < 64, s"pack width $w")
+    require(w <= 56, s"pack width $w (max 56 — see refill note)")
     var acc = 0L
     var accBits = 0
     var i = 0
@@ -178,7 +183,8 @@ object Bits {
   def unpack(r: ByteReader, n: Int, w: Int): Array[Long] = {
     val out = new Array[Long](n)
     if (w == 0) return out
-    val mask = if (w == 64) -1L else (1L << w) - 1L
+    require(w <= 56, s"unpack width $w (max 56 — see pack note)")
+    val mask = (1L << w) - 1L
     var acc = 0L
     var accBits = 0
     var i = 0

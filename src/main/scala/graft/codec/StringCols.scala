@@ -20,7 +20,9 @@ object StringCols {
       out.writeBytes(b)
       i += 1
     }
-    com.github.luben.zstd.Zstd.compress(out.toArray, 3)
+    // same env-tunable level as the payload pass — a hardcoded level
+    // here would silently exempt doc-id metadata from the knob
+    com.github.luben.zstd.Zstd.compress(out.toArray, BlockCodec.ZstdLevel)
   }
 
   def decodeDocIds(enc: Array[Byte], n: Int): Array[String] = {

@@ -105,6 +105,11 @@ object TokenEncoder {
   def planSaltTotal(plan: Map[String, (Int, Int)]): Int =
     if (plan.isEmpty) 0 else plan.values.map { case (b, s) => b + s }.max
 
+  /** Resume bookkeeping (this set, `pending`, the commit-marker read)
+    * is O(#partIds) on the DRIVER — size `targetRowsPerPart` so the
+    * plan stays ≤ ~10^5 partIds (each partId is a multi-block
+    * resume/decode unit, not a parallelism unit; blocks subdivide it).
+    */
   def allPartIds(plan: Map[String, (Int, Int)]): Set[Int] =
     (0 until (planSaltTotal(plan) + OverflowSlots)).toSet
 
@@ -145,15 +150,17 @@ object TokenEncoder {
     val planB = plan // small map, captured by closure
     val cfgB = cfg
     val runIdB = runId
-    val filtered = only match {
-      case Some(ids) =>
-        val idsB = ids
-        ds.filter(r => idsB.contains(partIdOf(planB, r)))
-      case None => ds
+    // partIdOf (two string hashes + plan lookup) runs ONCE per row:
+    // the resume filter and the keying map are fused, rather than
+    // hashing every row twice on the resumed ingest path
+    val onlyB = only
+    def keep(p: Int): Boolean = onlyB.forall(_.contains(p))
+    val packed = ds.flatMap { r =>
+      val p = partIdOf(planB, r)
+      if (keep(p))
+        Some(PackedRow(p, r.doc_id, r.source, packTokens(r.tokens, r.n_tok), r.n_tok))
+      else None
     }
-    val packed = filtered
-      .map(r => PackedRow(partIdOf(planB, r), r.doc_id, r.source,
-        packTokens(r.tokens, r.n_tok), r.n_tok))
     if (cfgB.noShuffle)
       // no exchange: a within-partition sort clusters each input
       // partition's rows by partId, then contiguous runs chunk into
@@ -162,8 +169,10 @@ object TokenEncoder {
       // Rows stay as raw token arrays: the varint pack exists to
       // halve SHUFFLE bytes, and with no shuffle the pack+unpack
       // passes are pure overhead
-      filtered
-        .map(r => (partIdOf(planB, r), r))
+      ds.flatMap { r =>
+          val p = partIdOf(planB, r)
+          if (keep(p)) Some((p, r)) else None
+        }
         .sortWithinPartitions("_1")
         .mapPartitions { rows =>
           val buf = rows.buffered
@@ -302,12 +311,45 @@ object TokenEncoder {
     * otherwise every idempotent re-run would re-scan the whole input
     * just to rediscover they are empty).
     */
+  /** Read a store-metadata parquet dir, tolerating the crash artifact
+    * of a dir that exists with NO committed files (only _temporary
+    * from a killed write job) — that state must read as "nothing
+    * committed", not wedge every resume with an AnalysisException.
+    */
+  private def safeReadParquet(spark: SparkSession,
+                              path: String): Option[org.apache.spark.sql.DataFrame] =
+    if (!new java.io.File(path).exists()) None
+    else {
+      try Some(spark.read.parquet(path))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
+
+  /** A partId is complete iff a (partId, runId) COMMIT MARKER exists
+    * in `completed`, written only after that run's blocks AND lineage
+    * jobs fully committed. Inferring completion from lineage rows
+    * (the previous rule) was unsound: a lineage append is a
+    * multi-file job, so a crash mid-commit could leave SOME of a
+    * partition's lineage rows visible — the partId looked done while
+    * readers silently dropped its lineage-less blocks. With markers,
+    * every crash window degrades to harmless re-encode: the stale
+    * run's blocks and lineage are never marked and readers filter on
+    * the marked (partId, runId) pair.
+    */
   def committedPartIds(spark: SparkSession, outDir: String): Set[Int] = {
     import spark.implicits._
-    def readIds(path: String): Set[Int] =
-      if (!new java.io.File(path).exists()) Set.empty
-      else spark.read.parquet(path).select("partId").distinct().as[Int].collect().toSet
-    readIds(s"$outDir/lineage") ++ readIds(s"$outDir/completed")
+    safeReadParquet(spark, s"$outDir/completed")
+      .map(_.select("partId").distinct().as[Int].collect().toSet)
+      .getOrElse(Set.empty)
+  }
+
+  /** The (partId, runId) commit markers — the reader-side filter. */
+  private[encode] def completedPairs(spark: SparkSession,
+                                     outDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    safeReadParquet(spark, s"$outDir/completed")
+      .map(_.select(col("partId"), col("runId")).distinct())
+      .getOrElse(spark.range(0).select(col("id").cast("int").as("partId"),
+        lit("").as("runId")))
   }
 
   /** The partition plan is pinned to the output directory: computed
@@ -356,6 +398,16 @@ object TokenEncoder {
     * out by that plan's partIds and the encode runs with noShuffle.
     */
   def savePlan(plan: Map[String, (Int, Int)], outDir: String): Unit = {
+    // an existing pin is immutable: silently replacing it (POSIX
+    // rename semantics) or silently keeping it (a failed rename that
+    // "passed" because the old file existed) both remap partIds under
+    // committed data — refuse loudly unless the plans are identical
+    loadPlan(outDir) match {
+      case Some(existing) if existing == plan => return
+      case Some(_) => throw new IllegalStateException(
+        s"$outDir already pins a DIFFERENT plan.json — refusing to remap partIds")
+      case None => ()
+    }
     val f = new java.io.File(s"$outDir/plan.json")
     f.getParentFile.mkdirs()
     val tmp = new java.io.File(s"$outDir/plan.json.tmp")
@@ -368,7 +420,8 @@ object TokenEncoder {
         .map { case (src, (b, s)) =>
           s"${java.net.URLEncoder.encode(src, "UTF-8")}\t$b\t$s" })
         .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    require(tmp.renameTo(f) || f.exists(), s"cannot commit plan.json in $outDir")
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Full encode with resume: skips partitions already committed in the
@@ -417,16 +470,20 @@ object TokenEncoder {
         $"encodeMillis"
       ).as[LineageRecord]
       lineage.write.mode("append").parquet(s"$outDir/lineage")
-      // mark partitions that produced no blocks (empty salt/overflow
-      // slots) as completed so future runs hit the early return
-      val withBlocks = spark.read.parquet(s"$outDir/lineage")
-        .where($"partId".isInCollection(pending))
-        .select("partId").distinct().as[Int].collect().toSet
-      val emptyParts = (pending -- withBlocks).toSeq.sorted
-      if (emptyParts.nonEmpty)
-        emptyParts.toDF("partId").write.mode("append").parquet(s"$outDir/completed")
+      // COMMIT: mark every pending partId (block-producing and empty
+      // alike) complete under THIS runId — written strictly after the
+      // blocks and lineage jobs, so a marker implies its data is fully
+      // visible. A crash before/inside this write re-encodes the
+      // unmarked partIds under a new runId; readers filter on marked
+      // (partId, runId) pairs, so the stale attempt never surfaces.
+      pending.toSeq.sorted.toDF("partId")
+        .withColumn("runId", lit(runId))
+        .write.mode("append").parquet(s"$outDir/completed")
+      // pending can be large — a semi-join beats a #pending-literal IN
+      val pendingDf = org.apache.spark.sql.functions.broadcast(
+        pending.toSeq.toDF("partId"))
       spark.read.parquet(s"$outDir/lineage")
-        .where($"partId".isInCollection(pending)).as[LineageRecord]
+        .join(pendingDf, Seq("partId"), "left_semi").as[LineageRecord]
     } finally if (cfg.cacheInput) cached.unpersist(blocking = false)
   }
 
@@ -439,9 +496,11 @@ object TokenEncoder {
     import spark.implicits._
     val blocksPath = s"$outDir/blocks"
     val blocks = spark.read.parquet(blocksPath)
-    val committed = spark.read.parquet(s"$outDir/lineage").select("blockId").distinct()
     val total = blocks.count()
-    val live = blocks.join(committed, Seq("blockId"), "left_semi")
+    // the reader's own "live" definition (lineage + commit marker), so
+    // vacuum also reclaims a crashed run's blocks whose lineage landed
+    // but whose markers never did
+    val live = TokenDecoder.committedBlocks(spark, outDir, None)
     val keep = live.count()
     if (keep == total) return 0L
     val tmp = s"$outDir/blocks_vacuum_tmp"
@@ -539,18 +598,25 @@ object TokenDecoder {
       }
   }
 
-  /** Committed (lineage-present) blocks, optionally partId-pruned —
-    * the ONE definition of "live block" every decode path shares.
+  /** Committed blocks, optionally partId-pruned — the ONE definition
+    * of "live block" every decode path (and vacuum) shares: the block
+    * has a lineage row AND its (partId, runId) carries a commit
+    * marker. The marker filter excludes a crashed run's orphans even
+    * when that crash happened AFTER its lineage landed but before its
+    * markers did (the resume then re-encoded those partIds — without
+    * this filter readers would see both copies).
     */
-  private def committedBlocks(spark: SparkSession, outDir: String,
+  private[encode] def committedBlocks(spark: SparkSession, outDir: String,
                               partIds: Option[Set[Int]]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
     val all = spark.read.parquet(s"$outDir/blocks")
     val pruned = partIds.fold(all)(ids =>
-      all.where(org.apache.spark.sql.functions.col("partId")
-        .isInCollection(ids.map(Int.box))))
+      all.where(col("partId").isInCollection(ids.map(Int.box))))
     val committed = spark.read.parquet(s"$outDir/lineage")
       .select("blockId").distinct()
     pruned.join(committed, Seq("blockId"), "left_semi")
+      .join(broadcast(TokenEncoder.completedPairs(spark, outDir)),
+        Seq("partId", "runId"), "left_semi")
   }
 
   private def readBlocks(spark: SparkSession, outDir: String,

@@ -68,8 +68,12 @@ object ColumnStats {
   * lengths are the per-row n_tok (invariant n_tok == tokens.length).
   */
 final case class EncodedBlock(
-    blockId: String,      // s"$runId-$partId-$blockSeq" — runId makes block
-                          // ids from a crashed (uncommitted) attempt distinct
+    blockId: String,      // shuffled: s"$runId-$partId-$blockSeq"; no-shuffle:
+                          // s"$runId-$partId-p$taskPid-$blockSeq" (one partId
+                          // can emit blocks from several input partitions, so
+                          // blockSeq alone is NOT a per-partId sequence there
+                          // — order/dedupe by blockId, never by blockSeq).
+                          // runId keys a crashed attempt's blocks as distinct
     runId: String,
     partId: Int,          // logical encode-partition (resume unit)
     blockSeq: Int,

@@ -57,6 +57,49 @@ class PipelineSpec extends SparkSpecBase {
       .contains(Map("c++docs" -> (0, 2), "100%web" -> (2, 1))))
   }
 
+  test("a run whose commit markers never landed is invisible and re-encodes cleanly") {
+    import spark.implicits._
+    val out = tmpDir("no-markers")
+    val cfg = EncodeConfig(targetRowsPerPart = 1000)
+    TokenEncoder.run(synth, out, cfg)
+    // simulate a crash AFTER blocks+lineage committed but BEFORE the
+    // commit markers were written
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"$out/completed"))
+    // without markers nothing is committed: readers see no rows...
+    assert(TokenEncoder.committedPartIds(spark, out).isEmpty)
+    assert(TokenDecoder.read(spark, out).count() == 0)
+    // ...and a resume re-encodes everything under a new runId; the
+    // orphaned first attempt (full lineage AND blocks!) must not
+    // produce duplicate rows on read
+    TokenEncoder.run(synth, out, cfg)
+    assertSameTable(synth, TokenDecoder.read(spark, out, verifyChecksums = true))
+    // vacuum reclaims the orphaned attempt's blocks
+    assert(TokenEncoder.vacuum(spark, out) > 0L)
+    assertSameTable(synth, TokenDecoder.read(spark, out, verifyChecksums = true))
+  }
+
+  test("a metadata dir holding only _temporary reads as nothing-committed") {
+    val out = tmpDir("crash-dir")
+    new java.io.File(s"$out/completed/_temporary").mkdirs()
+    new java.io.File(s"$out/lineage/_temporary").mkdirs()
+    assert(TokenEncoder.committedPartIds(spark, out).isEmpty)
+  }
+
+  test("savePlan refuses to replace a different pinned plan") {
+    val out = tmpDir("plan-pin")
+    val p1 = Map("a" -> (0, 1))
+    TokenEncoder.savePlan(p1, out)
+    TokenEncoder.savePlan(p1, out) // identical re-pin is a no-op
+    intercept[IllegalStateException] {
+      TokenEncoder.savePlan(Map("a" -> (0, 2)), out)
+    }
+    assert(TokenEncoder.loadPlan(out).contains(p1))
+  }
+
   test("readMeta matches the full decode's metadata without reading payloads") {
     import spark.implicits._
     val out = tmpDir("meta")
@@ -92,6 +135,10 @@ class PipelineSpec extends SparkSpecBase {
       org.apache.spark.sql.functions.lit(1.0).as("ratio"),
       $"encodeMillis"
     ).write.mode("append").parquet(s"$out/lineage")
+    // a committed run writes its (partId, runId) markers LAST — they
+    // are what makes the half count as done
+    written.select($"partId", $"runId").distinct()
+      .write.mode("append").parquet(s"$out/completed")
     assert(TokenEncoder.committedPartIds(spark, out) == half)
     // resume
     val resumed = TokenEncoder.run(ds, out, cfg)
