@@ -137,7 +137,11 @@ object Dedup {
     */
   def stageSignatures(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int, stagePath: String): DataFrame = {
+    // project the documented (id, sh, sig) shape — no downstream
+    // consumer reads the text, and staging it would re-serialize the
+    // whole corpus into the stage write
     withSignatures(df, idCol, textCol, shingleN)
+      .select("id", "sh", "sig")
       .write.mode("overwrite").parquet(stagePath)
     df.sparkSession.read.parquet(stagePath)
   }
@@ -230,17 +234,14 @@ object Dedup {
                     textCol: String, shingleN: Int,
                     threshold: Double): DataFrame = {
     graft.functions.Shingles.register(df.sparkSession)
-    val docs = df.select(col(idCol).as("id"),
-      graft.functions.Shingles.shinglesNative(col(textCol), shingleN).as("sh"))
-      .where(size(col("sh")) > 0)
-    graft.functions.JaccardSim.register(df.sparkSession)
-    cand.select("id_a", "id_b")
-      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        graft.functions.JaccardSim.jaccardSim(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    // one shingling pass, then the SAME verify body as the staged path
+    // (a hand-kept duplicate of that join/threshold block diverged
+    // silently once — delegate instead)
+    minhashVerifyShingled(
+      df.select(col(idCol).as("id"),
+          graft.functions.Shingles.shinglesNative(col(textCol), shingleN).as("sh"))
+        .where(size(col("sh")) > 0),
+      cand, threshold)
   }
 
   /** Near-duplicate pairs via MinHash LSH banding + estimate
@@ -456,8 +457,13 @@ object Dedup {
     } else blk0.withColumnRenamed("blk0", "blk")
 
   /** Blocking + exact verify over a pre-shingled (blk0, id, sh) table. */
-  def jaccardWithinShingled(blk0: DataFrame, threshold: Double,
+  def jaccardWithinShingled(blk0In: DataFrame, threshold: Double,
                             lengthBucket: Boolean): DataFrame = {
+    // for a positive threshold an empty shingle set can never pass
+    // (jaccard 0), but every such doc lands in length-bucket 0 and a
+    // short-doc-heavy corpus would materialize |empties|^2 candidate
+    // pairs there just to discard them all
+    val blk0 = if (threshold > 0) blk0In.where(size(col("sh")) > 0) else blk0In
     val s = lengthBucketBlocks(blk0, threshold, lengthBucket)
     // bare id-pair candidates first (see minhashPairs): pair dedupe
     // must not shuffle the shingle arrays

@@ -31,13 +31,19 @@ object Ivf {
     // deterministic pseudo-random sample via per-partition top-k on the
     // vector hash (no global sort, no string materialization — Spark's
     // xxhash64 hashes array<float> directly)
-    val sample = df.select(vecCol).orderBy(xxhash64(col(vecCol)))
+    val sample = df.select(vecCol)
+      .where(col(vecCol).isNotNull) // a NULL vector row would NPE here
+      .orderBy(xxhash64(col(vecCol)))
       .limit(sampleRows)
       .collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "empty training sample")
+    // seed with DISTINCT sample rows — sampling with replacement can
+    // duplicate a centroid, and a duplicate never separates (argmin
+    // first-wins starves it), silently dropping the cell count below k
     val rng = new scala.util.Random(seed)
-    var centroids = Array.fill(math.min(k, sample.length))(
-      sample(rng.nextInt(sample.length)).clone())
+    var centroids = rng.shuffle(sample.indices.toList)
+      .take(math.min(k, sample.length))
+      .map(i => sample(i).clone()).toArray
     var it = 0
     while (it < iters) {
       val sums = Array.fill(centroids.length)(new Array[Double](sample(0).length))
@@ -85,6 +91,11 @@ object Ivf {
 
   /** Columnar nearest-centroid assignment: argmin over k squared
     * distances, each one native vec_dist2 kernel call.
+    */
+  /** WARNING Column-level form: `array(dists)` appears in both
+    * array_position and array_min, so the k distance folds may
+    * evaluate twice per row unless codegen CSE catches it — use
+    * [[assign]] (named intermediate column) in production plans.
     */
   def cellOf(vecCol: Column, idx: IvfIndex): Column = {
     // native vec_dist2 kernel — the HOF fold ran interpreted (see
@@ -188,10 +199,16 @@ object Ivf {
     graft.functions.VecDot.register(spark)
     val qvecs = broadcast(
       queries.toDF("qid", "__qvec")
-        .withColumn("__qvec", col("__qvec").cast("array<float>")))
-    val scored = restricted.join(qvecs, Seq("qid"))
+        .withColumn("__qvec", col("__qvec").cast("array<float>"))
+        .withColumn("__qnrm", Similarity.norm(col("__qvec"))))
+    // corpus norms below the join, query norms on the broadcast side —
+    // raw cosine() re-folds both per scored pair
+    val scored = restricted
+      .withColumn("__nrm", Similarity.norm(col(vecCol)))
+      .join(qvecs, Seq("qid"))
       .select(col("qid"), col(idCol),
-        round(Similarity.cosine(col(vecCol), col("__qvec")), 3).as("sim"))
+        round(Similarity.dot(col(vecCol), col("__qvec"))
+          / (col("__nrm") * col("__qnrm")), 3).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("sim").desc, col(idCol))
     scored.withColumn("__rn", row_number().over(w))

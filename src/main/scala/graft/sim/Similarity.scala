@@ -68,11 +68,17 @@ object Similarity {
                      queries: DataFrame, qidCol: String, qvecCol: String,
                      k: Int): DataFrame = {
     ensureKernels(df)
+    // norms computed BELOW the join — raw cosine() would re-fold
+    // dot(v,v) once per query and dot(q,q) once per corpus row (the
+    // 3-passes-per-pair shape the within-block path already fixed)
     val q = broadcast(
-      queries.select(col(qidCol).as("qid"), col(qvecCol).as("__qvec")))
-    val scored = df.crossJoin(q)
+      queries.select(col(qidCol).as("qid"), col(qvecCol).as("__qvec"),
+        norm(col(qvecCol)).as("__qnrm")))
+    val docs = df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__nrm"))
+    val scored = docs.crossJoin(q)
       .select(col("qid"), col(idCol),
-        round(cosine(col(vecCol), col("__qvec")), 3).as("sim"))
+        round(dot(col(vecCol), col("__qvec")) / (col("__nrm") * col("__qnrm")),
+          3).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("sim").desc, col(idCol))
     scored.withColumn("__rn", row_number().over(w))
@@ -166,7 +172,9 @@ object Similarity {
     // The empty result reuses the INPUT id column's type — a literal
     // 0L schema would be bigint even for string ids, and a caller
     // unioning empty and non-empty runs would hit a schema mismatch
-    val first = df.select(col(vecCol)).take(1)
+    // skip NULL vectors in the probe (one leading null row would NPE
+    // the dimensionality read; null-vec rows never join anyway)
+    val first = df.select(col(vecCol)).where(col(vecCol).isNotNull).take(1)
     if (first.isEmpty)
       return df.select(col(idCol).as("id_a"), col(idCol).as("id_b")).limit(0)
     val dim = first(0).getSeq[Float](0).length
@@ -216,12 +224,43 @@ object Similarity {
     * (classic FAISS SQ8 recipe). Fully columnar; dequantize restores
     * approximate floats for any downstream cosine op.
     */
+  /** NOTE Column-level form: CollapseProject inlines the scale
+    * expression into the per-element lambda, re-running the O(d)
+    * max-abs pass PER ELEMENT — use [[quantizeInt8Col]] (df-level,
+    * named scale column) on real corpora; this form stays for
+    * expression-shaped call sites and tiny vectors.
+    */
   def quantizeInt8(vecCol: Column): Column = {
     val scale = array_max(transform(vecCol, x => abs(x))) / lit(127.0)
     struct(
-      transform(vecCol, x =>
-        round(x.cast("double") / scale).cast("byte")).as("codes"),
+      // an all-zero vector has scale 0 and x/0 is NULL per element
+      // (non-ANSI) — emit zero codes instead of a silently-null row
+      when(scale === 0,
+        transform(vecCol, _ => lit(0).cast("byte")))
+        .otherwise(transform(vecCol, x =>
+          round(x.cast("double") / scale).cast("byte"))).as("codes"),
       scale.cast("float").as("scale"))
+  }
+
+  /** df-level quantization: the max-abs scale lands in a NAMED column
+    * first, so it is computed once per row (the Column form above
+    * re-evaluates it per element after CollapseProject inlining —
+    * the same HOF-lambda trap documented at cosinePairsWithin).
+    * Returns df with `outCol` = struct(codes, scale).
+    */
+  def quantizeInt8Col(df: DataFrame, vecCol: String,
+                      outCol: String): DataFrame = {
+    val scaled = df.withColumn("__q_scale",
+      (array_max(transform(col(vecCol), x => abs(x))) / lit(127.0))
+        .cast("double"))
+    scaled.withColumn(outCol, struct(
+        when(col("__q_scale") === 0,
+          transform(col(vecCol), _ => lit(0).cast("byte")))
+          .otherwise(transform(col(vecCol), x =>
+            round(x.cast("double") / col("__q_scale")).cast("byte")))
+          .as("codes"),
+        col("__q_scale").cast("float").as("scale")))
+      .drop("__q_scale")
   }
 
   def dequantizeInt8(qCol: Column): Column =

@@ -305,6 +305,21 @@ class Round3Spec extends SparkSpecBase {
     }
   }
 
+  test("int8 quantization of an all-zero vector yields zero codes, both forms") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0f, 0f, 0f)), (2L, Array(1f, -2f, 0.5f)))
+      .toDF("id", "v").withColumn("v", col("v").cast("array<float>"))
+    for (q <- Seq(
+        df.select(col("id"), Similarity.quantizeInt8(col("v")).as("q")),
+        Similarity.quantizeInt8Col(df, "v", "q").select("id", "q"))) {
+      val rows = q.orderBy("id")
+        .select(col("q.codes"), col("q.scale")).collect()
+      assert(rows(0).getSeq[Byte](0) == Seq[Byte](0, 0, 0))
+      assert(rows(0).getFloat(1) == 0f)
+      assert(rows(1).getSeq[Byte](0) == Seq[Byte](64, -127, 32))
+    }
+  }
+
   test("vec_dot/vec_dist2 poison to NULL on NULL elements, like the HOF fold") {
     import spark.implicits._
     val df = Seq(
