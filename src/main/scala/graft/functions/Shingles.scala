@@ -109,8 +109,14 @@ object Shingles {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingles_ll", exprs => ShingleExpr(exprs(0), exprs(1)), "built-in")
 
-  def shinglesNative(text: Column, n: Int): Column =
+  def shinglesNative(text: Column, n: Int): Column = {
+    // self-register on the active session (same pattern as vec_dot /
+    // type_guess) so casual callers need no manual register; df-level
+    // library entry points still register on the df's OWN session for
+    // the charset-clone case
+    register(org.apache.spark.sql.SparkSession.active)
     call_function("shingles_ll", text, org.apache.spark.sql.functions.lit(n))
+  }
 }
 
 case class ShingleExpr(left: Expression, right: Expression)

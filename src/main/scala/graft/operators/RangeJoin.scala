@@ -32,9 +32,14 @@ object RangeJoin {
       .intersect(intervals.columns.toSet) -- keyCols
     require(overlap.isEmpty, s"overlapping non-key columns: $overlap")
     val p = points.withColumn("__bkt", floor(col(tCol) / bucket))
-    val iv = intervals.withColumn("__bkt",
-      explode(sequence(floor(col(startCol) / bucket),
-        floor(col(endCol) / bucket))))
+    // an inverted interval (end < start) matches nothing, but
+    // sequence(hi, lo) steps DOWNWARD — one corrupt row would explode
+    // O(span/bucket) junk replicas before the residual filter kills
+    // them; drop such rows up front instead
+    val iv = intervals.where(col(startCol) <= col(endCol))
+      .withColumn("__bkt",
+        explode(sequence(floor(col(startCol) / bucket),
+          floor(col(endCol) / bucket))))
     p.join(iv, keyCols :+ "__bkt")
       .where(col(tCol) >= col(startCol) && col(tCol) <= col(endCol))
       .drop("__bkt")
@@ -50,7 +55,10 @@ object RangeJoin {
   def rangeJoinDiag(intervals: DataFrame, startCol: String, endCol: String,
                     bucket: Long): DataFrame = {
     require(bucket > 0, "bucket must be positive")
-    val spans = floor(col(endCol) / bucket) - floor(col(startCol) / bucket) + 1
+    // inverted intervals are dropped by rangeJoin — a negative span
+    // here would corrupt the totals the diag exists to surface
+    val spans = greatest(
+      floor(col(endCol) / bucket) - floor(col(startCol) / bucket) + 1, lit(0L))
     intervals.agg(
       count(lit(1)).cast("long").as("n_intervals"),
       max(spans).cast("long").as("max_span_buckets"),

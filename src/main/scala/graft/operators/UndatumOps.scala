@@ -49,7 +49,14 @@ object UndatumOps {
       val c = q.charAt(i)
       if (quote != 0) {
         out.append(c)
-        if (c == quote) quote = 0
+        // a backslash-escaped character inside the literal (\' or \\)
+        // must not toggle the quote state — otherwise a literal like
+        // 'O\'Brien == boss' closes early and the == inside it gets
+        // rewritten, silently changing the compared value
+        if (c == '\\' && i + 1 < q.length) {
+          out.append(q.charAt(i + 1))
+          i += 1
+        } else if (c == quote) quote = 0
       } else if (c == '\'' || c == '"') {
         quote = c
         out.append(c)
@@ -96,6 +103,23 @@ object UndatumOps {
         case _ => Seq(path)
       }
     }
+
+  /** Leaf paths as SEGMENT lists — the resolvable form: a field whose
+    * NAME contains a literal dot must be backtick-quoted per segment
+    * or `col(path)` misreads it as nested access.
+    */
+  private def headerPathSegments(schema: StructType,
+                                 prefix: Seq[String] = Nil): Seq[Seq[String]] =
+    schema.fields.toSeq.flatMap { f =>
+      val path = prefix :+ f.name
+      f.dataType match {
+        case st: StructType => headerPathSegments(st, path)
+        case _ => Seq(path)
+      }
+    }
+
+  private def colForSegments(segs: Seq[String]): Column =
+    col(segs.map(s => "`" + s.replace("`", "``") + "`").mkString("."))
 
   def headers(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -151,14 +175,16 @@ object UndatumOps {
     * key-path with the number of non-null values.
     */
   def flattenCounts(df: DataFrame): DataFrame = {
-    // one agg, one scan (was one scan PER leaf path), explode-unpivot
-    val paths = headerPaths(df.schema)
-    val aggCols = paths.zipWithIndex.map { case (p, i) =>
-      count(col(p)).cast(LongType).as(s"__n_$i")
+    // one agg, one scan (was one scan PER leaf path), explode-unpivot;
+    // columns resolve via backticked segments so a field name holding
+    // a literal dot counts the right field
+    val segs = headerPathSegments(df.schema)
+    val aggCols = segs.zipWithIndex.map { case (p, i) =>
+      count(colForSegments(p)).cast(LongType).as(s"__n_$i")
     }
     val row = df.agg(aggCols.head, aggCols.tail: _*)
-    val structs = paths.zipWithIndex.map { case (p, i) =>
-      struct(lit(p).as("field"), col(s"__n_$i").as("n"))
+    val structs = segs.zipWithIndex.map { case (p, i) =>
+      struct(lit(p.mkString(".")).as("field"), col(s"__n_$i").as("n"))
     }
     row.select(explode(array(structs: _*)).as("s")).select("s.*")
       .orderBy("field")
@@ -388,5 +414,9 @@ object UndatumOps {
       round(lit(100.0) * sum(when(rule, 0).otherwise(1)) / count(lit(1)), 4)
         .as("share_invalid"))
 
-  def validateInvalid(df: DataFrame, rule: Column): DataFrame = df.filter(!rule)
+  def validateInvalid(df: DataFrame, rule: Column): DataFrame =
+    // NOT(NULL) is NULL, which filter drops — but validateStats counts
+    // a NULL-evaluating rule as invalid, and the two modes of the same
+    // command must agree on which rows are invalid
+    df.filter(!coalesce(rule, lit(false)))
 }

@@ -77,12 +77,14 @@ object EncodeStream {
     */
   def compact(spark: SparkSession, outDir: String, targetDir: String,
               cfg: EncodeConfig = EncodeConfig()): Long = {
-    val dirs = committedBatchDirs(outDir)
+    val dirs = committedBatchDirs(spark, outDir)
     if (dirs.isEmpty) return 0L
+    // compact persists the union itself — run()'s own cacheInput
+    // would materialize a SECOND full copy of the corpus for nothing
     val rows = readDirs(spark, dirs, verifyChecksums = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      TokenEncoder.run(rows, targetDir, cfg)
+      TokenEncoder.run(rows, targetDir, cfg.copy(cacheInput = false))
       val back = TokenDecoder.read(spark, targetDir, verifyChecksums = true)
       val missing = rows.toDF().exceptAll(back.toDF()).count()
       require(missing == 0,
@@ -94,21 +96,37 @@ object EncodeStream {
           if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
           f.delete(); ()
         }
+        // drop the COMMIT MARKERS first: a crash mid-delete then
+        // leaves an uncommitted-looking dir that the rerun's listing
+        // skips, instead of a "committed" dir with half its data gone
+        rm(new java.io.File(s"$d/completed"))
         rm(new java.io.File(d))
       }
       n
     } finally { rows.unpersist(blocking = false); () }
   }
 
-  /** Batch dirs with committed lineage, one listing (the unit compact
-    * reads AND later deletes — same snapshot, no race window).
+  /** Batch dirs whose encode run FULLY committed — every planned
+    * partId carries a commit marker. Lineage existence is NOT the
+    * test (the commit protocol writes markers strictly last): an
+    * in-flight batch whose blocks+lineage landed but whose markers
+    * have not would otherwise be listed, read as zero rows, trivially
+    * "verified", and DELETED by compact while its stream still thinks
+    * the batch succeeded — permanent loss. One listing: the unit
+    * compact reads AND later deletes, same snapshot.
     */
-  private def committedBatchDirs(outDir: String): Seq[String] =
+  private def committedBatchDirs(spark: SparkSession,
+                                 outDir: String): Seq[String] =
     Option(new java.io.File(outDir).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
       .map(_.getAbsolutePath)
-      .filter(d => new java.io.File(s"$d/lineage").exists())
+      .filter { d =>
+        TokenEncoder.loadPlan(d).exists { plan =>
+          TokenEncoder.allPartIds(plan)
+            .subsetOf(TokenEncoder.committedPartIds(spark, d))
+        }
+      }
       .toSeq
 
   private def readDirs(spark: SparkSession, dirs: Seq[String],
@@ -122,5 +140,5 @@ object EncodeStream {
   /** Decode every committed batch dir back to rows. */
   def readAll(spark: SparkSession, outDir: String,
               verifyChecksums: Boolean = false): Dataset[TokenRow] =
-    readDirs(spark, committedBatchDirs(outDir), verifyChecksums)
+    readDirs(spark, committedBatchDirs(spark, outDir), verifyChecksums)
 }

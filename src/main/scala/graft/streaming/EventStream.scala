@@ -109,7 +109,13 @@ object EventStream {
               else if (t - st.last > gapSecs) {
                 out += SessionOut(uid, st.start, st.last - st.start, st.n)
                 st = SessionState(t, t, 1)
-              } else st = SessionState(st.start, t, st.n + 1)
+              } else st = SessionState(math.min(st.start, t),
+                // a late-but-in-gap event must never REGRESS the
+                // window (min start / max last): last = t on an
+                // out-of-order arrival shrank session_secs, re-armed
+                // the timeout early, and falsely split on the next
+                // in-order event
+                math.max(st.last, t), st.n + 1)
             }
             if (st != null) {
               state.update(st)
@@ -147,7 +153,13 @@ object EventStream {
             else if (t - st.last > gapSecs) {
               out += SessionOut(uid, st.start, st.last - st.start, st.n)
               st = SessionState(t, t, 1)
-            } else st = SessionState(st.start, t, st.n + 1)
+            } else st = SessionState(math.min(st.start, t),
+                // a late-but-in-gap event must never REGRESS the
+                // window (min start / max last): last = t on an
+                // out-of-order arrival shrank session_secs, re-armed
+                // the timeout early, and falsely split on the next
+                // in-order event
+                math.max(st.last, t), st.n + 1)
           }
           if (st != null) state.update(st)
           out.iterator

@@ -305,6 +305,31 @@ class Round3Spec extends SparkSpecBase {
     }
   }
 
+  test("validate modes agree on NULL-evaluating rules; DSL literals keep escaped quotes") {
+    import spark.implicits._
+    val df = Seq((Some(25), "a"), (None, "b"), (Some(10), "c"))
+      .toDF("age", "name")
+    val rule = col("age") > 18
+    val stats = UndatumOps.validateStats(df, rule).collect()(0)
+    val invalid = UndatumOps.validateInvalid(df, rule)
+    // the NULL-age row counts invalid in BOTH modes
+    assert(invalid.count() == 2)
+    assert(stats.getAs[Long]("invalid") == 2L)
+    // an escaped quote inside a literal survives the ==-rewrite
+    val q = Seq(("O'Brien == boss", 1), ("O'Brien = boss", 2)).toDF("name", "id")
+    val got = UndatumOps.filterDsl(q, "`name` == 'O\\'Brien == boss'")
+      .select("id").as[Int].collect().toSeq
+    assert(got == Seq(1))
+  }
+
+  test("flattenCounts resolves a top-level field whose name contains a dot") {
+    import spark.implicits._
+    val df = Seq((1, "x")).toDF("a.b", "c")
+    val got = graft.operators.UndatumOps.flattenCounts(df)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a.b" -> 1L, "c" -> 1L))
+  }
+
   test("int8 quantization of an all-zero vector yields zero codes, both forms") {
     import spark.implicits._
     val df = Seq((1L, Array(0f, 0f, 0f)), (2L, Array(1f, -2f, 0.5f)))

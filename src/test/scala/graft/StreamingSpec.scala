@@ -123,6 +123,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(graft.streaming.EncodeStream.readAll(spark, outDir).count() == 90)
   }
 
+  test("a late in-gap event across batches never regresses the session window") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.streaming.EventStream.{SessionEvent, SessionOut}
+    def ev(t: Long) = SessionEvent(1L, new java.sql.Timestamp(t * 1000), "e")
+    val mem = MemoryStream[SessionEvent]
+    val q = graft.streaming.EventStream.sessionize(mem.toDS(), gapSecs = 30)
+      .writeStream.format("memory").queryName("late_sess")
+      .outputMode("append").start()
+    try {
+      // batch 1 carries the session to last=120; batch 2 delivers a
+      // LATE in-gap event t=110 — state must keep last=120 (the buggy
+      // last=t regression made the next event at 145 falsely split,
+      // since 145-110 > gap while 145-120 is within it), then t=10000
+      // closes the session
+      mem.addData(ev(100), ev(120)); q.processAllAvailable()
+      mem.addData(ev(110), ev(145), ev(10000)); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("late_sess").as[SessionOut].collect().toSeq
+    assert(out == Seq(SessionOut(1L, 100L, 45L, 4)))
+  }
+
   test("streamingTextIngest gates, redacts, tokenizes and lands batches") {
     val s = spark
     import s.implicits._
