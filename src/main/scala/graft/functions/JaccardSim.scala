@@ -16,6 +16,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * Inputs are shingle arrays that are already distinct
   * (Dedup.shingles applies array_distinct), so
   * |union| = |a| + |b| - |intersection|.
+  *
+  * DOCUMENTED DELTA vs the declarative size(intersect)/size(union)
+  * form: empty-vs-empty yields 0.0 here where 0/0 division yields
+  * NULL there — a deliberate "no shared evidence, no similarity"
+  * choice; both are below any positive threshold.
   */
 object JaccardSim {
 
@@ -58,12 +63,22 @@ object JaccardSim {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaccard_ll", exprs => JaccardSimExpr(exprs(0), exprs(1)), "built-in")
 
-  def jaccardSim(a: Column, b: Column): Column = call_function("jaccard_ll", a, b)
+  def jaccardSim(a: Column, b: Column): Column = {
+    register(org.apache.spark.sql.SparkSession.active)
+    call_function("jaccard_ll", a, b)
+  }
 }
 
 case class JaccardSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // when an input array MAY hold null elements (SQL-built arrays; the
+  // shingle kernel's own output is containsNull=false), a null element
+  // poisons the result to NULL — getLong would silently read 0
+  private def elemNullable: Boolean = Seq(left, right).exists {
+    _.dataType match { case ArrayType(_, n) => n; case _ => false }
+  }
+  override def nullable: Boolean = super.nullable || elemNullable
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
@@ -73,11 +88,20 @@ case class JaccardSimExpr(left: Expression, right: Expression)
           s"jaccard_ll needs two ARRAY<BIGINT>, got $l / $r")
     }
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    JaccardSim.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]; val bb = b.asInstanceOf[ArrayData]
+    if (elemNullable && (ArrayNulls.hasNull(aa) || ArrayNulls.hasNull(bb))) null
+    else JaccardSim.jaccard(aa, bb)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.JaccardSim.jaccard($a, $b)")
+    if (!elemNullable)
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.JaccardSim.jaccard($a, $b)")
+    else nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        |if (graft.functions.ArrayNulls.hasNull($a) ||
+        |    graft.functions.ArrayNulls.hasNull($b)) { ${ev.isNull} = true; }
+        |else { ${ev.value} = graft.functions.JaccardSim.jaccard($a, $b); }
+      """.stripMargin)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): Expression =

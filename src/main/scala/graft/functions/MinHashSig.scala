@@ -54,7 +54,10 @@ object MinHashSig {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSigExpr(exprs.head), "built-in")
 
-  def minhashSig(c: Column): Column = call_function("minhash_sig", c)
+  def minhashSig(c: Column): Column = {
+    register(org.apache.spark.sql.SparkSession.active)
+    call_function("minhash_sig", c)
+  }
 }
 
 /** Fraction of agreeing positions between two minhash signatures —
@@ -83,12 +86,19 @@ object SigAgree {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sig_agree", exprs => SigAgreeExpr(exprs(0), exprs(1)), "built-in")
 
-  def sigAgree(a: Column, b: Column): Column = call_function("sig_agree", a, b)
+  def sigAgree(a: Column, b: Column): Column = {
+    SigAgree.register(org.apache.spark.sql.SparkSession.active)
+    call_function("sig_agree", a, b)
+  }
 }
 
 case class SigAgreeExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
+  private def elemNullable: Boolean = Seq(left, right).exists {
+    _.dataType match { case ArrayType(_, n) => n; case _ => false }
+  }
+  override def nullable: Boolean = super.nullable || elemNullable
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
@@ -98,11 +108,20 @@ case class SigAgreeExpr(left: Expression, right: Expression)
           s"sig_agree needs two ARRAY<BIGINT>, got $l / $r")
     }
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    SigAgree.agree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]; val bb = b.asInstanceOf[ArrayData]
+    if (elemNullable && (ArrayNulls.hasNull(aa) || ArrayNulls.hasNull(bb))) null
+    else SigAgree.agree(aa, bb)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SigAgree.agree($a, $b)")
+    if (!elemNullable)
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SigAgree.agree($a, $b)")
+    else nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        |if (graft.functions.ArrayNulls.hasNull($a) ||
+        |    graft.functions.ArrayNulls.hasNull($b)) { ${ev.isNull} = true; }
+        |else { ${ev.value} = graft.functions.SigAgree.agree($a, $b); }
+      """.stripMargin)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): Expression =
@@ -111,6 +130,10 @@ case class SigAgreeExpr(left: Expression, right: Expression)
 
 case class MinHashSigExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, n) => n; case _ => false
+  }
+  override def nullable: Boolean = super.nullable || elemNullable
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(LongType, _) =>
@@ -120,11 +143,18 @@ case class MinHashSigExpr(child: Expression) extends UnaryExpression {
           s"minhash_sig needs ARRAY<BIGINT>, got $t")
     }
 
-  override def nullSafeEval(v: Any): Any =
-    MinHashSig.sig(v.asInstanceOf[ArrayData])
+  override def nullSafeEval(v: Any): Any = {
+    val vv = v.asInstanceOf[ArrayData]
+    if (elemNullable && ArrayNulls.hasNull(vv)) null else MinHashSig.sig(vv)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSig.sig($c)")
+    if (!elemNullable)
+      defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSig.sig($c)")
+    else nullSafeCodeGen(ctx, ev, c => s"""
+        |if (graft.functions.ArrayNulls.hasNull($c)) { ${ev.isNull} = true; }
+        |else { ${ev.value} = graft.functions.MinHashSig.sig($c); }
+      """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -125,7 +125,14 @@ case class ShingleExpr(left: Expression, right: Expression)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (StringType, IntegerType) if right.foldable =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        // n < 1 would make m < n false even for zero words, emitting
+        // one bogus hash-of-"" per row — every doc then near-dups
+        // every other; reject at analysis
+        val n = right.eval(null)
+        if (n != null && n.asInstanceOf[Int] < 1)
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"shingles_ll needs n >= 1, got $n")
+        else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case (l, r) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"shingles_ll needs (STRING, literal INT), got $l / $r")

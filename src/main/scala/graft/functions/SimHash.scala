@@ -55,7 +55,10 @@ object SimHash {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64Expr(exprs.head), "built-in")
 
-  def simhash(c: Column): Column = call_function("simhash64", c)
+  def simhash(c: Column): Column = {
+    register(org.apache.spark.sql.SparkSession.active)
+    call_function("simhash64", c)
+  }
 }
 
 case class SimHash64Expr(child: Expression) extends UnaryExpression {

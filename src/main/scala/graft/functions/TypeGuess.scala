@@ -87,9 +87,7 @@ object TypeGuess {
       "type_guess", exprs => TypeGuessExpr(exprs.head), "built-in")
 
   def typeGuess(c: Column): Column = {
-    org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
-      .createOrReplaceTempFunction(
-        "type_guess", exprs => TypeGuessExpr(exprs.head), "built-in")
+    register(org.apache.spark.sql.SparkSession.active)
     call_function("type_guess", c)
   }
 }

@@ -37,9 +37,7 @@ object VecDist2 {
       "vec_dist2", exprs => VecDist2Expr(exprs(0), exprs(1)), "built-in")
 
   def vecDist2(a: Column, b: Column): Column = {
-    org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
-      .createOrReplaceTempFunction(
-        "vec_dist2", exprs => VecDist2Expr(exprs(0), exprs(1)), "built-in")
+    register(org.apache.spark.sql.SparkSession.active)
     call_function("vec_dist2", a, b)
   }
 }

@@ -49,9 +49,7 @@ object VecDot {
   def vecDot(a: Column, b: Column): Column = {
     // registration is idempotent and session-scoped; callers go
     // through this helper, so self-registering keeps call sites clean
-    org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
-      .createOrReplaceTempFunction(
-        "vec_dot", exprs => VecDotExpr(exprs(0), exprs(1)), "built-in")
+    register(org.apache.spark.sql.SparkSession.active)
     call_function("vec_dot", a, b)
   }
 }

@@ -222,7 +222,10 @@ object Analyzer {
     val fmt =
       if (format.nonEmpty) format
       else {
+        // Hadoop-codec suffixes are transparent to the Spark read —
+        // dispatch on the INNER extension ("docs.jsonl.gz" is jsonl)
         val n = dataPath.toLowerCase
+          .replaceAll("\\.(gz|bz2|xz)$", "")
         if (n.endsWith(".csv") || n.endsWith(".tsv")) "csv"
         else if (n.endsWith(".jsonl") || n.endsWith(".ndjson")) "jsonl"
         else if (n.endsWith(".json")) "json"

@@ -134,6 +134,14 @@ object UndatumOps {
     * One row per field; single wide agg per field (Catalyst merges the
     * scans).
     */
+  /** Resolve a field for profiling: a name that IS a top-level column
+    * resolves verbatim (backticked — it may contain a literal dot);
+    * anything else is treated as a dot-path into nested structs.
+    */
+  private def resolveField(df: DataFrame, f: String): Column =
+    if (df.columns.contains(f)) col("`" + f.replace("`", "``") + "`")
+    else col(f)
+
   def fieldStats(df: DataFrame, fields: Seq[String], dictShare: Double = 70.0): DataFrame = {
     // ONE wide aggregate over ONE scan (round 1 unioned an agg per
     // field — F full scans of the table; fatal at 100 TB), then an
@@ -142,7 +150,7 @@ object UndatumOps {
     // distinct strings modulo negligible collision, and the shuffle
     // carries 8 bytes instead of arbitrary-width strings.
     val aggCols = fields.zipWithIndex.flatMap { case (f, i) =>
-      val c = col(f).cast(StringType)
+      val c = resolveField(df, f).cast(StringType)
       Seq(
         count(c).cast(LongType).as(s"__t_$i"),
         countDistinct(when(c.isNotNull, xxhash64(c))).cast(LongType).as(s"__u_$i"),
@@ -271,7 +279,8 @@ object UndatumOps {
     graft.functions.TypeGuess.register(df.sparkSession)
     // one scan with an F-way explode (was F scans via unionAll)
     val structs = fields.map { f =>
-      struct(lit(f).as("field"), guessType(col(f).cast(StringType)).as("vtype"))
+      struct(lit(f).as("field"),
+        guessType(resolveField(df, f).cast(StringType)).as("vtype"))
     }
     df.select(explode(array(structs: _*)).as("s")).select("s.*")
       .groupBy("field", "vtype").agg(count(lit(1)).cast(LongType).as("n"))

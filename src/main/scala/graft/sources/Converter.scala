@@ -11,8 +11,10 @@ import org.apache.spark.sql.types._
   * 1000-record discovery pass; its distributed write replaces the
   * 50k-record batching.
   *
-  * Formats: csv, jsonl (json-lines), json (multiline doc/array),
-  * parquet, orc, avro, xml. Compression codecs on text formats
+  * Formats: csv, jsonl (json-lines), parquet, orc, avro as sources
+  * AND sinks; json (multiline doc/array) and xml are READ-ONLY
+  * (the reference converts OUT of those shapes into row formats —
+  * jsonl is the json sink). Compression codecs on text formats
   * (gz/bz2/xz... whatever Hadoop codecs ship) come free via file
   * extension on read and `compression` option on write. Default
   * output codecs mirror the reference: parquet=brotli-if-available
@@ -157,21 +159,27 @@ object Converter {
     import java.io.{BufferedInputStream, FileInputStream, FileOutputStream}
     val lower = path.toLowerCase
     val raw = new BufferedInputStream(new FileInputStream(path))
+    // every failure before the copy loop's own finally (empty zip, bad
+    // magic in a decompressor ctor, unknown suffix) must close `raw` —
+    // a long-lived driver batch-analyzing bad archives would otherwise
+    // leak one fd per failure
     val (in, innerName) =
-      if (lower.endsWith(".zip")) {
-        val z = new java.util.zip.ZipInputStream(raw)
-        val e = z.getNextEntry
-        require(e != null, s"empty zip archive: $path")
-        (z: java.io.InputStream, e.getName)
-      } else if (lower.endsWith(".zst")) {
-        // zstd-jni ships with Spark (/opt/spark/jars)
-        (new com.github.luben.zstd.ZstdInputStream(raw): java.io.InputStream,
-          path.replaceAll("\\.zst$", ""))
-      } else if (lower.endsWith(".lz4")) {
-        // lz4-java frame format, also a Spark-bundled jar
-        (new net.jpountz.lz4.LZ4FrameInputStream(raw): java.io.InputStream,
-          path.replaceAll("\\.lz4$", ""))
-      } else throw new IllegalArgumentException(s"unsupported container: $path")
+      try {
+        if (lower.endsWith(".zip")) {
+          val z = new java.util.zip.ZipInputStream(raw)
+          val e = z.getNextEntry
+          require(e != null, s"empty zip archive: $path")
+          (z: java.io.InputStream, e.getName)
+        } else if (lower.endsWith(".zst")) {
+          // zstd-jni ships with Spark (/opt/spark/jars)
+          (new com.github.luben.zstd.ZstdInputStream(raw): java.io.InputStream,
+            path.replaceAll("\\.zst$", ""))
+        } else if (lower.endsWith(".lz4")) {
+          // lz4-java frame format, also a Spark-bundled jar
+          (new net.jpountz.lz4.LZ4FrameInputStream(raw): java.io.InputStream,
+            path.replaceAll("\\.lz4$", ""))
+        } else throw new IllegalArgumentException(s"unsupported container: $path")
+      } catch { case e: Throwable => raw.close(); throw e }
     val suffix = {
       val n = innerName.substring(innerName.lastIndexOf('/') + 1)
       val dot = n.lastIndexOf('.')
@@ -261,15 +269,41 @@ object Sniff {
     }
   }
 
+  /** Sniff a file's encoding + delimiter from a bounded DECODED
+    * prefix. Handles three shapes the raw-bytes form got wrong:
+    * a Spark-written dataset DIRECTORY (sniffs the first part file),
+    * Hadoop-codec suffixes .gz/.bz2/.xz (sniffs decompressed bytes —
+    * deflate streams are >10% high bytes and classified as cp1251),
+    * and short reads (readNBytes loops to the cap; a single read()
+    * is not guaranteed to fill the buffer, and an under-filled one
+    * would mis-set the completeness flag).
+    */
   def sniffFile(path: String, maxBytes: Int = 1 << 20): (String, String) = {
-    val in = new java.io.FileInputStream(path)
+    val f0 = new java.io.File(path)
+    val f =
+      if (!f0.isDirectory) f0
+      else Option(f0.listFiles()).getOrElse(Array.empty)
+        .filter(p => p.isFile && !p.getName.startsWith("_") &&
+          !p.getName.startsWith(".")).sortBy(_.getName).headOption
+        .getOrElse(throw new IllegalArgumentException(s"no data files in $path"))
+    val lower = f.getName.toLowerCase
+    val raw = new java.io.BufferedInputStream(new java.io.FileInputStream(f))
+    val in: java.io.InputStream =
+      try {
+        if (lower.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
+        else if (lower.endsWith(".bz2") || lower.endsWith(".xz")) {
+          // Spark ships the Hadoop codecs; resolve by extension
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+            .getCodec(new org.apache.hadoop.fs.Path(f.getName))
+          if (codec == null) raw else codec.createInputStream(raw)
+        } else raw
+      } catch { case e: Throwable => raw.close(); throw e }
     try {
-      val buf = new Array[Byte](maxBytes)
-      val n = math.max(0, in.read(buf))
-      val bytes = java.util.Arrays.copyOf(buf, n)
-      // a full buffer means the file continues past the cap — the
+      val bytes = in.readNBytes(maxBytes)
+      // a full buffer means the stream continues past the cap — the
       // prefix may cut a multi-byte character, so decode tolerantly
-      val enc = encoding(bytes, complete = n < maxBytes)
+      val enc = encoding(bytes, complete = bytes.length < maxBytes)
       val text = new String(bytes, enc)
       val line1 = text.linesIterator.nextOption().getOrElse("")
       (enc, delimiter(line1))

@@ -305,6 +305,45 @@ class Round3Spec extends SparkSpecBase {
     }
   }
 
+  test("long-array kernels poison to NULL on null elements; shingles_ll rejects n<1") {
+    import spark.implicits._
+    graft.functions.JaccardSim.register(spark)
+    graft.functions.MinHashSig.register(spark)
+    graft.functions.Shingles.register(spark)
+    // nullable-element arrays built in SQL: NULL element -> NULL result
+    val r = spark.sql(
+      """SELECT jaccard_ll(array(CAST(NULL AS BIGINT), 2L), array(0L, 2L)) a,
+        |       minhash_sig(array(CAST(NULL AS BIGINT))) b""".stripMargin).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    // non-null elements through the same nullable-typed path still work
+    val ok = spark.sql(
+      "SELECT jaccard_ll(array(1L, 2L), array(2L, 3L)) a").collect()(0)
+    assert(math.abs(ok.getDouble(0) - 1.0 / 3.0) < 1e-12)
+    // n < 1 is an analysis error, not a corpus of identical pseudo-docs
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT shingles_ll('a b c', 0)").collect()
+    }
+  }
+
+  test("analyzeFile dispatches gz-compressed jsonl and sniffs decompressed bytes") {
+    val dir = tmpDir("gz-analyze")
+    val gz = s"$dir/docs.jsonl.gz"
+    val out = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(gz))
+    out.write("{\"id\":1,\"t\":\"данные\"}\n{\"id\":2,\"t\":\"ещё\"}\n"
+      .getBytes("UTF-8"))
+    out.close()
+    val a = graft.operators.Analyzer.analyzeFile(spark, gz)
+    assert(a.format == "jsonl", a.format)
+    assert(a.df.count() == 2)
+    // the csv sniff path also decompresses (raw deflate bytes used to
+    // classify as cp1251)
+    val gzCsv = s"$dir/t.csv.gz"
+    val o2 = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(gzCsv))
+    o2.write("id;данные\n1;x\n".getBytes("UTF-8")); o2.close()
+    val (enc, delim) = graft.sources.Sniff.sniffFile(gzCsv)
+    assert(enc == "UTF-8" && delim == ";")
+  }
+
   test("validate modes agree on NULL-evaluating rules; DSL literals keep escaped quotes") {
     import spark.implicits._
     val df = Seq((Some(25), "a"), (None, "b"), (Some(10), "c"))
