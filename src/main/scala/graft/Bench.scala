@@ -106,18 +106,23 @@ object Bench {
     // total bench wall-time (~6 min with queries at sf0.1)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     var tokHi = 0L; var rawHi = 0L; var encHi = 0L
-    def oneRun(cpus: Int): Double = {
+    // ONE teardown protocol for every measurement arm — five
+    // hand-copied stop/clear blocks had to stay in sync or the arms'
+    // numbers stop being comparable
+    def withSession[A](cpus: Int)(f: org.apache.spark.sql.SparkSession => A): A = {
       val s = session(cpus)
-      try {
-        encodeJob(s, benchRows / 10, cpus) // warm JIT/codegen per session
-        val (tok, raw, enc, secs) = encodeJob(s, benchRows, cpus)
-        if (cpus == cpusHi) { tokHi = tok; rawHi = raw; encHi = enc }
-        tok / secs
-      } finally {
+      try f(s)
+      finally {
         s.stop()
         org.apache.spark.sql.SparkSession.clearActiveSession()
         org.apache.spark.sql.SparkSession.clearDefaultSession()
       }
+    }
+    def oneRun(cpus: Int): Double = withSession(cpus) { s =>
+      encodeJob(s, benchRows / 10, cpus) // warm JIT/codegen per session
+      val (tok, raw, enc, secs) = encodeJob(s, benchRows, cpus)
+      if (cpus == cpusHi) { tokHi = tok; rawHi = raw; encHi = enc }
+      tok / secs
     }
     var samples = (1 to reps).flatMap { _ =>
       Seq(cpusLo -> oneRun(cpusLo), cpusHi -> oneRun(cpusHi))
@@ -143,17 +148,10 @@ object Bench {
     // above ~8 threads (tools.KernelScaling), which a real N->4N
     // executor scale-up does not — 2 vs 8 shows compute scaling below
     // that ceiling
-    def oneRunRows(cpus: Int, rows: Long): Double = {
-      val s = session(cpus)
-      try {
-        encodeJob(s, rows / 10, cpus)
-        val (tok, _, _, secs) = encodeJob(s, rows, cpus)
-        tok / secs
-      } finally {
-        s.stop()
-        org.apache.spark.sql.SparkSession.clearActiveSession()
-        org.apache.spark.sql.SparkSession.clearDefaultSession()
-      }
+    def oneRunRows(cpus: Int, rows: Long): Double = withSession(cpus) { s =>
+      encodeJob(s, rows / 10, cpus)
+      val (tok, _, _, secs) = encodeJob(s, rows, cpus)
+      tok / secs
     }
     val rows2 = benchRows / 2
     val samples2 = (1 to math.max(2, reps - 1)).flatMap { _ =>
@@ -167,9 +165,8 @@ object Bench {
     // input (staging is a previous pipeline stage — untimed): encode
     // with the exchange elided, one timed run per level, so the
     // artifact carries the lever evidence alongside the headline
-    def noShufRun(cpus: Int): Double = {
-      val s = session(cpus)
-      try {
+    def noShufRun(cpus: Int): Double = withSession(cpus) { s =>
+      {
         import s.implicits._
         val input = ensureInput(s, benchRows)
         val clusPath = s"${localDir()}/graft-input-clustered-$benchRows"
@@ -220,10 +217,6 @@ object Bench {
         val secs = (System.nanoTime() - t0) / 1e9
         new ProcessBuilder("rm", "-rf", out).start().waitFor()
         tok / secs
-      } finally {
-        s.stop()
-        org.apache.spark.sql.SparkSession.clearActiveSession()
-        org.apache.spark.sql.SparkSession.clearDefaultSession()
       }
     }
     // best-of-2 alternating, like every other arm — a single sample
@@ -244,14 +237,10 @@ object Bench {
       graft.tools.KernelScaling.measure(8))
     val kernEff18 = kern8 / (kern1 * 8.0)
 
-    val sHi = session(cpusHi)
-
     // decode throughput (symmetric transform) at both levels — the
     // encoded dir is built once, then read under each parallelism
     val decDir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(localDir()), "graft-dec").toString
-    TokenEncoder.run(TokenSynth.dataset(sHi, benchRows / 2, parallelism = 128),
-      decDir, EncodeConfig(targetRowsPerPart = math.max(1000L, benchRows / 256).toInt))
     def decodeThr(s: SparkSession): Double = {
       graft.encode.TokenDecoder.read(s, decDir).count() // warm
       val t0 = System.nanoTime()
@@ -259,30 +248,19 @@ object Bench {
         .agg(sum("n_tok")).collect()(0).getLong(0)
       tok / ((System.nanoTime() - t0) / 1e9)
     }
-    var thrDec = decodeThr(sHi)
-    sHi.stop()
-    org.apache.spark.sql.SparkSession.clearActiveSession()
-    org.apache.spark.sql.SparkSession.clearDefaultSession()
-    val sLo2 = session(cpusLo)
-    val thrDecLo = decodeThr(sLo2)
-    sLo2.stop()
-    org.apache.spark.sql.SparkSession.clearActiveSession()
-    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    var thrDec = withSession(cpusHi) { sHi =>
+      TokenEncoder.run(TokenSynth.dataset(sHi, benchRows / 2, parallelism = 128),
+        decDir, EncodeConfig(targetRowsPerPart = math.max(1000L, benchRows / 256).toInt))
+      decodeThr(sHi)
+    }
+    val thrDecLo = withSession(cpusLo)(decodeThr)
     // decode inversion guard: one fixed extra rep of BOTH arms
     // (recorded below), not a hi-only retry
     var thrDecLoF = thrDecLo
     val decodeRetries = if (thrDec < thrDecLo) 1 else 0
     if (decodeRetries > 0) {
-      val sHiR = session(cpusHi)
-      thrDec = math.max(thrDec, decodeThr(sHiR))
-      sHiR.stop()
-      org.apache.spark.sql.SparkSession.clearActiveSession()
-      org.apache.spark.sql.SparkSession.clearDefaultSession()
-      val sLoR = session(cpusLo)
-      thrDecLoF = math.max(thrDecLoF, decodeThr(sLoR))
-      sLoR.stop()
-      org.apache.spark.sql.SparkSession.clearActiveSession()
-      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      thrDec = math.max(thrDec, withSession(cpusHi)(decodeThr))
+      thrDecLoF = math.max(thrDecLoF, withSession(cpusLo)(decodeThr))
     }
     val effDec = thrDec / (thrDecLoF * (cpusHi.toDouble / cpusLo))
     new ProcessBuilder("rm", "-rf", decDir).start().waitFor()
@@ -296,7 +274,13 @@ object Bench {
     // making the JSON unfalsifiable from the artifact alone
     val attempts = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(sHi2, sfDir).count(); true }
+      // time toRdd.count(), NOT Dataset.count(): count() wraps the
+      // query in a new aggregate and Catalyst then prunes every
+      // projected expression and eliminates the sort — map-only
+      // queries would be "timed" as near-empty metadata scans (and a
+      // throwing per-row expression would be pruned into a timed
+      // success). toRdd forces the query's own full output schema.
+      val ok = try { fn(sHi2, sfDir).queryExecution.toRdd.count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] query $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
           false

@@ -581,15 +581,27 @@ object SparkEntry {
       // (csv here; full matrix in ConverterSpec)
       import s.implicits._
       val docs = t(s, d, "documents")
+      // both exceptAll counts below are eager, so the staging csv can
+      // be deleted afterwards — a fresh random dir per call would
+      // otherwise leak a corpus copy per bench/verify rep on
+      // tmpfs-backed /tmp (same leak class q_analyze_file documents)
       val dir = java.nio.file.Files.createTempDirectory("graft-conv").toString
-      graft.sources.Converter.write(docs, dir, "csv")
-      val back = graft.sources.Converter.read(s, dir,
-        graft.sources.Converter.ReadOptions("csv", inferSchema = true))
-        .select(docs.columns.map(col): _*)
-      val a = docs.selectExpr(docs.columns.map(c => s"CAST($c AS STRING)"): _*)
-      val b = back.selectExpr(docs.columns.map(c => s"CAST($c AS STRING)"): _*)
-      val bad = a.exceptAll(b).count() + b.exceptAll(a).count()
-      Seq(bad).toDF("n_mismatch")
+      try {
+        graft.sources.Converter.write(docs, dir, "csv")
+        val back = graft.sources.Converter.read(s, dir,
+          graft.sources.Converter.ReadOptions("csv", inferSchema = true))
+          .select(docs.columns.map(col): _*)
+        val a = docs.selectExpr(docs.columns.map(c => s"CAST($c AS STRING)"): _*)
+        val b = back.selectExpr(docs.columns.map(c => s"CAST($c AS STRING)"): _*)
+        val bad = a.exceptAll(b).count() + b.exceptAll(a).count()
+        Seq(bad).toDF("n_mismatch")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(dir))
+      }
     }),
     "q_multimodal_features" -> ((s, d) => {
       // stubbed-codec media pipeline: deterministic per-kind profile
@@ -630,9 +642,14 @@ object SparkEntry {
         .filter(_.getName.endsWith(".csv")).head
       val zip = s"$dir/documents.csv.zip"
       val zo = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(zip))
-      zo.putNextEntry(new java.util.zip.ZipEntry("documents.csv"))
-      java.nio.file.Files.copy(part.toPath, zo)
-      zo.closeEntry(); zo.close()
+      // close on the failure path too — the harness catches per-query
+      // Throwables and keeps the driver alive, so an unclosed stream
+      // here is a leaked fd plus a truncated zip poisoning the rerun
+      try {
+        zo.putNextEntry(new java.util.zip.ZipEntry("documents.csv"))
+        java.nio.file.Files.copy(part.toPath, zo)
+        zo.closeEntry()
+      } finally zo.close()
       val a = graft.operators.Analyzer.analyzeFile(s, zip)
       graft.operators.Analyzer.report(a.df, Seq("lang", "source", "text"))
         .orderBy("field")

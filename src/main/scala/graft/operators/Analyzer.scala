@@ -105,7 +105,7 @@ object Analyzer {
   /** JSON string escape: backslash, quote, and control chars — a
     * field name containing either would otherwise emit malformed JSON.
     */
-  private def jsonEscape(s: String): String = s.flatMap {
+  private[graft] def jsonEscape(s: String): String = s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"
