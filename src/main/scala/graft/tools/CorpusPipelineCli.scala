@@ -35,12 +35,17 @@ object CorpusPipelineCli {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     println(s"STAGE ingest            rows=${docs.count()}")
 
-    // 1. quality + language gate (columnar text ops)
+    // 1. quality + language gate (columnar text ops): drop docs the
+    // language-ID heuristic cannot place at all, and report the mix
     val scored = docs.withColumn("quality_bp",
         graft.text.TextOps.qualityScoreBp(col("text")))
       .withColumn("lang_pred", graft.text.TextOps.langId(col("text")))
+    val langMix = scored.groupBy("lang_pred").count()
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(",")
     val kept0 = scored.where(col("quality_bp") >= 3000)
-    println(s"STAGE quality_gate      rows=${kept0.count()}")
+      .where(col("lang_pred") =!= "unknown")
+      .drop("lang_pred")
+    println(s"STAGE quality_gate      rows=${kept0.count()} langs=$langMix")
 
     // 1b. PII redaction (before any hashing, so dedup sees scrubbed
     // text) + within-doc repetition filter (Gopher duplicate-bigram
@@ -57,6 +62,10 @@ object CorpusPipelineCli {
     val decon = graft.dedup.Dedup.removeContaminated(
       kept.where(!isBench), kept.where(isBench), "doc_id", "text",
       thresholdBp = 10000L, n = 2)
+      // ~6 downstream actions (stage counts, the minhash plan's
+      // branches, CC's checkpoint) would each re-run the regex-heavy
+      // gate->redact->decontaminate upstream from the parquet scan
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"STAGE decontaminate     rows=${decon.count()}")
 
     // 2. exact dedup survivors (hash-grouped shuffle)
@@ -114,8 +123,11 @@ object CorpusPipelineCli {
     println(s"STAGE pack_plan         seqs=${pack._1} docs=${pack._2} split=${pack._3}")
 
     // 6. encode: salted partitions, lineage commit log
+    // cacheInput=false: run()'s own persist+finally-unpersist would
+    // otherwise evict the `rows` cache the roundtrip gate still needs
     val lineage = graft.encode.TokenEncoder.run(rows, outDir,
-      graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 200))
+      graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 200,
+        cacheInput = false))
     val (blocks, toks, raw, enc) = lineage
       .agg(count(lit(1)), sum("totalTokens"), sum("rawBytes"), sum("encodedBytes"))
       .as[(Long, Long, Long, Long)].collect()(0)
@@ -129,6 +141,7 @@ object CorpusPipelineCli {
     println(if (bad == 0) "PIPELINE-OK" else "PIPELINE-MISMATCH")
     rows.unpersist(blocking = false)
     sampled.unpersist(blocking = false)
+    decon.unpersist(blocking = false)
     spark.stop()
     if (bad != 0) sys.exit(1)
   }

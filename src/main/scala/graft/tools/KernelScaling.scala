@@ -33,7 +33,7 @@ object KernelScaling {
     val pool = Executors.newFixedThreadPool(t)
     val rounds = t * 4
     val t0 = System.nanoTime()
-    (0 until rounds).foreach { r =>
+    val futures = (0 until rounds).map { r =>
       pool.submit(new Runnable {
         def run(): Unit = {
           val b = blocks(r % blocks.length)
@@ -42,7 +42,11 @@ object KernelScaling {
       })
     }
     pool.shutdown()
-    pool.awaitTermination(600, TimeUnit.SECONDS)
+    require(pool.awaitTermination(600, TimeUnit.SECONDS),
+      "kernel-scaling pool timed out — throughput would be bogus")
+    // surface worker exceptions: a silently-failed round would inflate
+    // the tokens/sec that lands in the official bench JSON
+    futures.foreach(_.get())
     val secs = (System.nanoTime() - t0) / 1e9
     (tokensPerRound * rounds / blocks.length) / secs
   }

@@ -54,17 +54,12 @@ object NoShufProbe {
           .repartition(nParts, col("partId"))
           .select("r.*").as[graft.model.TokenRow]
           .write.mode("overwrite").parquet(clusPath)
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(s"$base/plan-$rows.tsv"),
-          p.toSeq.sortBy(_._1).map { case (s, (b, n)) => s"$s\t$b\t$n" }.mkString("\n"))
+        // the encoder's own (escaped, versioned) plan serializer —
+        // a hand-rolled TSV here would reintroduce the tab/newline
+        // corruption savePlan was hardened against
+        TokenEncoder.savePlan(p, s"$base/plan-$rows")
         p
-      } else {
-        java.nio.file.Files.readString(
-          java.nio.file.Paths.get(s"$base/plan-$rows.tsv"))
-          .linesIterator.filter(_.nonEmpty).map { l =>
-            val Array(s, b, n) = l.split("\t"); (s, (b.toInt, n.toInt))
-          }.toMap
-      }
+      } else TokenEncoder.loadPlan(s"$base/plan-$rows").get
 
     // staged files are small at probe scale; default 128MB packing
     // would coalesce them into a few input partitions and strangle

@@ -13,15 +13,8 @@ object QueryTime {
     val sfDir = args(0)
     val names = if (args.length > 1) args.drop(1).toSeq
       else graft.SparkEntry.queries.keys.toSeq.sorted
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .appName("graft-qtime")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.create("graft-qtime", defaultCpus = "32",
+      shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     // SPARK_GRAFT_BENCH_MODE=1 times the no-dump bench variants
     val qmap = if (sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("1"))
       graft.SparkEntry.benchQueries else graft.SparkEntry.queries
@@ -29,7 +22,10 @@ object QueryTime {
       val fn = qmap(n)
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // toRdd, not count(): count() injects an aggregate that lets
+        // Catalyst prune the very expressions being timed (same
+        // methodology as the official Bench)
+        fn(spark, sfDir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"QTIME $n%-24s cold=${times(0)}%7.2fs warm=${times(1)}%7.2fs")

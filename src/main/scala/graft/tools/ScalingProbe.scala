@@ -48,10 +48,9 @@ object ScalingProbe {
   /** Separate phases: synth-only, encode-no-write, full. */
   def phases(spark: SparkSession, rows: Long): Unit = {
     val ds = TokenSynth.dataset(spark, rows, parallelism = 128)
-    var t0 = System.nanoTime()
+    val t0 = System.nanoTime()
     ds.agg(sum("n_tok")).collect()
     println(f"  synth_only_secs=${(System.nanoTime() - t0) / 1e9}%.2f")
-    t0 = System.nanoTime()
     println(f"  nowrite_tokens_per_sec=${job(spark, rows, write = false).toLong}")
     println(f"  full_tokens_per_sec=${job(spark, rows, write = true).toLong}")
   }
