@@ -290,54 +290,67 @@ object Dedup {
     *
     * Returns (id, cluster) for every id that appears in a pair;
     * singletons are their own implicit cluster (absent from output).
+    *
+    * `checkpointDir`, when set, switches the per-sweep checkpoint from
+    * `localCheckpoint` (executor-local blocks — fast, but losing one
+    * executor mid-loop kills the job and restarts CC from scratch) to
+    * a RELIABLE `Dataset.checkpoint` rooted at that directory (HDFS/
+    * object store on a real cluster), which survives executor loss —
+    * the cluster-scale setting. The sandbox default stays local.
+    * Checkpoint files are the caller's to clean (or enable
+    * `spark.cleaner.referenceTracking.cleanCheckpoints`).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def cp(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
     // undirected: both directions
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = cp(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
-    // labels only ever DECREASE (next = min(old, neighbors)), so the
-    // label sum strictly decreases on any change — an equal sum IS the
-    // fixed point. The sum is an EXACT aggregate over the fresh
-    // checkpoint (cheap: narrow scan of cached data), deliberately NOT
-    // an observed metric riding the checkpoint job — SQL-metric
+      .distinct())
+    var checkpointed = cp(edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")))
+    var labels = checkpointed
+    // Convergence = a sweep where NO row's label changed. A label
+    // changes iff its neighborhood minimum beats it (`nmin < cluster`
+    // — labels only ever decrease), so the per-row change flag rides
+    // the sweep's own join and the changed-row count is an EXACT
+    // aggregate over the fresh checkpoint (cheap: narrow scan of
+    // cached data), deliberately NOT an observed metric — SQL-metric
     // accumulators over-count under task re-execution (speculation,
-    // stage retry), which would stall the equality test and fail a
-    // converged graph at maxIter on a real cluster.
-    // decimal(38,0) sum: 10^12 long ids would overflow a long sum
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val r = df.agg(sum(col("cluster").cast("decimal(38,0)"))).head()
-      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
-    }
-    var prevSum = labelSum(labels)
+    // stage retry), which would stall an equality test and fail a
+    // converged graph at maxIter on a real cluster. Comparing rows
+    // (not summing casted labels) keeps the test correct for ANY
+    // orderable id type — the previous decimal(38,0) label-sum test
+    // read every STRING id as NULL, summed zero each sweep, and
+    // declared convergence after one sweep on under-propagated labels.
     var iter = 0
     var converged = false
     try {
       // maxIter bounds the PROPAGATION sweeps (≈ component diameter);
-      // convergence is only observable as one extra unchanged-sum
-      // sweep, so the loop allows maxIter+1 — without it a component
-      // needing exactly maxIter sweeps would finish correctly and
-      // still be reported as non-converged
+      // convergence is only observable as one extra no-change sweep,
+      // so the loop allows maxIter+1 — without it a component needing
+      // exactly maxIter sweeps would finish correctly and still be
+      // reported as non-converged
       while (iter < maxIter + 1 && !converged) {
         val neighborMin = edges
           .join(labels.withColumnRenamed("id", "src"), Seq("src"))
           .groupBy(col("dst").as("id"))
           .agg(min(col("cluster")).as("nmin"))
-        val next = labels.join(neighborMin, Seq("id"), "left")
+        val next = cp(labels.join(neighborMin, Seq("id"), "left")
           .select(col("id"),
-            least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-          .localCheckpoint(true)
-        val s = labelSum(next)
+            least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
+            coalesce(col("nmin") < col("cluster"), lit(false)).as("chg")))
+        val changed = next.where(col("chg")).limit(1).count()
         // the superseded checkpoint would otherwise pin a full vertex
-        // copy in executor storage per sweep
-        labels.unpersist(blocking = false)
-        labels = next
-        converged = s.compareTo(prevSum) == 0
-        prevSum = s
+        // copy in executor storage per sweep; unpersist the
+        // CHECKPOINTED handle (a projection over it has no storage)
+        checkpointed.unpersist(blocking = false)
+        checkpointed = next
+        labels = next.drop("chg")
+        converged = changed == 0
         iter += 1
       }
       // partially-propagated labels are WRONG clusters, not approximate
@@ -345,7 +358,7 @@ object Dedup {
       // several) — refuse rather than return them, and release the
       // final label checkpoint too (it is only returned on success)
       if (!converged) {
-        labels.unpersist(blocking = false)
+        checkpointed.unpersist(blocking = false)
         throw new IllegalArgumentException(
           s"connectedComponents did not converge in $maxIter sweeps — " +
           "a component's diameter exceeds maxIter; raise maxIter")
@@ -369,8 +382,9 @@ object Dedup {
     * all singletons.
     */
   private def dropClusterLosers(df: DataFrame, idCol: String,
-                                pairs: DataFrame): DataFrame = {
-    val losers = connectedComponents(pairs)
+                                pairs: DataFrame,
+                                checkpointDir: Option[String] = None): DataFrame = {
+    val losers = connectedComponents(pairs, checkpointDir = checkpointDir)
       .where(col("id") =!= col("cluster"))
       .select(col("id").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
@@ -379,9 +393,11 @@ object Dedup {
   def removeNearDuplicatesCC(df: DataFrame, idCol: String, textCol: String,
                              shingleN: Int = 3, k: Int = 64, bands: Int = 0,
                              threshold: Double = 0.7,
-                             maxBucket: Int = 64): DataFrame =
+                             maxBucket: Int = 64,
+                             checkpointDir: Option[String] = None): DataFrame =
     dropClusterLosers(df, idCol,
-      minhashPairs(df, idCol, textCol, shingleN, k, bands, threshold, maxBucket))
+      minhashPairs(df, idCol, textCol, shingleN, k, bands, threshold, maxBucket),
+      checkpointDir)
 
   /** Diagnostic: what the maxBucket skew cap silently drops — bucket
     * count, capped-bucket count, and rows over the cap. Surfaces the
@@ -493,10 +509,12 @@ object Dedup {
                                    shingleN: Int = 3, k: Int = 64,
                                    bands: Int = 0, threshold: Double = 0.7,
                                    maxBucket: Int = 64,
-                                   capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame =
+                                   capObs: Option[org.apache.spark.sql.Observation] = None,
+                                   checkpointDir: Option[String] = None): DataFrame =
     dropClusterLosers(df, idCol,
       minhashPairsStaged(df, idCol, textCol, stagePath, shingleN,
-        k, bands, threshold, maxBucket, capObs = capObs))
+        k, bands, threshold, maxBucket, capObs = capObs),
+      checkpointDir)
 
   /** Hot-block diagnostic for the exact-jaccard path: per the same
     * (block, length-bucket) keys jaccardWithinShingled joins on,
