@@ -104,13 +104,13 @@ object Similarity {
     * guarded by `autoLshBlockLimit`: a cheap driver-side
     * groupBy(blk).count() probe (one agg over 8-byte keys — O(rows)
     * map-side-combined, never materializing pairs) checks the largest
-    * block, and when it exceeds the limit the call auto-diverts to
-    * `cosinePairsLsh`, whose (block, sign-LSH bucket) keys turn the
-    * hot block's |block|^2 into a sum of |bucket|^2 — the 100-TB-safe
-    * default. The divert is logged; recall then follows the LSH
-    * contract instead of exact (an exact-expecting external check
-    * will flag the difference — that's the guard surfacing a corpus
-    * that outgrew the exact path, not an engine bug).
+    * block. When it exceeds the limit the call REFUSES by default
+    * (`onHotBlock = "error"`) — an exact API must not silently hand
+    * back probabilistic results; `onHotBlock = "divert"` opts into
+    * auto-diverting to `cosinePairsLsh`, whose (block, sign-LSH
+    * bucket) keys turn the hot block's |block|^2 into a sum of
+    * |bucket|^2 — the 100-TB path, logged, with recall following the
+    * LSH contract instead of exact.
     * autoLshBlockLimit <= 0 disables the guard (explicit
     * exact-at-any-cost — also skips the probe, making the call fully
     * lazy; with the guard on, CONSTRUCTING the plan runs the one
@@ -121,13 +121,29 @@ object Similarity {
   def cosinePairsWithin(df: DataFrame, vecCol: String, idCol: String,
                         blockCol: String, threshold: Double,
                         maxPerBlock: Int = 0,
-                        autoLshBlockLimit: Int = 4096): DataFrame = {
+                        autoLshBlockLimit: Int = 4096,
+                        onHotBlock: String = "error"): DataFrame = {
     ensureKernels(df)
+    require(onHotBlock == "error" || onHotBlock == "divert",
+      s"onHotBlock must be 'error' or 'divert', got '$onHotBlock'")
     if (maxPerBlock <= 0 && autoLshBlockLimit > 0) {
       val hottest = df.groupBy(col(blockCol)).count()
         .agg(max(col("count"))).head()
       val maxBlock = if (hottest.isNullAt(0)) 0L else hottest.getLong(0)
       if (maxBlock > autoLshBlockLimit) {
+        // an EXACT api silently returning probabilistic LSH results
+        // (the round-3 behavior) let exact-expecting callers receive
+        // reduced recall with only a log line as notice — refuse by
+        // default, like connectedComponents refuses non-convergence;
+        // the caller chooses the resolution explicitly
+        if (onHotBlock == "error")
+          throw new IllegalArgumentException(
+            s"cosinePairsWithin: hottest '$blockCol' block has $maxBlock rows " +
+            s"(> autoLshBlockLimit=$autoLshBlockLimit) — exact all-pairs would " +
+            "materialize |block|^2 vector pairs. Pass onHotBlock=\"divert\" for " +
+            "the LSH-bucketed approximate path, set maxPerBlock to cap blocks, " +
+            "call cosinePairsLsh directly, or raise autoLshBlockLimit " +
+            "(<= 0 = exact at any cost, fully lazy)")
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"cosinePairsWithin: hottest '$blockCol' block has $maxBlock rows " +
           s"(> $autoLshBlockLimit); diverting to the LSH-bucketed path")

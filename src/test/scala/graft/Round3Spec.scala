@@ -87,12 +87,20 @@ class Round3Spec extends SparkSpecBase {
     assert(mm.isNullAt(0) && mm.isNullAt(1))
   }
 
-  test("cosinePairsWithin diverts a hot block to the LSH path") {
+  test("cosinePairsWithin hot block: refuses by default, diverts on opt-in") {
     val df = vecs(randVecs(60, "hot"))
+    // default contract: an exact API refuses a hot block loudly
+    // instead of silently returning reduced-recall LSH results
+    val err = intercept[IllegalArgumentException] {
+      Similarity.cosinePairsWithin(df, "embedding", "vec_id",
+        "label", 0.2, maxPerBlock = 0, autoLshBlockLimit = 20)
+    }
+    assert(err.getMessage.contains("divert"))
     // limit 20 < 60-row block: must take the LSH-bucketed plan —
     // result is exactly what cosinePairsLsh produces
     val auto = Similarity.cosinePairsWithin(df, "embedding", "vec_id",
-      "label", 0.2, maxPerBlock = 0, autoLshBlockLimit = 20)
+      "label", 0.2, maxPerBlock = 0, autoLshBlockLimit = 20,
+      onHotBlock = "divert")
       .orderBy("id_a", "id_b").collect()
     val lsh = Similarity.cosinePairsLsh(df, "embedding", "vec_id", "label", 0.2)
       .orderBy("id_a", "id_b").collect()
