@@ -9,14 +9,18 @@ import graft.model.{EncodedBlock, LineageRecord, TokenRow}
   * north_star).
   *
   * Layout on disk (`outDir/`):
-  *   blocks/   — EncodedBlock rows (parquet, appended per wave)
-  *   lineage/  — LineageRecord rows (parquet, appended AFTER the
-  *               blocks of a wave are durably written)
+  *   blocks/    — EncodedBlock rows (parquet, appended per wave)
+  *   lineage/   — LineageRecord rows (parquet, appended AFTER the
+  *                blocks of a wave are durably written)
+  *   completed/ — (partId, runId) commit markers, appended LAST
   *
-  * The lineage table is the commit log: a partId is complete iff its
-  * lineage rows exist. Blocks without lineage are uncommitted garbage
-  * from a crashed run; readers ignore them via a semi-join on blockId,
-  * and resume re-encodes those partitions — no duplicates, no skips.
+  * `completed/` holds the COMMIT MARKERS: a partId is complete iff a
+  * (partId, runId) marker exists, written strictly after that run's
+  * blocks and lineage jobs (lineage alone is NOT commitment — its
+  * append is a multi-file job and a crash mid-append leaves a partial
+  * set visible). Readers keep blocks that have a lineage row AND a
+  * marked (partId, runId); resume re-encodes unmarked partitions —
+  * no duplicates, no skips.
   * This emulates Iceberg snapshot semantics on plain parquet (no
   * Iceberg jar ships in this environment — SURVEY.md §7.0); the seam
   * is confined to `commitLineage`/`committedPartIds`.
@@ -316,7 +320,7 @@ object TokenEncoder {
     * from a killed write job) — that state must read as "nothing
     * committed", not wedge every resume with an AnalysisException.
     */
-  private def safeReadParquet(spark: SparkSession,
+  private[encode] def safeReadParquet(spark: SparkSession,
                               path: String): Option[org.apache.spark.sql.DataFrame] =
     if (!new java.io.File(path).exists()) None
     else {
@@ -479,11 +483,13 @@ object TokenEncoder {
       pending.toSeq.sorted.toDF("partId")
         .withColumn("runId", lit(runId))
         .write.mode("append").parquet(s"$outDir/completed")
-      // pending can be large — a semi-join beats a #pending-literal IN
-      val pendingDf = org.apache.spark.sql.functions.broadcast(
-        pending.toSeq.toDF("partId"))
+      // return ONLY this run's lineage (blockIds are runId-prefixed).
+      // A pending-partId semi-join alone would also sweep in orphan
+      // rows a previous CRASHED run landed for the same partIds,
+      // double-counting totalTokens/rawBytes in callers aggregating
+      // the return (Bench, CorpusPipelineCli).
       spark.read.parquet(s"$outDir/lineage")
-        .join(pendingDf, Seq("partId"), "left_semi").as[LineageRecord]
+        .where($"blockId".startsWith(runId + "-")).as[LineageRecord]
     } finally if (cfg.cacheInput) cached.unpersist(blocking = false)
   }
 
@@ -609,6 +615,32 @@ object TokenDecoder {
   private[encode] def committedBlocks(spark: SparkSession, outDir: String,
                               partIds: Option[Set[Int]]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    // fail LOUDLY on a store whose lineage exists but whose commit
+    // markers don't fit the (partId, runId) protocol — silently
+    // decoding such a store as zero rows would read as data loss (and
+    // vacuum would delete every block as "uncommitted"). Two shapes:
+    // a `completed` dir missing the runId column is definitively a
+    // pre-marker-protocol store; lineage with NO `completed` dir at
+    // all is either legacy or a first run crashed before its markers
+    // — both need the same answer (re-encode / resume), never an
+    // empty read.
+    TokenEncoder.safeReadParquet(spark, s"$outDir/completed") match {
+      case Some(c) if !c.columns.contains("runId") =>
+        throw new IllegalStateException(
+          s"token store at $outDir predates the commit-marker protocol: " +
+          "completed/ lacks the runId column. Re-encode the store (or " +
+          "backfill (partId, runId) markers from lineage) before reading.")
+      case None
+        if TokenEncoder.safeReadParquet(spark, s"$outDir/lineage")
+          .exists(!_.isEmpty) =>
+        throw new IllegalStateException(
+          s"token store at $outDir has lineage but no completed/ markers — " +
+          "either it predates the commit-marker protocol or its first " +
+          "encode run crashed before committing. Resume the encode " +
+          "(TokenEncoder.run) or re-encode; reading it now would return " +
+          "zero rows for real data.")
+      case _ => ()
+    }
     val all = spark.read.parquet(s"$outDir/blocks")
     val pruned = partIds.fold(all)(ids =>
       all.where(col("partId").isInCollection(ids.map(Int.box))))

@@ -69,9 +69,16 @@ class PipelineSpec extends SparkSpecBase {
       f.delete(); ()
     }
     rm(new java.io.File(s"$out/completed"))
-    // without markers nothing is committed: readers see no rows...
+    // without markers nothing is committed: resume sees no done parts,
+    // and a DIRECT read fails LOUDLY — lineage with no markers is
+    // indistinguishable from a pre-marker-protocol legacy store, and
+    // silently returning zero rows for a store that visibly holds
+    // data reads as data loss (ADVICE r3)
     assert(TokenEncoder.committedPartIds(spark, out).isEmpty)
-    assert(TokenDecoder.read(spark, out).count() == 0)
+    val err = intercept[IllegalStateException] {
+      TokenDecoder.read(spark, out).count()
+    }
+    assert(err.getMessage.contains("commit-marker"))
     // ...and a resume re-encodes everything under a new runId; the
     // orphaned first attempt (full lineage AND blocks!) must not
     // produce duplicate rows on read
