@@ -216,7 +216,7 @@ object Analyzer {
                   format: String = ""): FileAnalysis = {
     import graft.sources.{Converter, Sniff}
     val lower = path.toLowerCase
-    val containers = Seq(".zip", ".zst", ".lz4")
+    val containers = graft.sources.Converter.ContainerSuffixes
     val container = containers.find(lower.endsWith).map(_.drop(1)).getOrElse("none")
     val dataPath = if (container == "none") path else Converter.unpackToTemp(path)
     val fmt =

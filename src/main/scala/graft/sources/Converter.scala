@@ -86,9 +86,21 @@ object Converter {
           if (o.tagname.nonEmpty) o.tagname else "row").xml(path)
       case "parquet" => spark.read.parquet(path)
       case "orc" => spark.read.orc(path)
-      case "avro" => spark.read.format("avro").load(path)
+      case "avro" =>
+        if (avroDatasourceAvailable(spark)) spark.read.format("avro").load(path)
+        else AvroLocal.read(spark, path)
       case f => throw new IllegalArgumentException(s"unsupported source format: $f")
     }
+
+  /** Is the spark-avro CONNECTOR on the classpath? (The core avro jar
+    * always is; the datasource module is a separate artifact.)
+    */
+  def avroDatasourceAvailable(spark: SparkSession): Boolean =
+    try {
+      org.apache.spark.sql.execution.datasources.DataSource
+        .lookupDataSource("avro", spark.sessionState.conf)
+      true
+    } catch { case _: Throwable => false }
 
   /** Flatten complex (struct/array/map) columns to JSON strings so a
     * row becomes CSV-writable — the reference's `make_flat`
@@ -129,9 +141,18 @@ object Converter {
         w.option("compression", if (compression.nonEmpty) compression else "zstd")
           .orc(path)
       case "avro" =>
-        w.format("avro")
-          .option("compression", if (compression.nonEmpty) compression else "deflate")
-          .save(path)
+        if (avroDatasourceAvailable(df.sparkSession))
+          w.format("avro")
+            .option("compression", if (compression.nonEmpty) compression else "deflate")
+            .save(path)
+        else {
+          // connector absent (this sandbox): single-stream core-avro
+          // writer — the reference's own avro semantics (fastavro,
+          // one thread, converter.py:414-440)
+          new java.io.File(path).mkdirs()
+          AvroLocal.write(df, s"$path/part-00000.avro",
+            if (compression.nonEmpty) compression else "deflate")
+        }
       case f => throw new IllegalArgumentException(s"unsupported sink format: $f")
     }
   }
@@ -156,8 +177,30 @@ object Converter {
     * (matches the reference's single-member assumption).
     */
   def unpackToTemp(path: String): String = {
-    import java.io.{BufferedInputStream, FileInputStream, FileOutputStream}
+    import java.io.{BufferedInputStream, FileInputStream}
     val lower = path.toLowerCase
+    if (lower.endsWith(".7z")) {
+      // 7z is NOT stream-decodable (the archive directory lives at the
+      // end), so commons-compress needs the seekable file, not an
+      // InputStream — hence its own branch before `raw` opens.
+      // commons-compress + xz both ship in /opt/spark/jars; matches
+      // the reference's optional py7zr support (iterable.py:10-27).
+      val sz = org.apache.commons.compress.archivers.sevenz.SevenZFile
+        .builder().setFile(new java.io.File(path)).get()
+      try {
+        var e = sz.getNextEntry
+        while (e != null && e.isDirectory) e = sz.getNextEntry
+        require(e != null, s"empty 7z archive: $path")
+        // FIRST file entry only — the same single-member assumption as
+        // the zip branch and the reference
+        val entry = e
+        return copyToTemp(new java.io.InputStream {
+          override def read(): Int = sz.read()
+          override def read(b: Array[Byte], off: Int, len: Int): Int =
+            sz.read(b, off, len)
+        }, entry.getName)
+      } finally sz.close()
+    }
     val raw = new BufferedInputStream(new FileInputStream(path))
     // every failure before the copy loop's own finally (empty zip, bad
     // magic in a decompressor ctor, unknown suffix) must close `raw` —
@@ -180,6 +223,13 @@ object Converter {
             path.replaceAll("\\.lz4$", ""))
         } else throw new IllegalArgumentException(s"unsupported container: $path")
       } catch { case e: Throwable => raw.close(); throw e }
+    copyToTemp(in, innerName)
+  }
+
+  /** Drain `in` into a temp file keeping the inner file's suffix (the
+    * suffix drives the downstream format dispatch); closes `in`.
+    */
+  private def copyToTemp(in: java.io.InputStream, innerName: String): String = {
     val suffix = {
       val n = innerName.substring(innerName.lastIndexOf('/') + 1)
       val dot = n.lastIndexOf('.')
@@ -187,7 +237,7 @@ object Converter {
     }
     val tmp = java.io.File.createTempFile("graft-unpack", suffix)
     tmp.deleteOnExit()
-    val out = new FileOutputStream(tmp)
+    val out = new java.io.FileOutputStream(tmp)
     try {
       val buf = new Array[Byte](1 << 16)
       var n = in.read(buf)
@@ -196,10 +246,12 @@ object Converter {
     tmp.getAbsolutePath
   }
 
+  private[graft] val ContainerSuffixes = Seq(".zip", ".zst", ".lz4", ".7z")
+
   /** Read through a container when the extension calls for it. */
   def readContainer(spark: SparkSession, path: String, o: ReadOptions): DataFrame = {
     val lower = path.toLowerCase
-    if (lower.endsWith(".zip") || lower.endsWith(".zst") || lower.endsWith(".lz4"))
+    if (ContainerSuffixes.exists(lower.endsWith))
       read(spark, unpackToTemp(path), o)
     else read(spark, path, o)
   }
@@ -220,12 +272,14 @@ object Sniff {
   }
 
   /** Cheap charset detection on a byte prefix: BOM sniff first
-    * (UTF-8/16/32 variants), then UTF-8 validity test, else CP1251
-    * when Cyrillic-range bytes dominate, else ISO-8859-1. (The
-    * reference delegates to chardet, which covers dozens of charsets;
-    * this covers the BOM'd unicode family plus the two cases the
-    * reference's fixtures exercise — ru_cp1251 / ru_utf8. The claim
-    * stays scoped to these.)
+    * (UTF-8/16/32 variants), BOM-less UTF-16 by NUL parity, then
+    * UTF-8 validity test; the 8-bit fallback separates the Cyrillic
+    * family (windows-1251 vs KOI8-R by which case band dominates)
+    * from Western European (windows-1252 vs ISO-8859-1 by 0x80-0x9F
+    * punctuation). The reference delegates to chardet
+    * (undatum/utils.py:7-12), which covers more (Shift-JIS, EUC,
+    * MacCyrillic, ...); the claim stays scoped to the encodings
+    * listed here.
     */
   /** `complete = false` means the prefix was CUT at a byte budget
     * (sniffFile's 1MB cap): a multi-byte character truncated at the
@@ -264,8 +318,25 @@ object Sniff {
     if (!res.isError && complete) res = dec.flush(out)
     if (!res.isError) "UTF-8"
     else {
+      // 8-bit fallback, chardet-style band frequencies (chardet's
+      // langcyrillicmodel distinguishes the same encodings by letter
+      // statistics; undatum/utils.py:7-12 delegates to it):
+      //  - cp1251 puts UPPERCASE Cyrillic at 0xC0-0xDF and lowercase
+      //    at 0xE0-0xFF; KOI8-R REVERSES the bands (lowercase at
+      //    0xC0-0xDF). Natural text is overwhelmingly lowercase, so
+      //    whichever band dominates names the encoding.
+      //  - Western European text has SPARSE high bytes (accents in a
+      //    mostly-ASCII stream); bytes in 0x80-0x9F (smart quotes,
+      //    euro, dashes) are windows-1252 punctuation — ISO-8859-1
+      //    reserves that range for control codes no text file uses.
       val hi = prefix.count(b => (b & 0xFF) >= 0xC0)
-      if (hi > prefix.length / 10) "windows-1251" else "ISO-8859-1"
+      if (hi > prefix.length / 10) {
+        val upperBand = prefix.count(b => { val v = b & 0xFF; v >= 0xC0 && v <= 0xDF })
+        val lowerBand = prefix.count(b => { val v = b & 0xFF; v >= 0xE0 })
+        if (upperBand > 2 * lowerBand) "KOI8-R" else "windows-1251"
+      } else if (prefix.exists(b => { val v = b & 0xFF; v >= 0x80 && v <= 0x9F }))
+        "windows-1252"
+      else "ISO-8859-1"
     }
   }
 
