@@ -209,11 +209,16 @@ object SparkEntry {
     }),
     "q_date_scores" -> ((s, d) => {
       // per-format parse-success counts over a mixed-format date
-      // column (even ids ISO, odd ids dotted-EU) — the qddate-style
-      // format detector's scoring pass
+      // column (four families by event_id mod 4: ISO, dotted-EU,
+      // US slash, English month name) scored against the full
+      // 11-format qddate-style bank — formats no family generates
+      // must score consistently with the oracle (usually 0; dd/MM
+      // legitimately catches US strings with day <= 12)
       val ev = t(s, d, "events").select(
-        when(col("event_id") % 2 === 0, date_format(col("ts"), "yyyy-MM-dd"))
-          .otherwise(date_format(col("ts"), "dd.MM.yyyy")).as("dstr"))
+        when(col("event_id") % 4 === 0, date_format(col("ts"), "yyyy-MM-dd"))
+          .when(col("event_id") % 4 === 1, date_format(col("ts"), "dd.MM.yyyy"))
+          .when(col("event_id") % 4 === 2, date_format(col("ts"), "MM/dd/yyyy"))
+          .otherwise(date_format(col("ts"), "dd MMM yyyy")).as("dstr"))
       UndatumOps.dateFormatScores(ev, "dstr")
     }),
     "q_query_expr" -> ((s, d) =>
@@ -988,8 +993,10 @@ object SparkEntry {
         |  CASE WHEN count(DISTINCT vtype) = 1 THEN max(vtype) ELSE 'str' END AS field_type
         |FROM typed WHERE vtype <> 'empty' GROUP BY field ORDER BY field""".stripMargin,
     "q_date_scores" ->
-      """WITH src AS (SELECT CASE WHEN event_id % 2 = 0
-        |  THEN strftime(ts, '%Y-%m-%d') ELSE strftime(ts, '%d.%m.%Y') END dstr
+      """WITH src AS (SELECT CASE WHEN event_id % 4 = 0 THEN strftime(ts, '%Y-%m-%d')
+        |  WHEN event_id % 4 = 1 THEN strftime(ts, '%d.%m.%Y')
+        |  WHEN event_id % 4 = 2 THEN strftime(ts, '%m/%d/%Y')
+        |  ELSE strftime(ts, '%d %b %Y') END dstr
         |  FROM events)
         |SELECT fmt, n_parsed FROM (
         |  SELECT 'yyyy-MM-dd' AS fmt,
@@ -999,7 +1006,21 @@ object SparkEntry {
         |  UNION ALL SELECT 'MM/dd/yyyy',
         |    CAST(count(try_strptime(dstr, '%m/%d/%Y')) AS BIGINT) FROM src
         |  UNION ALL SELECT 'yyyy/MM/dd',
-        |    CAST(count(try_strptime(dstr, '%Y/%m/%d')) AS BIGINT) FROM src)
+        |    CAST(count(try_strptime(dstr, '%Y/%m/%d')) AS BIGINT) FROM src
+        |  UNION ALL SELECT 'dd/MM/yyyy',
+        |    CAST(count(try_strptime(dstr, '%d/%m/%Y')) AS BIGINT) FROM src
+        |  UNION ALL SELECT 'dd-MM-yyyy',
+        |    CAST(count(try_strptime(dstr, '%d-%m-%Y')) AS BIGINT) FROM src
+        |  UNION ALL SELECT 'yyyyMMdd',
+        |    CAST(count(try_strptime(dstr, '%Y%m%d')) AS BIGINT) FROM src
+        |  UNION ALL SELECT 'dd MMM yyyy',
+        |    CAST(count(try_strptime(dstr, '%d %b %Y')) AS BIGINT) FROM src
+        |  UNION ALL SELECT 'MMM dd, yyyy',
+        |    CAST(count(try_strptime(dstr, '%b %d, %Y')) AS BIGINT) FROM src
+        |  UNION ALL SELECT 'dd.MM.yy',
+        |    CAST(count(try_strptime(dstr, '%d.%m.%y')) AS BIGINT) FROM src
+        |  UNION ALL SELECT 'yyyy-MM-dd HH:mm:ss',
+        |    CAST(count(try_strptime(dstr, '%Y-%m-%d %H:%M:%S')) AS BIGINT) FROM src)
         |ORDER BY fmt""".stripMargin,
     "q_query_expr" ->
       """SELECT event_id, CAST(value AS DOUBLE) AS value FROM events

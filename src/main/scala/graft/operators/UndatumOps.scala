@@ -244,10 +244,16 @@ object UndatumOps {
   }
 
   /** Candidate datetime formats for `dateFormatScores`, Spark pattern
-    * syntax. Mirrors the role of the reference's qddate pattern bank.
+    * syntax. Mirrors the role of the reference's qddate pattern bank
+    * (undatum/cmds/statistics.py:5,27 — qddate ships hundreds of
+    * pattern families; this bank covers its most common ones: ISO,
+    * dotted/dashed/slashed EU, US slash, compact digits, English
+    * month-name forms, 2-digit years, and ISO datetime).
     */
   val dateFormats: Seq[String] =
-    Seq("yyyy-MM-dd", "dd.MM.yyyy", "MM/dd/yyyy", "yyyy/MM/dd")
+    Seq("yyyy-MM-dd", "dd.MM.yyyy", "MM/dd/yyyy", "yyyy/MM/dd",
+      "dd/MM/yyyy", "dd-MM-yyyy", "yyyyMMdd", "dd MMM yyyy",
+      "MMM dd, yyyy", "dd.MM.yy", "yyyy-MM-dd HH:mm:ss")
 
   /** Score candidate date formats for a string field: non-null
     * `try_to_date` parse counts per format, one scan. The
