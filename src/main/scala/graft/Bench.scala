@@ -289,12 +289,107 @@ object Bench {
     }
     val results = attempts.collect { case (n, t, true) => n -> t }
     val failed = attempts.collect { case (n, _, false) => n }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_failed":$failedJson,"sf":"$sfDir","encode":{"rows":$benchRows,"tokens":$tokHi,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"tokens_per_sec_lo":${thrLo.toLong},"tokens_per_sec_hi":${thrHi.toLong},"reps":$reps,"inversion_retries":$inversionRetries,"decode_retries":$decodeRetries,"scaling_efficiency":$eff%.3f,"tokens_per_sec_c2":${thr2.toLong},"tokens_per_sec_c8":${thr8.toLong},"scaling_efficiency_2_8":$eff28%.3f,"noshuffle_tokens_per_sec_lo":${thrNsLo.toLong},"noshuffle_tokens_per_sec_hi":${thrNsHi.toLong},"kernel_tokens_per_sec_1":${kern1.toLong},"kernel_tokens_per_sec_8":${kern8.toLong},"kernel_scaling_1_8":$kernEff18%.3f,"decode_tokens_per_sec":${thrDec.toLong},"decode_tokens_per_sec_lo":${thrDecLoF.toLong},"decode_scaling_efficiency":$effDec%.3f,"compression_ratio":$ratio%.3f}}""")
+
+    // --- measured ANN recall@k vs the exact brute baseline ----------
+    // (the oracles verify the restricted scans exactly; recall is the
+    // one ANN property that must be measured — report it per round)
+    // Recall context: the driver testdata embeddings are ISOTROPIC
+    // RANDOM (no cluster structure; mean true-top-10 cosine ~0.35), so
+    // no sublinear index can reach high recall on them — sign-LSH
+    // theory bounds same-bucket probability at p^nPlanes with
+    // p = 1 - theta/pi ~ 0.61 for cosine 0.35. What the numbers below
+    // evidence is CONCENTRATION: recall well above the scanned
+    // fraction (a random subset of the same size would score recall =
+    // fraction). AnnRecallSpec proves recall >= 0.9 at these same
+    // defaults on planted near-dup structure — the regime the
+    // pipeline actually uses ANN for.
+    val (recallLsh, fracLsh, recallIvf, fracIvf) = try {
+      import org.apache.spark.sql.functions.col
+      val emb = sHi2.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+        .where(col("embedding").isNotNull)
+        .cache()
+      val n = emb.count().toDouble
+      val queries = graft.sim.Recall.sampleQueries(emb, "embedding", "vec_id", AnnQueries)
+      val truth = graft.sim.Recall.truthAtK(emb, "embedding", "vec_id", queries, AnnK)
+      val lshGot = queries.map { case (qid, qv) =>
+        qid -> graft.sim.Similarity.annTopK(emb, "embedding", "vec_id", qv, AnnK)
+          .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+      }.toMap
+      val scannedLsh = queries.map { case (_, qv) =>
+        graft.sim.Similarity.annScan(emb, "embedding", qv).count().toDouble / n
+      }.sum / queries.size
+      val idx = graft.sim.Ivf.train(emb, "embedding")
+      val assigned = graft.sim.Ivf.assign(emb, "embedding", idx).cache()
+      val ivfGot = graft.sim.Ivf
+        .searchBatch(assigned, "embedding", "vec_id", idx, queries, AnnK)
+        .select(col("qid"), col("vec_id").cast("long").as("id"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val scannedIvf = graft.sim.Ivf
+        .probeBatch(assigned, idx, queries).count().toDouble / (queries.size * n)
+      val r = (graft.sim.Recall.recallOf(truth, lshGot), scannedLsh,
+        graft.sim.Recall.recallOf(truth, ivfGot), scannedIvf)
+      assigned.unpersist(blocking = false); emb.unpersist(blocking = false)
+      r
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ann recall FAILED: ${e.getMessage}")
+      (-1.0, -1.0, -1.0, -1.0)
+    }
+
+    val encodeJson =
+      f"""{"rows":$benchRows,"tokens":$tokHi,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"tokens_per_sec_lo":${thrLo.toLong},"tokens_per_sec_hi":${thrHi.toLong},"reps":$reps,"inversion_retries":$inversionRetries,"decode_retries":$decodeRetries,"scaling_efficiency":$eff%.3f,"tokens_per_sec_c2":${thr2.toLong},"tokens_per_sec_c8":${thr8.toLong},"scaling_efficiency_2_8":$eff28%.3f,"noshuffle_tokens_per_sec_lo":${thrNsLo.toLong},"noshuffle_tokens_per_sec_hi":${thrNsHi.toLong},"kernel_tokens_per_sec_1":${kern1.toLong},"kernel_tokens_per_sec_8":${kern8.toLong},"kernel_scaling_1_8":$kernEff18%.3f,"decode_tokens_per_sec":${thrDec.toLong},"decode_tokens_per_sec_lo":${thrDecLoF.toLong},"decode_scaling_efficiency":$effDec%.3f,"ann_recall_lsh":$recallLsh%.3f,"ann_scanned_lsh":$fracLsh%.3f,"ann_recall_ivf":$recallIvf%.3f,"ann_scanned_ivf":$fracIvf%.3f,"ann_queries":$AnnQueries,"ann_k":$AnnK,"compression_ratio":$ratio%.3f}"""
+
+    // full per-query map -> sibling file; the stdout line stays a
+    // compact summary (round 3 lost the bench signal when the 71-query
+    // map outgrew the driver's 2000-char stdout tail capture)
+    val queriesFile = sys.env.getOrElse("SPARK_GRAFT_QUERIES_OUT",
+      new java.io.File("BENCH_QUERIES.json").getAbsolutePath)
+    java.nio.file.Files.write(java.nio.file.Paths.get(queriesFile),
+      renderFull(total, results, failed, sfDir, encodeJson)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(renderSummary(total, results, failed, sfDir, queriesFile, encodeJson))
     sHi2.stop()
+  }
+
+  /** ANN recall measurement size: queries sampled / neighbors per query. */
+  private[graft] val AnnQueries = 32
+  private[graft] val AnnK = 10
+
+  private def jsonStr(s: String): String =
+    "\"" + graft.operators.Analyzer.jsonEscape(s) + "\""
+
+  private def queriesJson(qs: Seq[(String, Double)]): String =
+    qs.map { case (k, v) => jsonStr(k) + f":$v%.3f" }.mkString("{", ",", "}")
+
+  /** The complete bench record (all per-query timings) — written to a
+    * sibling file, not stdout.
+    */
+  private[graft] def renderFull(total: Double, queryTimes: Seq[(String, Double)],
+                                failed: Seq[String], sfDir: String,
+                                encodeJson: String): String = {
+    val failedJson = failed.map(jsonStr).mkString("[", ",", "]")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queriesJson(queryTimes.sortBy(_._1))},"queries_failed":$failedJson,"sf":${jsonStr(sfDir)},"encode":$encodeJson}"""
+  }
+
+  /** The ONE stdout line the driver parses. The driver keeps only the
+    * last ~2000 chars of stdout, so the line carries a slowest-first
+    * HEADLINE subset of query timings (the full map lives in
+    * `queries_file`) and shrinks that subset until it fits `maxLen` —
+    * a guarantee, not a hope (BenchJsonSpec asserts the worst case).
+    */
+  private[graft] def renderSummary(total: Double, queryTimes: Seq[(String, Double)],
+                                   failed: Seq[String], sfDir: String,
+                                   queriesFile: String, encodeJson: String,
+                                   maxLen: Int = 1800): String = {
+    val slowest = queryTimes.sortBy { case (n, t) => (-t, n) }
+    val failedJson = failed.map(jsonStr).mkString("[", ",", "]")
+    def line(n: Int): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${queriesJson(slowest.take(n))},"queries_count":${queryTimes.size},"queries_file":${jsonStr(queriesFile)},"queries_failed":$failedJson,"sf":${jsonStr(sfDir)},"encode":$encodeJson}"""
+    var n = 8
+    var out = line(n)
+    while (out.length > maxLen && n > 0) { n -= 1; out = line(n) }
+    out
   }
 }
