@@ -59,6 +59,56 @@ object EncodeStream {
     streamingEncode(rows, outDir, cfg)
   }
 
+  /** Raw-text ingest with an INCREMENTAL vocabulary: each micro-batch
+    * first grows the grow-only [[graft.text.IncrementalVocab]] store
+    * at `vocabDir` (new words get fresh ids appended after all
+    * existing ids — assigned ids NEVER change, so batches encoded
+    * earlier stay decodable with any later vocab snapshot), then
+    * tokenizes against the merged snapshot and lands through the
+    * exactly-once encode path. A retried batch re-derives the SAME
+    * ids (growth is idempotent — its words are already assigned), so
+    * the retry re-encodes identical rows and the commit markers
+    * dedupe the rest. OOV (`oovId`) appears only once the vocab hits
+    * `maxVocab` — the cap that bounds driver/broadcast memory for the
+    * stream's lifetime.
+    *
+    * The per-batch vocab maintenance is one bounded map-side-combined
+    * word count + a lookup-table-sized snapshot write; the gate +
+    * redact + tokenize stays the single codegen'd scan of
+    * [[streamingTextIngest]].
+    */
+  def streamingTextIngestIncremental(stream: org.apache.spark.sql.DataFrame,
+                                     vocabDir: String,
+                                     outDir: String,
+                                     oovId: Int,
+                                     maxVocab: Int,
+                                     minQualityBp: Long = 0L,
+                                     cfg: EncodeConfig = EncodeConfig()): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    stream.writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val gated = batch
+          .where(graft.text.TextOps.qualityScoreBp(col("text")) >= minQualityBp)
+          .withColumn("text", graft.text.TextOps.redact(col("text")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val counts = graft.text.IncrementalVocab
+            .batchWordCounts(gated, "text", limit = maxVocab)
+          val merged = graft.text.IncrementalVocab
+            .grow(spark, vocabDir, counts, maxVocab)
+          val rows = graft.text.TextOps.tokenizeMap(
+            gated, "doc_id", "text", "source", merged, oovId).as[TokenRow]
+          TokenEncoder.run(rows, s"$outDir/batch=$batchId",
+            cfg.copy(inputFile = s"batch-$batchId"))
+          ()
+        } finally { gated.unpersist(blocking = false); () }
+      }
+      .start()
+  }
+
   /** Offline compaction: re-encode the accumulated micro-batch dirs
     * into ONE store at `targetDir` (fresh partition plan sized for the
     * full row count, fewer+larger blocks), verify EVERY batch row is

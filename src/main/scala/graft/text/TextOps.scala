@@ -149,6 +149,16 @@ object TextOps {
                oovId: Int): org.apache.spark.sql.DataFrame = {
     val entries = vocab.collect()
       .map(r => (r.getAs[String]("w"), r.getAs[Int]("tok_id"))).toMap
+    tokenizeMap(docs, idCol, textCol, srcCol, entries, oovId)
+  }
+
+  /** [[tokenize]] with a prebuilt word->id map (e.g. an
+    * IncrementalVocab snapshot) — same one-scan broadcast-lookup plan.
+    */
+  def tokenizeMap(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, srcCol: String,
+                  entries: Map[String, Int],
+                  oovId: Int): org.apache.spark.sql.DataFrame = {
     val bc = docs.sparkSession.sparkContext.broadcast(entries)
     val lookup = udf((ws: Seq[String]) =>
       if (ws == null) Array.emptyIntArray
