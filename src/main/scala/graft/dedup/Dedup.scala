@@ -370,6 +370,96 @@ object Dedup {
     labels
   }
 
+  /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", public) —
+    * the extreme-skew scale form of [[connectedComponents]]. Label
+    * propagation's per-sweep join fans a hot vertex (one doc paired
+    * with millions) into a single reduce group every sweep; star
+    * rounds instead REWIRE the edge list toward component minima —
+    * large-star points each node's larger neighbors at its
+    * neighborhood minimum, small-star contracts the smaller ones — so
+    * the hot vertex's degree collapses geometrically instead of being
+    * re-reduced whole, and rounds are O(log^2 n) worst-case on any
+    * graph shape. Same contract as connectedComponents: returns
+    * (id, cluster=component min) for every id in a pair; refuses
+    * rather than returning a non-converged result; property-tested
+    * equal to the propagation form.
+    *
+    * Each round is two self-describing shuffles on bare ids; the edge
+    * set strictly shrinks toward the star forest {(v, root)}, and
+    * convergence = a round that changes nothing (exact two-sided
+    * anti-join emptiness test, not a hash heuristic).
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50,
+                              checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def cp(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    // canonical (hi, lo) orientation, self-loops dropped
+    def canon(df: DataFrame): DataFrame =
+      df.select(greatest(col("a"), col("b")).as("a"),
+          least(col("a"), col("b")).as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct()
+    def bidirect(e: DataFrame): DataFrame =
+      e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+    // large-star: from each node u, point every LARGER neighbor v at
+    // m = min(Γ(u) ∪ {u}) — m < v always, so output is canonical
+    def largeStar(e: DataFrame): DataFrame = {
+      val bi = bidirect(e)
+      val mins = bi.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      canon(bi.join(mins, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b")))
+    }
+    // small-star: from each node u, contract every SMALLER neighbor
+    // (and u itself) onto m = min of those neighbors
+    def smallStar(e: DataFrame): DataFrame = {
+      val lows = bidirect(e).where(col("v") < col("u"))
+      val mins = lows.groupBy("u").agg(min(col("v")).as("m"))
+      canon(lows.join(mins, Seq("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(mins.select(col("u").as("a"), col("m").as("b"))))
+    }
+    var edges = cp(canon(
+      pairs.select(col("id_a").as("a"), col("id_b").as("b"))))
+    var iter = 0
+    var converged = edges.isEmpty // no edges => nothing to do
+    var ok = false
+    try {
+      while (iter < maxIter && !converged) {
+        val next = cp(smallStar(largeStar(edges)))
+        // exact set-equality (both sides are distinct sets, so equal
+        // counts + one empty difference suffice): the star forest is
+        // the unique fixed point, so an unchanged round IS convergence
+        converged =
+          next.count() == edges.count() && next.exceptAll(edges).isEmpty
+        edges.unpersist(blocking = false)
+        edges = next
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalArgumentException(
+          s"connectedComponentsStar did not converge in $maxIter rounds")
+      ok = true
+      // fixed point is a star forest {(v, root)}: members point at the
+      // root; roots label themselves. The returned plan reads the
+      // final checkpoint — which is why the cleanup below must not
+      // release it on the success path.
+      edges.select(col("a").as("id"), col("b").as("cluster"))
+        .union(edges.select(col("b").as("id"), col("b").as("cluster")).distinct())
+        .distinct()
+    } finally {
+      // refusal/failure only: the success return is BACKED by the
+      // final checkpoint (a truncated-lineage Dataset cannot be
+      // recomputed once its blocks are dropped)
+      if (!ok) edges.unpersist(blocking = false)
+    }
+  }
+
   /** Near-dup removal with CANONICAL cluster semantics: one survivor
     * (the minimum id) per transitive near-dup cluster — the
     * fixed-point form of `removeNearDuplicates` (whose greedy
