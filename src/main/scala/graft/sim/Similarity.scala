@@ -308,7 +308,7 @@ object Similarity {
     */
   def annScan(df: DataFrame, vecCol: String, query: Array[Float],
               nPlanes: Int = 8, probeNeighbors: Boolean = true,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, probeRadius: Int = 1): DataFrame = {
     ensureKernels(df)
     val ps = planes(nPlanes, query.length, seed)
     def bucketOf(v: Array[Float]): Long = {
@@ -322,20 +322,29 @@ object Similarity {
       b
     }
     val qb = bucketOf(query)
-    val probes: Seq[Long] =
-      if (probeNeighbors) qb +: (0 until nPlanes).map(i => qb ^ (1L << i))
-      else Seq(qb)
+    // multi-probe: all buckets within hamming distance `probeRadius`
+    // of the query's bucket (radius r scans sum_{i<=r} C(nPlanes, i)
+    // of the 2^nPlanes buckets — the recall/scan-fraction knob; a
+    // near neighbor at angle theta flips each bit with prob theta/pi,
+    // so most misses are 1-2 bits away). probeNeighbors=false forces
+    // radius 0 (exact-bucket only), kept for compatibility.
+    val radius = if (probeNeighbors) math.max(0, probeRadius) else 0
+    def expand(bs: Set[Long]): Set[Long] =
+      bs ++ bs.flatMap(b => (0 until nPlanes).map(i => b ^ (1L << i)))
+    val probes = (1 to radius).foldLeft(Set(qb))((acc, _) => expand(acc))
     df.withColumn("__bucket", lshBucket(col(vecCol), ps))
       .where(col("__bucket").isInCollection(probes))
       .drop("__bucket")
   }
 
   /** ANN top-k for one query via LSH: scan only the query's bucket
-    * (and optionally hamming-1 neighbor buckets for recall).
+    * plus all buckets within `probeRadius` bit flips (recall grows
+    * with the scanned fraction; radius nPlanes = brute force).
     */
   def annTopK(df: DataFrame, vecCol: String, idCol: String,
               query: Array[Float], k: Int, nPlanes: Int = 8,
-              probeNeighbors: Boolean = true, seed: Long = 42L): DataFrame =
-    bruteTopK(annScan(df, vecCol, query, nPlanes, probeNeighbors, seed),
-      vecCol, idCol, query, k)
+              probeNeighbors: Boolean = true, seed: Long = 42L,
+              probeRadius: Int = 1): DataFrame =
+    bruteTopK(annScan(df, vecCol, query, nPlanes, probeNeighbors, seed,
+      probeRadius), vecCol, idCol, query, k)
 }

@@ -27,17 +27,18 @@ object RecallProbe {
     val queries = Recall.sampleQueries(emb, "embedding", "vec_id", 32)
     val truth = Recall.truthAtK(emb, "embedding", "vec_id", queries, 10)
 
-    for (nPlanes <- Seq(4, 6, 8); probe <- Seq(false, true)) {
+    for (nPlanes <- Seq(4, 6, 8); radius <- 0 to 2) {
       val got = queries.map { case (qid, qv) =>
         qid -> Similarity.annTopK(emb, "embedding", "vec_id", qv, 10,
-            nPlanes = nPlanes, probeNeighbors = probe)
+            nPlanes = nPlanes, probeRadius = radius)
           .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
       }.toMap
       // scanned fraction: mean bucket-restricted scan size / corpus
       val frac = queries.map { case (_, qv) =>
-        Similarity.annScan(emb, "embedding", qv, nPlanes, probe).count().toDouble / n
+        Similarity.annScan(emb, "embedding", qv, nPlanes,
+          probeRadius = radius).count().toDouble / n
       }.sum / queries.size
-      println(f"LSH nPlanes=$nPlanes probe=$probe recall=${Recall.recallOf(truth, got)}%.3f scanned=$frac%.3f")
+      println(f"LSH nPlanes=$nPlanes radius=$radius recall=${Recall.recallOf(truth, got)}%.3f scanned=$frac%.3f")
     }
 
     for (k <- Seq(8, 16); nprobe <- Seq(1, 2, 4)) {

@@ -240,6 +240,37 @@ class AnnRecallSpec extends SparkSpecBase {
     assigned.unpersist(); corpus.unpersist()
   }
 
+  test("multi-probe radius trades scan fraction for recall monotonically") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 400).map(i => (i.toLong, randVec(rng).toSeq))
+    val corpus = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .cache()
+    val queries = rows.take(12).map { case (i, v) => (i, v.toArray) }
+    val truth = Recall.truthAtK(corpus, "embedding", "vec_id", queries, 10)
+    val nPlanes = 6
+    val recalls = (0 to 2).map { radius =>
+      val got = queries.map { case (qid, qv) =>
+        qid -> Similarity.annTopK(corpus, "embedding", "vec_id", qv, 10,
+            nPlanes = nPlanes, probeRadius = radius)
+          .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+      }.toMap
+      Recall.recallOf(truth, got)
+    }
+    assert(recalls(0) <= recalls(1) && recalls(1) <= recalls(2),
+      s"recall must grow with radius: $recalls")
+    // radius = nPlanes probes every bucket => identical to brute force
+    val full = queries.map { case (qid, qv) =>
+      qid -> Similarity.annTopK(corpus, "embedding", "vec_id", qv, 10,
+          nPlanes = nPlanes, probeRadius = nPlanes)
+        .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+    }.toMap
+    assert(Recall.recallOf(truth, full) == 1.0)
+    corpus.unpersist()
+  }
+
   test("ANN on random vectors still concentrates: recall > scanned fraction") {
     val s = spark
     import s.implicits._
