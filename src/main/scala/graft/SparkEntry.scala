@@ -608,6 +608,60 @@ object SparkEntry {
         rm(new java.io.File(dir))
       }
     }),
+    "q_bson_roundtrip" -> ((s, d) => {
+      // BSON source+sink (from-scratch bsonspec.org wire format —
+      // reference: bson.decode_file_iter / BSON.encode per record,
+      // common/iterable.py:138-139): values must survive the
+      // write->read trip, verified by aggregating the READ-BACK table
+      // against the oracle's aggregate over the original parquet.
+      // FIXED staging dir per input (overwritten each run): the result
+      // plan stays lazy over the staged file — same pattern as
+      // q_analyze_file.
+      val nat = t(s, d, "nation")
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-qbson-" +
+        java.lang.Integer.toHexString(d.hashCode)
+      graft.sources.Converter.write(nat, s"$dir/nation.bson", "bson")
+      val back = graft.sources.Converter.read(s, s"$dir/nation.bson",
+        graft.sources.Converter.ReadOptions("bson"))
+      back.groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("n_nationkey").cast("long").as("s"),
+          max("n_name").as("max_name"))
+        .orderBy("n_regionkey")
+    }),
+    "q_xlsx_roundtrip" -> ((s, d) => {
+      // XLSX source+sink (from-scratch ECMA-376 zip; reference:
+      // openpyxl first-row-header semantics, converter.py:192-217).
+      // Numeric cells re-enter as JSON-inferred doubles/longs; the
+      // decimal(18,2) cast before summing makes both engines sum
+      // exactly, order-independent (same device as q_agg_pricing).
+      val sup = t(s, d, "supplier")
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-qxlsx-" +
+        java.lang.Integer.toHexString(d.hashCode)
+      graft.sources.Converter.write(sup, s"$dir/supplier.xlsx", "xlsx")
+      val back = graft.sources.Converter.read(s, s"$dir/supplier.xlsx",
+        graft.sources.Converter.ReadOptions("xlsx"))
+      back.groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+        .orderBy("s_nationkey")
+    }),
+    "q_docx_table" -> ((s, d) => {
+      // DOCX table scan (from-scratch WordprocessingML zip; reference:
+      // formats/docx.py table extraction): region rows staged INTO a
+      // document table, read back through the merge-aware parser.
+      val reg = t(s, d, "region").orderBy("r_regionkey").collect()
+        .map(r => Seq(r.get(0).toString, r.get(1).toString)).toSeq
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-qdocx-" +
+        java.lang.Integer.toHexString(d.hashCode)
+      new java.io.File(dir).mkdirs()
+      val path = s"$dir/region.docx"
+      graft.sources.DocxTables.writeTable(Seq("r_regionkey", "r_name") +: reg, path)
+      graft.sources.Converter.read(s, path,
+        graft.sources.Converter.ReadOptions("docx"))
+        .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+        .orderBy("r_regionkey")
+    }),
     "q_multimodal_features" -> ((s, d) => {
       // stubbed-codec media pipeline: deterministic per-kind profile
       val feats = graft.multimodal.Multimodal.decodeFeatures(
@@ -1437,6 +1491,18 @@ object SparkEntry {
         |SELECT id_a, id_b, round(sim, 3) AS sim FROM j
         |WHERE sim >= 0.35 ORDER BY id_a, id_b""".stripMargin,
     "q_convert_roundtrip" -> "SELECT CAST(0 AS BIGINT) AS n_mismatch",
+    "q_bson_roundtrip" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |CAST(count(*) AS BIGINT) AS n, CAST(sum(n_nationkey) AS BIGINT) AS s,
+        |max(n_name) AS max_name FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_xlsx_roundtrip" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+        |CAST(count(*) AS BIGINT) AS n,
+        |CAST(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS DOUBLE) AS sum_bal
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_docx_table" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+        |FROM region ORDER BY 1""".stripMargin,
     "q_multimodal_features" ->
       """SELECT kind, CAST(n AS BIGINT) AS n, CAST(min_w AS INT) AS min_w,
         |CAST(max_w AS INT) AS max_w FROM (VALUES

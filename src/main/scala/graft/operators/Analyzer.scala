@@ -233,6 +233,9 @@ object Analyzer {
         else if (n.endsWith(".parquet")) "parquet"
         else if (n.endsWith(".orc")) "orc"
         else if (n.endsWith(".avro")) "avro"
+        else if (n.endsWith(".bson")) "bson"
+        else if (n.endsWith(".xlsx")) "xlsx"
+        else if (n.endsWith(".docx")) "docx"
         else "csv"
       }
     val (enc, delim) =

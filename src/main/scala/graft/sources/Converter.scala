@@ -11,10 +11,10 @@ import org.apache.spark.sql.types._
   * 1000-record discovery pass; its distributed write replaces the
   * 50k-record batching.
   *
-  * Formats: csv, jsonl (json-lines), parquet, orc, avro as sources
-  * AND sinks; json (multiline doc/array) and xml are READ-ONLY
-  * (the reference converts OUT of those shapes into row formats —
-  * jsonl is the json sink). Compression codecs on text formats
+  * Formats: csv, jsonl (json-lines), parquet, orc, avro, bson, xlsx
+  * as sources AND sinks; json (multiline doc/array), xml and docx
+  * tables are READ-ONLY (the reference converts OUT of those shapes
+  * into row formats — jsonl is the json sink). Compression codecs on text formats
   * (gz/bz2/xz... whatever Hadoop codecs ship) come free via file
   * extension on read and `compression` option on write. Default
   * output codecs mirror the reference: parquet=brotli-if-available
@@ -89,8 +89,33 @@ object Converter {
       case "avro" =>
         if (avroDatasourceAvailable(spark)) spark.read.format("avro").load(path)
         else AvroLocal.read(spark, path)
+      case "bson" => BsonLocal.read(spark, path)
+      case "xlsx" =>
+        // tagname doubles as the sheet index (the reference's
+        // start_page, converter.py:192), mirroring its use as the XML
+        // rowTag / JSON array key
+        XlsxLocal.read(spark, singleLocalFile(path, ".xlsx"),
+          page = if (o.tagname.forall(_.isDigit) && o.tagname.nonEmpty)
+            o.tagname.toInt else 0)
+      case "docx" =>
+        DocxTables.read(spark, singleLocalFile(path, ".docx"),
+          tableIndex = if (o.tagname.forall(_.isDigit) && o.tagname.nonEmpty)
+            o.tagname.toInt else 0)
       case f => throw new IllegalArgumentException(s"unsupported source format: $f")
     }
+
+  /** The zip-container local readers need one FILE; accept the
+    * directory our own sinks write and pick its single part file.
+    */
+  private def singleLocalFile(path: String, suffix: String): String = {
+    val f = new java.io.File(path)
+    if (!f.isDirectory) path
+    else f.listFiles().filter(_.getName.endsWith(suffix)) match {
+      case Array(one) => one.getAbsolutePath
+      case parts => throw new IllegalArgumentException(
+        s"$path: expected exactly one $suffix part file, found ${parts.length}")
+    }
+  }
 
   /** Is the spark-avro CONNECTOR on the classpath? (The core avro jar
     * always is; the datasource module is a separate artifact.)
@@ -153,6 +178,14 @@ object Converter {
           AvroLocal.write(df, s"$path/part-00000.avro",
             if (compression.nonEmpty) compression else "deflate")
         }
+      case "bson" =>
+        // reference writes BSON one bson.BSON.encode(dict) at a time
+        // (converter.py:141-147) — same single-stream shape here
+        new java.io.File(path).mkdirs()
+        BsonLocal.write(df, s"$path/part-00000.bson")
+      case "xlsx" =>
+        new java.io.File(path).mkdirs()
+        XlsxLocal.write(df, s"$path/part-00000.xlsx")
       case f => throw new IllegalArgumentException(s"unsupported sink format: $f")
     }
   }

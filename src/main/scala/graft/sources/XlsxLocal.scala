@@ -1,0 +1,403 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+import java.nio.charset.StandardCharsets.UTF_8
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+/** XLSX source/sink built from scratch on the public OOXML container
+  * layout (ECMA-376: a zip holding `xl/workbook.xml`,
+  * `xl/worksheets/sheetN.xml`, optional `xl/sharedStrings.xml`) —
+  * JDK zip + StAX only, no POI. The reference reads spreadsheets via
+  * openpyxl with first-row-as-field-names semantics and a start_page /
+  * start_line window (undatum/cmds/converter.py:192-217 xlsx_to_jsonl)
+  * and writes tables back as xlsx (formats/docx.py:55-58); this mirrors
+  * both directions.
+  *
+  * Shape contract (matches xlsx_to_jsonl): row 1 = field names unless
+  * `fields` is given; each later row becomes a record of
+  * (field -> cell value); records run through `spark.read.json` so
+  * Spark's inference assigns column types exactly as the jsonl
+  * convert path would.
+  *
+  * Scale note: XLSX is a driver-side bounded read by format nature
+  * (one zip, central directory, shared-string table) — the reference
+  * is equally single-threaded here. Spreadsheets are an ingest/export
+  * format; convert to parquet for anything large.
+  */
+object XlsxLocal {
+
+  // ------------------------------------------------------------------
+  // read
+  // ------------------------------------------------------------------
+
+  /** One parsed cell: lexical value + the sheet's own type tag
+    * ('n' number, 's' string — shared/inline/formula-cached, 'b'
+    * boolean). Keeping the tag is what lets a STRING cell "123"
+    * round-trip as a string instead of being re-guessed as a number.
+    */
+  final case class Cell(lex: String, kind: Char)
+
+  /** Raw cell grid of sheet `page` (0-based, workbook order): rows of
+    * typed cells, `null` for gaps. Values keep their XML lexical form:
+    * numbers as the <v> text, shared/inline strings resolved, booleans
+    * as "true"/"false".
+    */
+  def sheetRows(path: String, page: Int = 0): Vector[Vector[Cell]] = {
+    val zip = new java.util.zip.ZipFile(path)
+    try {
+      val shared = Option(zip.getEntry("xl/sharedStrings.xml"))
+        .map(e => parseSharedStrings(zip.getInputStream(e)))
+        .getOrElse(Vector.empty)
+      val sheetName = sheetEntryName(zip, page)
+      val entry = Option(zip.getEntry(sheetName)).getOrElse(
+        throw new IllegalArgumentException(s"$path: no worksheet $sheetName"))
+      parseSheet(zip.getInputStream(entry), shared)
+    } finally zip.close()
+  }
+
+  /** Worksheet zip-entry for `page`: resolve workbook.xml's sheet list
+    * through its .rels when present; fall back to the conventional
+    * sheetN.xml naming.
+    */
+  private def sheetEntryName(zip: java.util.zip.ZipFile, page: Int): String = {
+    val viaRels =
+      for {
+        wb <- Option(zip.getEntry("xl/workbook.xml"))
+        rels <- Option(zip.getEntry("xl/_rels/workbook.xml.rels"))
+      } yield {
+        val sheetRids = collectAttrs(zip.getInputStream(wb), "sheet", "id",
+          alsoMatchNsId = true)
+        val relMap = collectRels(zip.getInputStream(rels))
+        sheetRids.lift(page).flatMap(relMap.get)
+          .map(t => if (t.startsWith("/")) t.drop(1) else s"xl/$t")
+      }
+    viaRels.flatten.getOrElse(s"xl/worksheets/sheet${page + 1}.xml")
+  }
+
+  /** All values of attribute `attr` on elements named `elem`, document
+    * order. Sheet r:id attributes live in the relationships namespace —
+    * `alsoMatchNsId` accepts any-namespace local name "id".
+    */
+  private def collectAttrs(in: java.io.InputStream, elem: String, attr: String,
+                           alsoMatchNsId: Boolean): Vector[String] = {
+    val r = staxReader(in)
+    val out = Vector.newBuilder[String]
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == elem) {
+          var i = 0
+          var found: String = null
+          while (i < r.getAttributeCount && found == null) {
+            if (r.getAttributeLocalName(i) == attr ||
+                (alsoMatchNsId && r.getAttributeLocalName(i) == "id"))
+              found = r.getAttributeValue(i)
+            i += 1
+          }
+          if (found != null) out += found
+        }
+      }
+    } finally r.close()
+    out.result()
+  }
+
+  private def collectRels(in: java.io.InputStream): Map[String, String] = {
+    val r = staxReader(in)
+    val out = Map.newBuilder[String, String]
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "Relationship") {
+          var id: String = null; var target: String = null
+          var i = 0
+          while (i < r.getAttributeCount) {
+            r.getAttributeLocalName(i) match {
+              case "Id" => id = r.getAttributeValue(i)
+              case "Target" => target = r.getAttributeValue(i)
+              case _ =>
+            }
+            i += 1
+          }
+          if (id != null && target != null) out += id -> target
+        }
+      }
+    } finally r.close()
+    out.result()
+  }
+
+  private def staxReader(in: java.io.InputStream) = {
+    val f = XMLInputFactory.newInstance()
+    // zip content is local and trusted only as data: still disable
+    // DTD/external-entity resolution defensively
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES,
+      java.lang.Boolean.FALSE)
+    f.createXMLStreamReader(in, "UTF-8")
+  }
+
+  /** sharedStrings.xml: one entry per <si>, concatenating its <t> runs
+    * (rich-text si elements hold several <r><t> runs).
+    */
+  private def parseSharedStrings(in: java.io.InputStream): Vector[String] = {
+    val r = staxReader(in)
+    val out = Vector.newBuilder[String]
+    val cur = new java.lang.StringBuilder
+    var inSi = false
+    var inT = false
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "si" => inSi = true; cur.setLength(0)
+              case "t" if inSi => inT = true
+              case _ =>
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (inT) cur.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "t" => inT = false
+              case "si" => inSi = false; out += cur.toString
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+    } finally r.close()
+    out.result()
+  }
+
+  /** Column index from a cell reference: "A1"->0, "C5"->2, "AA3"->26. */
+  private[graft] def colIndex(ref: String): Int = {
+    var i = 0
+    var v = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      v = v * 26 + (ref.charAt(i).toUpper - 'A' + 1)
+      i += 1
+    }
+    v - 1
+  }
+
+  private def parseSheet(in: java.io.InputStream,
+                         shared: Vector[String]): Vector[Vector[Cell]] = {
+    val r = staxReader(in)
+    val rows = Vector.newBuilder[Vector[Cell]]
+    var row: scala.collection.mutable.ArrayBuffer[Cell] = null
+    var cellCol = -1
+    var cellType = "n"
+    var inV = false
+    var inIsT = false
+    val text = new java.lang.StringBuilder
+    var pendingValue: String = null
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "row" =>
+                row = scala.collection.mutable.ArrayBuffer.empty[Cell]
+              case "c" if row != null =>
+                cellType = "n"; cellCol = row.length; pendingValue = null
+                var i = 0
+                while (i < r.getAttributeCount) {
+                  r.getAttributeLocalName(i) match {
+                    case "r" => cellCol = colIndex(r.getAttributeValue(i))
+                    case "t" => cellType = r.getAttributeValue(i)
+                    case _ =>
+                  }
+                  i += 1
+                }
+              case "v" => inV = true; text.setLength(0)
+              case "t" if cellType == "inlineStr" => inIsT = true; text.setLength(0)
+              case _ =>
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (inV || inIsT) text.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "v" =>
+                inV = false; pendingValue = text.toString
+              case "t" if inIsT =>
+                inIsT = false; pendingValue = text.toString
+              case "c" if row != null =>
+                val v: Cell = (cellType, pendingValue) match {
+                  case (_, null) => null
+                  case ("s", idx) => Cell(shared(idx.trim.toInt), 's')
+                  case ("b", x) => Cell(if (x.trim == "1") "true" else "false", 'b')
+                  case ("inlineStr" | "str", x) => Cell(x, 's')
+                  case (_, x) => Cell(x, 'n') // numeric cell, lexical form
+                }
+                while (row.length < cellCol) row += null // reference gaps
+                if (cellCol >= 0 && v != null) {
+                  if (row.length == cellCol) row += v else row(cellCol) = v
+                }
+              case "row" =>
+                rows += row.toVector; row = null
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+    } finally r.close()
+    rows.result()
+  }
+
+  private def isNumeric(s: String): Boolean =
+    s.nonEmpty && scala.util.Try(java.lang.Double.parseDouble(s)).isSuccess
+
+  /** Read sheet `page` with first-row-as-header semantics into a
+    * DataFrame (types via Spark's JSON inference — the same path an
+    * xlsx→jsonl convert would take). `startLine` skips leading rows
+    * BEFORE the header, `fields` overrides the header row entirely
+    * (then row 1 is data) — both per the reference's converter
+    * options.
+    */
+  def read(spark: SparkSession, path: String, page: Int = 0,
+           startLine: Int = 0, fields: Seq[String] = Nil): DataFrame = {
+    import spark.implicits._
+    val grid = sheetRows(path, page).drop(startLine)
+    require(grid.nonEmpty, s"$path: sheet $page has no rows after startLine=$startLine")
+    val (header, data) =
+      if (fields.nonEmpty) (fields.toVector, grid)
+      else (grid.head.map(v => if (v == null) "" else v.lex), grid.tail)
+    val jsonLines = data.map { cells =>
+      val sb = new java.lang.StringBuilder("{")
+      var first = true
+      header.zipWithIndex.foreach { case (name, i) =>
+        val v = if (i < cells.length) cells(i) else null
+        if (v != null) {
+          if (!first) sb.append(',')
+          first = false
+          appendJson(sb, name)
+          sb.append(':')
+          // the sheet's own type tag decides the JSON shape — a string
+          // cell "123" stays a string
+          if (v.kind == 'b' || (v.kind == 'n' && isNumeric(v.lex))) sb.append(v.lex)
+          else appendJson(sb, v.lex)
+        }
+      }
+      sb.append('}').toString
+    }
+    spark.read.json(spark.createDataset(jsonLines))
+  }
+
+  private def appendJson(sb: java.lang.StringBuilder, s: String): Unit = {
+    sb.append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u$c%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+    ()
+  }
+
+  // ------------------------------------------------------------------
+  // write
+  // ------------------------------------------------------------------
+
+  private def xmlEscape(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case c => c.toString
+    }
+
+  private def colRef(c: Int): String = {
+    var v = c + 1
+    val sb = new java.lang.StringBuilder
+    while (v > 0) {
+      val rem = (v - 1) % 26
+      sb.insert(0, ('A' + rem).toChar)
+      v = (v - 1) / 26
+    }
+    sb.toString
+  }
+
+  /** Write `df` as a minimal single-sheet XLSX (inline strings — no
+    * sharedStrings table; numbers/booleans as native cell types).
+    * Single-stream driver-side, like the reference's openpyxl writer.
+    */
+  def write(df: DataFrame, path: String): Unit = {
+    val flat = Converter.makeFlat(df)
+    val schema = flat.schema
+    val zo = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zo.putNextEntry(new java.util.zip.ZipEntry(name))
+      zo.write(content.getBytes(UTF_8))
+      zo.closeEntry()
+    }
+    try {
+      put("[Content_Types].xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+          |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+          |<Default Extension="xml" ContentType="application/xml"/>
+          |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+          |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+          |</Types>""".stripMargin)
+      put("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+          |</Relationships>""".stripMargin)
+      put("xl/workbook.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
+          |</workbook>""".stripMargin)
+      put("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+          |</Relationships>""".stripMargin)
+
+      zo.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+      val w = new java.io.OutputStreamWriter(zo, UTF_8)
+      w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      var rowNum = 1
+      def writeRow(values: Seq[(Any, DataType)]): Unit = {
+        w.write(s"""<row r="$rowNum">""")
+        values.zipWithIndex.foreach { case ((v, dt), c) =>
+          if (v != null) {
+            val ref = s"${colRef(c)}$rowNum"
+            dt match {
+              case ByteType | ShortType | IntegerType | LongType | FloatType |
+                   DoubleType | _: DecimalType =>
+                w.write(s"""<c r="$ref"><v>${v.toString}</v></c>""")
+              case BooleanType =>
+                val b = if (v.asInstanceOf[Boolean]) "1" else "0"
+                w.write(s"""<c r="$ref" t="b"><v>$b</v></c>""")
+              case _ =>
+                w.write(s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">""" +
+                  xmlEscape(v.toString) + "</t></is></c>")
+            }
+          }
+        }
+        w.write("</row>")
+        rowNum += 1
+      }
+      writeRow(schema.fields.map(f => (f.name: Any, StringType: DataType)).toSeq)
+      val it = flat.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        writeRow(schema.fields.indices.map(i =>
+          ((if (r.isNullAt(i)) null else r.get(i)): Any, schema(i).dataType)))
+      }
+      w.write("</sheetData></worksheet>")
+      w.flush()
+      zo.closeEntry()
+    } finally zo.close()
+  }
+}

@@ -1,0 +1,253 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{BsonLocal, Converter, DocxTables, XlsxLocal}
+import graft.sources.Converter.ReadOptions
+
+/** The three formats implemented from scratch in round 4: BSON
+  * (bsonspec.org wire format — the reference's
+  * `bson.decode_file_iter` / `bson.BSON.encode` stream,
+  * common/iterable.py:138-139, 203-205), XLSX (ECMA-376 zip, openpyxl
+  * semantics of converter.py:192-217) and DOCX tables (ECMA-376
+  * WordprocessingML, formats/docx.py merge semantics).
+  */
+class FormatsSpec extends SparkSpecBase {
+
+  private def hex(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
+
+  // ---------------------------------------------------------------- BSON
+
+  test("bson encoder reproduces the spec's own example bytes") {
+    // bsonspec.org faq example: {"hello": "world"} =
+    // \x16\x00\x00\x00\x02hello\x00\x06\x00\x00\x00world\x00\x00
+    val schema = StructType(Seq(StructField("hello", StringType)))
+    val bytes = BsonLocal.encodeRow(Row("world"), schema)
+    assert(hex(bytes) ==
+      "16000000" + "02" + hex("hello".getBytes) + "00" +
+        "06000000" + hex("world".getBytes) + "00" + "00")
+
+    // the spec's second example: {"BSON": ["awesome", 5.05, 1986]},
+    // documented total size 0x31 — hand-build and decode
+    def doc(body: Array[Byte]): Array[Byte] = {
+      val t = new java.io.ByteArrayOutputStream()
+      val n = body.length + 5
+      t.write(n); t.write(n >> 8); t.write(n >> 16); t.write(n >> 24)
+      t.write(body); t.write(0); t.toByteArray
+    }
+    val inner = new java.io.ByteArrayOutputStream()
+    def i32(v: Int): Unit = { inner.write(v); inner.write(v >> 8); inner.write(v >> 16); inner.write(v >> 24) }
+    inner.write(0x02); inner.write('0'); inner.write(0)
+    i32(8); inner.write("awesome".getBytes); inner.write(0)
+    inner.write(0x01); inner.write('1'); inner.write(0)
+    val dbits = java.lang.Double.doubleToLongBits(5.05)
+    (0 until 8).foreach(k => inner.write(((dbits >> (8 * k)) & 0xFF).toInt))
+    inner.write(0x10); inner.write('2'); inner.write(0)
+    i32(1986)
+    val outer = new java.io.ByteArrayOutputStream()
+    outer.write(0x04); outer.write("BSON".getBytes); outer.write(0)
+    outer.write(doc(inner.toByteArray))
+    val doc2 = doc(outer.toByteArray)
+    assert(doc2.length == 0x31) // the spec documents total size 49
+    assert(BsonLocal.toJsonLines(doc2).toSeq ==
+      Seq("""{"BSON":["awesome",5.05,1986]}"""))
+  }
+
+  test("bson round trip: scalars, arrays, structs, nulls, binary, timestamp") {
+    val s = spark
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType),
+      StructField("score", DoubleType),
+      StructField("ok", BooleanType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("nested", StructType(Seq(
+        StructField("a", IntegerType), StructField("b", StringType)))),
+      StructField("blob", BinaryType),
+      StructField("ts", TimestampType)
+    ))
+    val rows = Seq(
+      Row(1L, "alpha", 1.5, true, Seq("x", "y"), Row(7, "in"),
+        Array[Byte](1, 2, 3), java.sql.Timestamp.valueOf("2024-03-01 12:30:45")),
+      Row(2L, "beta \"q\"\nline", null, false, Seq.empty[String], null,
+        null, null),
+      Row(3L, null, -0.25, null, null, Row(null, "z"), Array[Byte](), null)
+    )
+    val df = s.createDataFrame(s.sparkContext.parallelize(rows), schema)
+    val dir = tmpDir("bson-rt")
+    Converter.write(df, s"$dir/t.bson", "bson")
+    val back = Converter.read(s, s"$dir/t.bson", ReadOptions("bson"))
+    assert(back.count() == 3)
+    val byId = back.orderBy("id").collect()
+    assert(byId(0).getAs[String]("name") == "alpha")
+    assert(byId(1).getAs[String]("name") == "beta \"q\"\nline")
+    assert(byId(0).getAs[scala.collection.Seq[String]]("tags").toSeq == Seq("x", "y"))
+    assert(byId(0).getAs[Row]("nested").getAs[Long]("a") == 7L)
+    assert(byId(0).getAs[Double]("score") == 1.5)
+    assert(byId(2).getAs[Double]("score") == -0.25)
+    // binary -> base64 string (documented mapping)
+    assert(byId(0).getAs[String]("blob") ==
+      java.util.Base64.getEncoder.encodeToString(Array[Byte](1, 2, 3)))
+    // datetime -> ISO-8601 UTC string
+    assert(byId(0).getAs[String]("ts").startsWith("2024-03-01T12:30:45"))
+  }
+
+  test("bson decoder: objectid, regex, datetime, int32 vs int64, nested doc") {
+    // hand-built document exercising types the encoder never emits
+    val o = new java.io.ByteArrayOutputStream()
+    def cstr(s: String): Unit = { o.write(s.getBytes); o.write(0) }
+    def i32(v: Int): Unit = { o.write(v); o.write(v >> 8); o.write(v >> 16); o.write(v >> 24) }
+    def i64(v: Long): Unit = (0 until 8).foreach(k => o.write(((v >> (8 * k)) & 0xFF).toInt))
+    o.write(0x07); cstr("_id")
+    (0 until 12).foreach(i => o.write(i))
+    o.write(0x0B); cstr("re"); cstr("^a.*b$"); cstr("i")
+    o.write(0x09); cstr("when"); i64(0L) // epoch
+    o.write(0x10); cstr("small"); i32(-5)
+    o.write(0x12); cstr("big"); i64(1L << 40)
+    o.write(0x0A); cstr("none")
+    val body = o.toByteArray
+    val doc = {
+      val t = new java.io.ByteArrayOutputStream()
+      def t32(v: Int): Unit = { t.write(v); t.write(v >> 8); t.write(v >> 16); t.write(v >> 24) }
+      t32(body.length + 5); t.write(body); t.write(0); t.toByteArray
+    }
+    val json = BsonLocal.toJsonLines(doc).toSeq.head
+    assert(json.contains(""""_id":"000102030405060708090a0b""""))
+    assert(json.contains(""""re":"/^a.*b$/i""""))
+    assert(json.contains(""""when":"1970-01-01T00:00:00Z""""))
+    assert(json.contains(""""small":-5"""))
+    assert(json.contains(""""big":1099511627776"""))
+    assert(json.contains(""""none":null"""))
+  }
+
+  test("bson read is distributed per file (many files -> one scan)") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("bson-many")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    BsonLocal.write(df.where("k = 1"), s"$dir/p0.bson")
+    BsonLocal.write(df.where("k = 2"), s"$dir/p1.bson")
+    val back = BsonLocal.read(s, dir)
+    assert(back.count() == 2)
+    assert(back.agg(sum("k")).head.getLong(0) == 3L)
+  }
+
+  // ---------------------------------------------------------------- XLSX
+
+  test("xlsx round trip via Converter: header, types, strings with escapes") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "plain", 1.5, true),
+      (2L, "needs & <escaping> \"here\"", -2.0, false),
+      (3L, "123", 0.0, true) // STRING cell "123" must stay a string
+    ).toDF("id", "name", "score", "flag")
+    val dir = tmpDir("xlsx-rt")
+    Converter.write(df, s"$dir/t.xlsx", "xlsx")
+    val back = Converter.read(s, s"$dir/t.xlsx", ReadOptions("xlsx"))
+      .orderBy("id")
+    assert(back.columns.sorted.toSeq == Seq("flag", "id", "name", "score"))
+    val rows = back.collect()
+    assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(1).getAs[String]("name") == "needs & <escaping> \"here\"")
+    assert(rows(2).getAs[String]("name") == "123") // type tag respected
+    assert(rows(0).getAs[Double]("score") == 1.5)
+    assert(rows(0).getAs[Boolean]("flag"))
+    assert(!rows(1).getAs[Boolean]("flag"))
+  }
+
+  test("xlsx reader: shared strings, cell-ref gaps, column refs") {
+    assert(XlsxLocal.colIndex("A1") == 0)
+    assert(XlsxLocal.colIndex("C5") == 2)
+    assert(XlsxLocal.colIndex("AA3") == 26)
+    // hand-built workbook with a sharedStrings table and a gap (B skipped)
+    val dir = tmpDir("xlsx-hand")
+    val path = s"$dir/hand.xlsx"
+    val zo = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(n: String, c: String): Unit = {
+      zo.putNextEntry(new java.util.zip.ZipEntry(n))
+      zo.write(c.getBytes("UTF-8")); zo.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook xmlns="x" xmlns:r="y"><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="z"><Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>""")
+    put("xl/sharedStrings.xml",
+      """<sst xmlns="x"><si><t>a</t></si><si><r><t>ri</t></r><r><t>ch</t></r></si></sst>""")
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="x"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="inlineStr"><is><t>n</t></is></c></row>
+        |<row r="2"><c r="A2"><v>10</v></c><c r="C2"><v>30</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zo.close()
+    val grid = XlsxLocal.sheetRows(path)
+    assert(grid(0).map(_.lex) == Vector("a", "rich", "n")) // rich-text si concatenated
+    assert(grid(1) == Vector(XlsxLocal.Cell("10", 'n'), null, XlsxLocal.Cell("30", 'n')))
+    val df = XlsxLocal.read(spark, path)
+    val r = df.head
+    assert(r.getAs[Long]("a") == 10L && r.getAs[Long]("n") == 30L)
+    // the gap column "rich" has no values, so inference drops it
+    assert(!df.columns.contains("rich"))
+  }
+
+  // ---------------------------------------------------------------- DOCX
+
+  test("docx tables: extraction, gridSpan repeat, vMerge continuation") {
+    val dir = tmpDir("docx")
+    val path = s"$dir/doc.docx"
+    // build a docx whose document.xml carries merge markup directly
+    val zo = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    zo.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    zo.write(
+      ("""<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body><w:tbl>""" +
+        // header row: A | B | C
+        "<w:tr><w:tc><w:p><w:r><w:t>A</w:t></w:r></w:p></w:tc>" +
+        "<w:tc><w:p><w:r><w:t>B</w:t></w:r></w:p></w:tc>" +
+        "<w:tc><w:p><w:r><w:t>C</w:t></w:r></w:p></w:tc></w:tr>" +
+        // row 2: gridSpan=2 cell "wide" (covers A,B), vMerge restart "v1"
+        "<w:tr><w:tc><w:tcPr><w:gridSpan w:val=\"2\"/></w:tcPr><w:p><w:r><w:t>wide</w:t></w:r></w:p></w:tc>" +
+        "<w:tc><w:tcPr><w:vMerge w:val=\"restart\"/></w:tcPr><w:p><w:r><w:t>v1</w:t></w:r></w:p></w:tc></w:tr>" +
+        // row 3: two normal cells + vMerge continue (inherits v1);
+        // multi-paragraph cell text joins with a space
+        "<w:tr><w:tc><w:p><w:r><w:t>x</w:t></w:r></w:p><w:p><w:r><w:t>y</w:t></w:r></w:p></w:tc>" +
+        "<w:tc><w:p><w:r><w:t>z</w:t></w:r></w:p></w:tc>" +
+        "<w:tc><w:tcPr><w:vMerge/></w:tcPr><w:p/></w:tc></w:tr>" +
+        "</w:tbl></w:body></w:document>").getBytes("UTF-8"))
+    zo.closeEntry(); zo.close()
+    val ts = DocxTables.tables(path)
+    assert(ts.length == 1)
+    assert(ts(0)(0) == Vector("A", "B", "C"))
+    assert(ts(0)(1) == Vector("wide", "wide", "v1")) // span repeats (docx.py:23-24)
+    assert(ts(0)(2) == Vector("x y", "z", "v1")) // vMerge inherits (docx.py:21-22)
+  }
+
+  test("docx writeTable -> read round trip through Converter") {
+    val s = spark
+    val dir = tmpDir("docx-rt")
+    val path = s"$dir/t.docx"
+    DocxTables.writeTable(Seq(
+      Seq("name", "qty"), Seq("ab <&> c", "3"), Seq("d", "4")), path)
+    val df = Converter.read(s, path, ReadOptions("docx")).orderBy("qty")
+    assert(df.count() == 2)
+    assert(df.head.getAs[String]("name") == "ab <&> c")
+    // docx cells are text by nature — the reference stores extracted
+    // tables as CSV strings too (docx.py __store_table)
+    assert(df.collect().map(_.getAs[String]("qty")).toSeq == Seq("3", "4"))
+  }
+
+  test("analyzeFile dispatches bson/xlsx/docx by extension") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("an-fmt")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    BsonLocal.write(df, s"$dir/t.bson")
+    XlsxLocal.write(df, s"$dir/t.xlsx")
+    DocxTables.writeTable(Seq(Seq("k", "v"), Seq("1", "a")), s"$dir/t.docx")
+    assert(graft.operators.Analyzer.analyzeFile(s, s"$dir/t.bson").format == "bson")
+    assert(graft.operators.Analyzer.analyzeFile(s, s"$dir/t.bson").df.count() == 2)
+    assert(graft.operators.Analyzer.analyzeFile(s, s"$dir/t.xlsx").df.count() == 2)
+    assert(graft.operators.Analyzer.analyzeFile(s, s"$dir/t.docx").df.count() == 1)
+  }
+}
