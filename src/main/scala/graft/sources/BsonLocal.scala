@@ -34,10 +34,10 @@ import java.nio.charset.StandardCharsets.UTF_8
   * directly; datetime (0x09) → ISO-8601 UTC string; ObjectId (0x07) →
   * 24-char hex string; binary (0x05) → base64 string; regex (0x0B) →
   * "/pattern/options"; JS code (0x0D) → string; timestamp (0x11) →
-  * int64; null/undefined/minkey/maxkey → null. decimal128 (0x13) is
-  * rejected with a clear error (out of scope; the reference's Python
-  * bson maps it to Decimal128 objects that its own JSON dump also
-  * cannot serialize).
+  * int64; null/undefined/minkey/maxkey → null; decimal128 (0x13) →
+  * full-precision decimal string via a from-scratch IEEE 754-2008 BID
+  * decoder (the reference's Python bson maps it to Decimal128 objects
+  * that its own JSON dump cannot serialize at all).
   */
 object BsonLocal {
 
@@ -154,11 +154,44 @@ object BsonLocal {
       o
     case 0x10 => sb.append(readInt32(b, off)); off + 4
     case 0x11 | 0x12 => sb.append(readInt64(b, off)); off + 8 // timestamp / int64
-    case 0x13 =>
-      throw new UnsupportedOperationException(
-        "BSON decimal128 is out of scope (spec type 0x13)")
+    case 0x13 => // decimal128 (IEEE 754-2008 BID) -> decimal STRING:
+      // JSON numbers are doubles downstream, so quoting preserves all
+      // 34 digits (the reference's Python bson yields Decimal128
+      // objects its own JSON dump cannot serialize at all)
+      appendJsonString(sb, decimal128ToString(readInt64(b, off + 8), readInt64(b, off)))
+      off + 16
     case t =>
       throw new IllegalArgumentException(f"unknown BSON element type 0x$t%02x")
+  }
+
+  /** IEEE 754-2008 decimal128, BID (binary integer decimal) encoding —
+    * the layout BSON mandates. Field extraction follows the standard's
+    * two coefficient forms (high combination bits 11 vs not); the
+    * 14-bit biased exponent (bias 6176) and 113-bit coefficient yield
+    * coefficient × 10^exponent. A coefficient above 10^34-1 is
+    * non-canonical and reads as zero per the standard.
+    */
+  private[graft] def decimal128ToString(high: Long, low: Long): String = {
+    val neg = high < 0
+    if ((high & 0x7C00000000000000L) == 0x7C00000000000000L) return "NaN"
+    if ((high & 0x7800000000000000L) == 0x7800000000000000L)
+      return if (neg) "-Infinity" else "Infinity"
+    var exponent = 0
+    var sigHigh = 0L
+    if ((high & 0x6000000000000000L) == 0x6000000000000000L) {
+      exponent = ((high & 0x1FFFE00000000000L) >>> 47).toInt
+      sigHigh = 0x0002000000000000L | (high & 0x00007FFFFFFFFFFFL)
+    } else {
+      exponent = ((high & 0x7FFF800000000000L) >>> 49).toInt
+      sigHigh = high & 0x0001FFFFFFFFFFFFL
+    }
+    exponent -= 6176
+    val coeff = (BigInt(sigHigh) << 64) | (BigInt(low) & ((BigInt(1) << 64) - 1))
+    val c = if (coeff > BigInt("9999999999999999999999999999999999")) BigInt(0)
+            else coeff
+    val signed = if (neg) -c else c
+    new java.math.BigDecimal(new java.math.BigInteger(signed.toString), -exponent)
+      .toString
   }
 
   private def appendJsonString(sb: java.lang.StringBuilder, s: String): Unit = {

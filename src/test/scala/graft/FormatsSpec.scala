@@ -237,6 +237,120 @@ class FormatsSpec extends SparkSpecBase {
     assert(df.collect().map(_.getAs[String]("qty")).toSeq == Seq("3", "4"))
   }
 
+  test("bson decimal128: BID test vectors decode to exact decimal strings") {
+    // vectors from the public decimal128 corpus layout: high word =
+    // sign | biased exponent (bias 6176) << 49 | coefficient high
+    def dec(high: Long, low: Long): String = BsonLocal.decimal128ToString(high, low)
+    assert(dec(0x3040000000000000L, 1L) == "1") // exp 0
+    assert(dec(0xB040000000000000L, 1L) == "-1")
+    assert(dec((6175L << 49), 1L) == "0.1") // exp -1
+    assert(dec((6176L + 2) << 49, 5L) == "5E+2") // 5*10^2, BigDecimal sci form
+    assert(dec(0x3040000000000000L, 0L) == "0")
+    assert(dec(0x7C00000000000000L, 0L) == "NaN")
+    assert(dec(0x7800000000000000L, 0L) == "Infinity")
+    assert(dec(0xF800000000000000L, 0L) == "-Infinity")
+    // 34-digit max coefficient: 10^34-1 = 0x1ED09_BEAD87C0_378D8E63_FFFFFFFF
+    assert(dec(0x3040000000000000L | 0x0001ED09BEAD87C0L, 0x378D8E63FFFFFFFFL)
+      == "9999999999999999999999999999999999")
+    // the 11-form's implied-prefix coefficient overflows 34 digits -> 0
+    assert(dec(0x6000000000000000L | (6176L << 47), 0L) == "0")
+    // and it round-trips through a full document parse as a quoted string
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(0x13); body.write("d".getBytes); body.write(0)
+    (0 until 8).foreach(k => body.write(((1L >> (8 * k)) & 0xFF).toInt))
+    val hi = 6175L << 49
+    (0 until 8).foreach(k => body.write(((hi >> (8 * k)) & 0xFF).toInt))
+    val doc = {
+      val t = new java.io.ByteArrayOutputStream()
+      val n = body.size + 5
+      t.write(n); t.write(n >> 8); t.write(n >> 16); t.write(n >> 24)
+      body.writeTo(t); t.write(0); t.toByteArray
+    }
+    assert(BsonLocal.toJsonLines(doc).toSeq == Seq("""{"d":"0.1"}"""))
+  }
+
+  test("bson fuzz: 300 random mixed-schema rows survive the round trip") {
+    val s = spark
+    val rng = new scala.util.Random(42)
+    def randStr(): String = {
+      val n = rng.nextInt(12)
+      (0 until n).map { _ =>
+        rng.nextInt(6) match {
+          case 0 => ('a' + rng.nextInt(26)).toChar
+          case 1 => "\"\\\n\r\t".charAt(rng.nextInt(5))
+          case 2 => (0x410 + rng.nextInt(64)).toChar // Cyrillic
+          case 3 => (0x4E00 + rng.nextInt(100)).toChar // CJK
+          case 4 => ('0' + rng.nextInt(10)).toChar
+          case _ => (1 + rng.nextInt(0x1F)).toChar // control chars
+        }
+      }.mkString
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType),
+      StructField("d", DoubleType),
+      StructField("b", BooleanType),
+      StructField("arr", ArrayType(LongType)),
+      StructField("nest", StructType(Seq(StructField("x", StringType))))))
+    val rows = (0 until 300).map { i =>
+      Row(i.toLong,
+        if (rng.nextInt(10) == 0) null else randStr(),
+        if (rng.nextInt(10) == 0) null else rng.nextDouble() * math.pow(10, rng.nextInt(12) - 6),
+        if (rng.nextInt(10) == 0) null else rng.nextBoolean(),
+        if (rng.nextInt(10) == 0) null else Seq.fill(rng.nextInt(4))(rng.nextLong() >> 16),
+        if (rng.nextInt(10) == 0) null else Row(randStr()))
+    }
+    val df = s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 2), schema)
+    val dir = tmpDir("bson-fuzz")
+    BsonLocal.write(df, s"$dir/fuzz.bson")
+    val back = BsonLocal.read(s, s"$dir/fuzz.bson")
+    assert(back.count() == 300)
+    // canonical-string comparison on the shared scalar columns
+    val a = df.selectExpr("id", "CAST(s AS STRING) s", "CAST(d AS STRING) d",
+      "CAST(b AS STRING) b", "CAST(arr AS STRING) arr", "nest.x AS nx")
+    val bk = back.selectExpr("id", "CAST(s AS STRING) s", "CAST(d AS STRING) d",
+      "CAST(b AS STRING) b", "CAST(arr AS STRING) arr", "nest.x AS nx")
+    assert(a.exceptAll(bk).count() == 0 && bk.exceptAll(a).count() == 0)
+  }
+
+  test("xlsx fuzz: 300 random rows survive the round trip") {
+    val s = spark
+    val rng = new scala.util.Random(7)
+    def randStr(): String = {
+      val n = 1 + rng.nextInt(10)
+      (0 until n).map { _ =>
+        rng.nextInt(5) match {
+          case 0 => ('a' + rng.nextInt(26)).toChar
+          case 1 => "<>&\"'".charAt(rng.nextInt(5))
+          case 2 => (0x410 + rng.nextInt(64)).toChar
+          case 3 => ('0' + rng.nextInt(10)).toChar
+          case _ => ' '
+        }
+      }.mkString.trim + "x" // avoid pure-whitespace cells
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType),
+      StructField("d", DoubleType),
+      StructField("b", BooleanType)))
+    val rows = (0 until 300).map { i =>
+      Row(i.toLong,
+        if (rng.nextInt(10) == 0) null else randStr(),
+        if (rng.nextInt(10) == 0) null else rng.nextDouble() * 1000 - 500,
+        if (rng.nextInt(10) == 0) null else rng.nextBoolean())
+    }
+    val df = s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 2), schema)
+    val dir = tmpDir("xlsx-fuzz")
+    XlsxLocal.write(df, s"$dir/fuzz.xlsx")
+    val back = XlsxLocal.read(s, s"$dir/fuzz.xlsx")
+    assert(back.count() == 300)
+    val a = df.selectExpr("id", "CAST(s AS STRING) s", "CAST(d AS STRING) d",
+      "CAST(b AS STRING) b")
+    val bk = back.selectExpr("id", "CAST(s AS STRING) s", "CAST(d AS STRING) d",
+      "CAST(b AS STRING) b")
+    assert(a.exceptAll(bk).count() == 0 && bk.exceptAll(a).count() == 0)
+  }
+
   test("analyzeFile dispatches bson/xlsx/docx by extension") {
     val s = spark
     import s.implicits._
