@@ -250,23 +250,40 @@ object UndatumOps {
     * dotted/dashed/slashed EU, US slash, compact digits, English
     * month-name forms, 2-digit years, and ISO datetime).
     */
-  val dateFormats: Seq[String] =
-    Seq("yyyy-MM-dd", "dd.MM.yyyy", "MM/dd/yyyy", "yyyy/MM/dd",
-      "dd/MM/yyyy", "dd-MM-yyyy", "yyyyMMdd", "dd MMM yyyy",
-      "MMM dd, yyyy", "dd.MM.yy", "yyyy-MM-dd HH:mm:ss")
+  val dateFormats: Seq[String] = graft.functions.DateBank.formats
 
   /** Score candidate date formats for a string field: non-null
-    * `try_to_date` parse counts per format, one scan. The
-    * highest-scoring format is the field's detected date format — the
-    * distributed form of qddate's per-value pattern cascade.
+    * parse counts per format, one scan. The highest-scoring format is
+    * the field's detected date format — the distributed form of
+    * qddate's per-value pattern cascade. For the default bank the scan
+    * runs the native [[graft.functions.DateBank]] bitmask kernel
+    * (feature-guarded: ~1-2 parse attempts/row instead of 11, match
+    * set identical by construction — property-asserted against the
+    * declarative form); a custom bank takes the declarative path.
     */
   def dateFormatScores(df: DataFrame, field: String,
-                       formats: Seq[String] = dateFormats): DataFrame = {
+                       formats: Seq[String] = dateFormats): DataFrame =
+    if (formats == dateFormats) {
+      graft.functions.DateBank.register(df.sparkSession)
+      val m = call_function("date_bank_mask", col(field).cast(StringType))
+      val aggCols = formats.indices.map(i =>
+        sum(shiftright(m, i).bitwiseAND(lit(1))).cast(LongType).as(s"__c_$i"))
+      scoresTail(df.agg(aggCols.head, aggCols.tail: _*), formats)
+    } else dateFormatScoresDeclarative(df, field, formats)
+
+  /** The one-`try_to_timestamp`-per-format reference form — kept as
+    * the semantic spec the native kernel is property-tested against.
+    */
+  def dateFormatScoresDeclarative(df: DataFrame, field: String,
+                                  formats: Seq[String] = dateFormats): DataFrame = {
     val c = col(field).cast(StringType)
     val aggCols = formats.zipWithIndex.map { case (fmt, i) =>
       count(try_to_timestamp(c, lit(fmt))).cast(LongType).as(s"__c_$i")
     }
-    val row = df.agg(aggCols.head, aggCols.tail: _*)
+    scoresTail(df.agg(aggCols.head, aggCols.tail: _*), formats)
+  }
+
+  private def scoresTail(row: DataFrame, formats: Seq[String]): DataFrame = {
     val structs = formats.zipWithIndex.map { case (fmt, i) =>
       struct(lit(fmt).as("fmt"), col(s"__c_$i").as("n_parsed"))
     }
