@@ -608,6 +608,30 @@ object SparkEntry {
         rm(new java.io.File(dir))
       }
     }),
+    "q_bloom_incremental" -> ((s, d) => {
+      // incremental-ingestion novelty filter: old corpus = documents;
+      // new batch = exact dups (doc_id%3=0, re-keyed) + novel docs
+      // (doc_id%3=1, ' v2'-suffixed). The oracle recomputes the exact
+      // dup/survivor split; n_missed is the bloom's no-false-negative
+      // CONTRACT measured for real (a flagged=false true-dup would
+      // make it nonzero and fail the hash compare against the
+      // oracle's constant 0).
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val old = docs.select("doc_id", "text")
+      val nw = docs.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") % 3 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" v2")).as("text")))
+      val flagged = Dedup.bloomFlag(old, nw, "text")
+      val missed = flagged.where(!col("maybe_dup"))
+        .join(old.select("text"), Seq("text"), "left_semi").count()
+      val survivors = Dedup.incrementalDedup(old, nw, "text").count()
+      val total = nw.count()
+      Seq((total, total - survivors, missed, survivors))
+        .toDF("n_new", "n_dup", "n_missed", "n_survive")
+    }),
     "q_bson_roundtrip" -> ((s, d) => {
       // BSON source+sink (from-scratch bsonspec.org wire format —
       // reference: bson.decode_file_iter / BSON.encode per record,
@@ -1491,6 +1515,20 @@ object SparkEntry {
         |SELECT id_a, id_b, round(sim, 3) AS sim FROM j
         |WHERE sim >= 0.35 ORDER BY id_a, id_b""".stripMargin,
     "q_convert_roundtrip" -> "SELECT CAST(0 AS BIGINT) AS n_mismatch",
+    "q_bloom_incremental" ->
+      """WITH oldn AS (SELECT DISTINCT lower(trim(regexp_replace(text,'\s+',' ','g'))) tn
+        |  FROM documents),
+        |newb AS (
+        |  SELECT lower(trim(regexp_replace(text,'\s+',' ','g'))) tn
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT lower(trim(regexp_replace(text || ' v2','\s+',' ','g')))
+        |  FROM documents WHERE doc_id % 3 = 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN tn IN (SELECT tn FROM oldn) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(0 AS BIGINT) AS n_missed,
+        |  CAST(sum(CASE WHEN tn IN (SELECT tn FROM oldn) THEN 0 ELSE 1 END) AS BIGINT) AS n_survive
+        |FROM newb""".stripMargin,
     "q_bson_roundtrip" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
         |CAST(count(*) AS BIGINT) AS n, CAST(sum(n_nationkey) AS BIGINT) AS s,

@@ -726,4 +726,67 @@ object Dedup {
       .where(col("contam_bp") >= thresholdBp).select(col("id"))
     docs.join(flagged, docs(idCol) === flagged("id"), "left_anti")
   }
+
+  // ------------------------------------------------------------------
+  // incremental ingestion: bloom novelty prefilter
+  // ------------------------------------------------------------------
+
+  /** Same normalization as [[exactDedup]] — the two ops must agree on
+    * what "the same document" means.
+    */
+  private def normHash(c: Column): Column =
+    xxhash64(regexp_replace(trim(lower(c)), "\\s+", " "))
+
+  /** Bloom novelty prefilter for CONTINUOUS ingestion: flag each batch
+    * row as `maybe_dup` (bloom hit against the existing corpus) or
+    * definitely-new. The bloom has NO false negatives, so unflagged
+    * rows skip the exact-verify join entirely; only the flagged
+    * minority (true dups + ~fpp of the novel rows) pays a shuffle.
+    *
+    * Plan shape: ONE scan of `old` (distributed treeAggregate inside
+    * `stat.bloomFilter`), then a broadcast probe — the batch side is
+    * map-only, no shuffle. The probe is a Scala UDF by necessity
+    * (sketch.BloomFilter has no Catalyst expression surface); it costs
+    * one murmur hash per row, not a codegen break worth building an
+    * expression for.
+    *
+    * Scale envelope (honest): a bloom of E items at fpp 0.01 is
+    * ~1.2·E bytes; broadcast works to ~10^9-10^10 distinct old docs
+    * (1.2-12 GB). That covers incremental ingestion against a bounded
+    * recent-corpus window. Beyond it no bloom fits anywhere, and the
+    * right plan IS [[exactDedup]]'s bare 8-byte hash semi-join —
+    * this op is the cheap prefilter, not a replacement.
+    *
+    * `expectedOldItems` sizes the filter; pass the corpus row count
+    * from lineage/metadata when known — the -1 default runs a count
+    * job over `old` first (one extra scan).
+    */
+  def bloomFlag(old: DataFrame, batch: DataFrame, textCol: String,
+                expectedOldItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
+    val nOld = if (expectedOldItems > 0) expectedOldItems else old.count()
+    val bf = old.stat.bloomFilter(normHash(col(textCol)), math.max(nOld, 1L), fpp)
+    val bc = old.sparkSession.sparkContext.broadcast(bf)
+    val probe = udf((h: Long) => bc.value.mightContainLong(h))
+    batch.withColumn("maybe_dup", probe(normHash(col(textCol))))
+  }
+
+  /** Batch rows that are NOT already in the corpus: bloom-unflagged
+    * rows pass with zero shuffle; flagged rows are exact-verified by
+    * an anti join against the corpus hash set (left side = flagged
+    * minority only; both sides bare 8-byte keys). The two disjoint
+    * filters read the batch twice — at ingest scale the batch is the
+    * small side, and neither branch shuffles it beyond the flagged
+    * sliver.
+    */
+  def incrementalDedup(old: DataFrame, batch: DataFrame, textCol: String,
+                       expectedOldItems: Long = -1L,
+                       fpp: Double = 0.01): DataFrame = {
+    val flagged = bloomFlag(old, batch, textCol, expectedOldItems, fpp)
+    val oldKeys = old.select(normHash(col(textCol)).as("__normh")).distinct()
+    val verified = flagged.where(col("maybe_dup"))
+      .withColumn("__normh", normHash(col(textCol)))
+      .join(oldKeys, Seq("__normh"), "left_anti")
+      .drop("__normh")
+    flagged.where(!col("maybe_dup")).unionByName(verified).drop("maybe_dup")
+  }
 }
