@@ -34,8 +34,10 @@ object XlsxLocal {
 
   /** One parsed cell: lexical value + the sheet's own type tag
     * ('n' number, 's' string — shared/inline/formula-cached, 'b'
-    * boolean). Keeping the tag is what lets a STRING cell "123"
-    * round-trip as a string instead of being re-guessed as a number.
+    * boolean, 'd' date — a numeric cell whose style is a date format,
+    * lex already converted to ISO). Keeping the tag is what lets a
+    * STRING cell "123" round-trip as a string instead of being
+    * re-guessed as a number.
     */
   final case class Cell(lex: String, kind: Char)
 
@@ -50,11 +52,104 @@ object XlsxLocal {
       val shared = Option(zip.getEntry("xl/sharedStrings.xml"))
         .map(e => parseSharedStrings(zip.getInputStream(e)))
         .getOrElse(Vector.empty)
+      val dateStyles = Option(zip.getEntry("xl/styles.xml"))
+        .map(e => parseDateStyles(zip.getInputStream(e)))
+        .getOrElse(Set.empty[Int])
       val sheetName = sheetEntryName(zip, page)
       val entry = Option(zip.getEntry(sheetName)).getOrElse(
         throw new IllegalArgumentException(s"$path: no worksheet $sheetName"))
-      parseSheet(zip.getInputStream(entry), shared)
+      parseSheet(zip.getInputStream(entry), shared, dateStyles)
     } finally zip.close()
+  }
+
+  /** Builtin numFmtIds Excel renders as dates/times (ECMA-376
+    * §18.8.30) plus the 27-36/50-58 East-Asian calendar range.
+    */
+  private val BuiltinDateFmts: Set[Int] =
+    ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
+
+  /** Which cellXfs style indexes format a number as a DATE: builtin
+    * date numFmtIds plus custom formatCodes containing date tokens
+    * (y/m/d/h/s outside quoted literals and [] sections) — the same
+    * heuristic openpyxl applies.
+    */
+  private def parseDateStyles(in: java.io.InputStream): Set[Int] = {
+    val r = staxReader(in)
+    val customDate = scala.collection.mutable.Set.empty[Int]
+    val xfFmts = Vector.newBuilder[Int]
+    var inCellXfs = false
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "numFmt" =>
+                var id = -1; var code = ""
+                var i = 0
+                while (i < r.getAttributeCount) {
+                  r.getAttributeLocalName(i) match {
+                    case "numFmtId" => id = r.getAttributeValue(i).toInt
+                    case "formatCode" => code = r.getAttributeValue(i)
+                    case _ =>
+                  }
+                  i += 1
+                }
+                if (id >= 0 && isDateFormatCode(code)) { customDate += id; () }
+              case "cellXfs" => inCellXfs = true
+              case "xf" if inCellXfs =>
+                var fmt = 0
+                var i = 0
+                while (i < r.getAttributeCount) {
+                  if (r.getAttributeLocalName(i) == "numFmtId")
+                    fmt = r.getAttributeValue(i).toInt
+                  i += 1
+                }
+                xfFmts += fmt
+              case _ =>
+            }
+          case XMLStreamConstants.END_ELEMENT =>
+            if (r.getLocalName == "cellXfs") inCellXfs = false
+          case _ =>
+        }
+      }
+    } finally r.close()
+    xfFmts.result().zipWithIndex.collect {
+      case (fmt, idx) if BuiltinDateFmts(fmt) || customDate(fmt) => idx
+    }.toSet
+  }
+
+  private[graft] def isDateFormatCode(code: String): Boolean = {
+    // strip "..." literals and [...] sections, then look for date tokens
+    // after the strips no plain NUMBER format contains these letters
+    // ("General", "0.00E+00", "#,##0.00", "@", percent/fraction forms
+    // are all clean of y/m/d/h/s)
+    val cleaned = code.replaceAll("\"[^\"]*\"", "").replaceAll("\\[[^\\]]*\\]", "")
+      .replaceAll("\\\\.", "")
+    cleaned.exists(c => "ymdhsYMDHS".indexOf(c) >= 0)
+  }
+
+  /** Excel serial -> ISO string. Excel day 0 is 1899-12-30 (the offset
+    * absorbs the inherited Lotus 1900 leap bug); the fraction is the
+    * time of day. Integral serials render as dates, fractional as
+    * timestamps (seconds precision — openpyxl's own resolution here).
+    */
+  private[graft] def serialToIso(serial: Double): String = {
+    val days = math.floor(serial).toLong
+    val date = java.time.LocalDate.ofEpochDay(days - 25569L)
+    val secs = math.round((serial - days) * 86400.0)
+    if (secs == 0L) date.toString
+    else {
+      val t = java.time.LocalTime.ofSecondOfDay(math.min(secs, 86399L))
+      s"$date ${t.format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss"))}"
+    }
+  }
+
+  private[graft] def dateToSerial(d: java.time.LocalDate): Long =
+    d.toEpochDay + 25569L
+
+  private[graft] def timestampToSerial(ts: java.sql.Timestamp): Double = {
+    val ldt = ts.toLocalDateTime
+    dateToSerial(ldt.toLocalDate).toDouble + ldt.toLocalTime.toSecondOfDay / 86400.0
   }
 
   /** Worksheet zip-entry for `page`: resolve workbook.xml's sheet list
@@ -181,13 +276,14 @@ object XlsxLocal {
     v - 1
   }
 
-  private def parseSheet(in: java.io.InputStream,
-                         shared: Vector[String]): Vector[Vector[Cell]] = {
+  private def parseSheet(in: java.io.InputStream, shared: Vector[String],
+                         dateStyles: Set[Int]): Vector[Vector[Cell]] = {
     val r = staxReader(in)
     val rows = Vector.newBuilder[Vector[Cell]]
     var row: scala.collection.mutable.ArrayBuffer[Cell] = null
     var cellCol = -1
     var cellType = "n"
+    var cellStyle = -1
     var inV = false
     var inIsT = false
     val text = new java.lang.StringBuilder
@@ -200,12 +296,14 @@ object XlsxLocal {
               case "row" =>
                 row = scala.collection.mutable.ArrayBuffer.empty[Cell]
               case "c" if row != null =>
-                cellType = "n"; cellCol = row.length; pendingValue = null
+                cellType = "n"; cellCol = row.length; cellStyle = -1
+                pendingValue = null
                 var i = 0
                 while (i < r.getAttributeCount) {
                   r.getAttributeLocalName(i) match {
                     case "r" => cellCol = colIndex(r.getAttributeValue(i))
                     case "t" => cellType = r.getAttributeValue(i)
+                    case "s" => cellStyle = r.getAttributeValue(i).toInt
                     case _ =>
                   }
                   i += 1
@@ -228,6 +326,10 @@ object XlsxLocal {
                   case ("s", idx) => Cell(shared(idx.trim.toInt), 's')
                   case ("b", x) => Cell(if (x.trim == "1") "true" else "false", 'b')
                   case ("inlineStr" | "str", x) => Cell(x, 's')
+                  case (_, x) if dateStyles(cellStyle) && isNumeric(x) =>
+                    // date-styled numeric cell -> ISO string, the
+                    // reference's openpyxl-datetime semantics
+                    Cell(serialToIso(x.trim.toDouble), 'd')
                   case (_, x) => Cell(x, 'n') // numeric cell, lexical form
                 }
                 while (row.length < cellCol) row += null // reference gaps
@@ -345,6 +447,7 @@ object XlsxLocal {
           |<Default Extension="xml" ContentType="application/xml"/>
           |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
           |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+          |<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>
           |</Types>""".stripMargin)
       put("_rels/.rels",
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
@@ -360,7 +463,19 @@ object XlsxLocal {
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
           |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
           |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+          |<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>
           |</Relationships>""".stripMargin)
+      // style 1 = builtin date numFmt 14, style 2 = builtin datetime 22
+      put("xl/styles.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |<fonts count="1"><font/></fonts><fills count="1"><fill/></fills>
+          |<borders count="1"><border/></borders>
+          |<cellStyleXfs count="1"><xf numFmtId="0"/></cellStyleXfs>
+          |<cellXfs count="3"><xf numFmtId="0"/>
+          |<xf numFmtId="14" applyNumberFormat="1"/>
+          |<xf numFmtId="22" applyNumberFormat="1"/></cellXfs>
+          |</styleSheet>""".stripMargin)
 
       zo.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
       val w = new java.io.OutputStreamWriter(zo, UTF_8)
@@ -379,6 +494,12 @@ object XlsxLocal {
               case BooleanType =>
                 val b = if (v.asInstanceOf[Boolean]) "1" else "0"
                 w.write(s"""<c r="$ref" t="b"><v>$b</v></c>""")
+              case DateType =>
+                val serial = dateToSerial(v.asInstanceOf[java.sql.Date].toLocalDate)
+                w.write(s"""<c r="$ref" s="1"><v>$serial</v></c>""")
+              case TimestampType =>
+                val serial = timestampToSerial(v.asInstanceOf[java.sql.Timestamp])
+                w.write(s"""<c r="$ref" s="2"><v>$serial</v></c>""")
               case _ =>
                 w.write(s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">""" +
                   xmlEscape(v.toString) + "</t></is></c>")

@@ -192,6 +192,42 @@ class FormatsSpec extends SparkSpecBase {
     assert(!df.columns.contains("rich"))
   }
 
+  test("xlsx date-styled cells: serial <-> ISO, openpyxl semantics") {
+    // unit conversions (Excel day 0 = 1899-12-30)
+    assert(XlsxLocal.dateToSerial(java.time.LocalDate.of(1970, 1, 1)) == 25569L)
+    assert(XlsxLocal.serialToIso(25569.0) == "1970-01-01")
+    assert(XlsxLocal.serialToIso(45351.0) == "2024-02-29")
+    assert(XlsxLocal.serialToIso(45351.5) == "2024-02-29 12:00:00")
+    // format-code heuristic
+    assert(XlsxLocal.isDateFormatCode("yyyy-mm-dd"))
+    assert(XlsxLocal.isDateFormatCode("hh:mm:ss.000"))
+    assert(!XlsxLocal.isDateFormatCode("0.00"))
+    assert(!XlsxLocal.isDateFormatCode("#,##0.00"))
+    assert(!XlsxLocal.isDateFormatCode("0.00E+00"))
+    assert(!XlsxLocal.isDateFormatCode("\"day\" 0")) // quoted literal ignored
+    assert(!XlsxLocal.isDateFormatCode("[Red]0.0"))
+    // full round trip: date + timestamp columns come back as ISO
+    // strings (the reference's openpyxl yields datetimes, json-dumped
+    // to ISO on the jsonl path — same observable values)
+    val s = spark
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("d", DateType),
+      StructField("ts", TimestampType)))
+    val rows = Seq(
+      Row(1L, java.sql.Date.valueOf("2024-02-29"),
+        java.sql.Timestamp.valueOf("2024-02-29 12:34:56")),
+      Row(2L, java.sql.Date.valueOf("1999-12-31"), null))
+    val df = s.createDataFrame(s.sparkContext.parallelize(rows), schema)
+    val dir = tmpDir("xlsx-dates")
+    XlsxLocal.write(df, s"$dir/d.xlsx")
+    val back = XlsxLocal.read(s, s"$dir/d.xlsx").orderBy("id").collect()
+    assert(back(0).getAs[String]("d") == "2024-02-29")
+    assert(back(0).getAs[String]("ts") == "2024-02-29 12:34:56")
+    assert(back(1).getAs[String]("d") == "1999-12-31")
+    assert(back(1).isNullAt(back(1).fieldIndex("ts")))
+  }
+
   // ---------------------------------------------------------------- DOCX
 
   test("docx tables: extraction, gridSpan repeat, vMerge continuation") {
