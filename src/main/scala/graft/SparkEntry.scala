@@ -624,10 +624,15 @@ object SparkEntry {
         .unionByName(docs.where(col("doc_id") % 3 === 1)
           .select((col("doc_id") + 2000000L).as("doc_id"),
             concat(col("text"), lit(" v2")).as("text")))
-      val flagged = Dedup.bloomFlag(old, nw, "text")
+      // fixed sizing bound instead of a count job: oversizing only
+      // LOWERS the false-positive rate; the oracled values are
+      // fp-independent
+      val flagged = Dedup.bloomFlag(old, nw, "text", expectedOldItems = 1 << 20)
       val missed = flagged.where(!col("maybe_dup"))
         .join(old.select("text"), Seq("text"), "left_semi").count()
-      val survivors = Dedup.incrementalDedup(old, nw, "text").count()
+      // reuse the flagged frame: ONE bloom build for both the
+      // contract check and the survivor computation
+      val survivors = Dedup.incrementalDedupFlagged(old, flagged, "text").count()
       val total = nw.count()
       Seq((total, total - survivors, missed, survivors))
         .toDF("n_new", "n_dup", "n_missed", "n_survive")

@@ -780,8 +780,16 @@ object Dedup {
     */
   def incrementalDedup(old: DataFrame, batch: DataFrame, textCol: String,
                        expectedOldItems: Long = -1L,
-                       fpp: Double = 0.01): DataFrame = {
-    val flagged = bloomFlag(old, batch, textCol, expectedOldItems, fpp)
+                       fpp: Double = 0.01): DataFrame =
+    incrementalDedupFlagged(old,
+      bloomFlag(old, batch, textCol, expectedOldItems, fpp), textCol)
+
+  /** The verify half on an already-[[bloomFlag]]ged batch — lets a
+    * caller that also inspects the flags (metrics, the oracle query)
+    * build the bloom ONCE instead of once per use.
+    */
+  def incrementalDedupFlagged(old: DataFrame, flagged: DataFrame,
+                              textCol: String): DataFrame = {
     val oldKeys = old.select(normHash(col(textCol)).as("__normh")).distinct()
     val verified = flagged.where(col("maybe_dup"))
       .withColumn("__normh", normHash(col(textCol)))

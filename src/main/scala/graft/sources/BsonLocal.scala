@@ -53,11 +53,23 @@ object BsonLocal {
     private var off = 0
     override def hasNext: Boolean = off < bytes.length
     override def next(): String = {
+      require(off + 4 <= bytes.length,
+        s"corrupt BSON: truncated length prefix at offset $off")
       val size = readInt32(bytes, off)
       require(size >= 5 && off + size <= bytes.length,
         s"corrupt BSON: document size $size at offset $off (file ${bytes.length} bytes)")
       val sb = new java.lang.StringBuilder(size * 2)
-      parseDocument(bytes, off, sb, array = false)
+      // a corrupt interior (bad string length, unterminated cstring)
+      // surfaces as a bounds error — rewrap with file context instead
+      // of a bare AIOOBE
+      try parseDocument(bytes, off, sb, array = false)
+      catch {
+        // IndexOutOfBounds covers both array and String-region overruns
+        case e @ (_: IndexOutOfBoundsException |
+                  _: NegativeArraySizeException) =>
+          throw new IllegalArgumentException(
+            s"corrupt BSON element inside document at offset $off", e)
+      }
       off += size
       sb.toString
     }

@@ -387,6 +387,31 @@ class FormatsSpec extends SparkSpecBase {
     assert(a.exceptAll(bk).count() == 0 && bk.exceptAll(a).count() == 0)
   }
 
+  test("bson corrupt inputs fail with clear errors, not bare bounds faults") {
+    // truncated length prefix
+    intercept[IllegalArgumentException] {
+      BsonLocal.toJsonLines(Array[Byte](5, 0)).toSeq
+    }
+    // declared size overruns the file
+    intercept[IllegalArgumentException] {
+      BsonLocal.toJsonLines(Array[Byte](99, 0, 0, 0, 0)).toSeq
+    }
+    // valid envelope, corrupt interior: string length runs past the end
+    val bad = {
+      val o = new java.io.ByteArrayOutputStream()
+      val body = new java.io.ByteArrayOutputStream()
+      body.write(0x02); body.write('k'); body.write(0)
+      body.write(120); body.write(0); body.write(0); body.write(0) // len 120 >> doc
+      body.write('x')
+      val n = body.size + 5
+      o.write(n); o.write(n >> 8); o.write(n >> 16); o.write(n >> 24)
+      body.writeTo(o); o.write(0)
+      o.toByteArray
+    }
+    val e = intercept[IllegalArgumentException] { BsonLocal.toJsonLines(bad).toSeq }
+    assert(e.getMessage.contains("corrupt BSON"))
+  }
+
   test("analyzeFile dispatches bson/xlsx/docx by extension") {
     val s = spark
     import s.implicits._
