@@ -675,6 +675,21 @@ object SparkEntry {
           sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
         .orderBy("s_nationkey")
     }),
+    "q_xls_roundtrip" -> ((s, d) => {
+      // legacy binary XLS (from-scratch MS-CFB + BIFF8; reference:
+      // xlrd row iteration, converter.py:112-190) — same oracle device
+      // as q_xlsx_roundtrip on a different table
+      val cust = t(s, d, "customer")
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-qxls-" +
+        java.lang.Integer.toHexString(d.hashCode)
+      graft.sources.Converter.write(cust, s"$dir/customer.xls", "xls")
+      val back = graft.sources.Converter.read(s, s"$dir/customer.xls",
+        graft.sources.Converter.ReadOptions("xls"))
+      back.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+        .orderBy("c_nationkey")
+    }),
     "q_docx_table" -> ((s, d) => {
       // DOCX table scan (from-scratch WordprocessingML zip; reference:
       // formats/docx.py table extraction): region rows staged INTO a
@@ -1543,6 +1558,11 @@ object SparkEntry {
         |CAST(count(*) AS BIGINT) AS n,
         |CAST(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS DOUBLE) AS sum_bal
         |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_xls_roundtrip" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |CAST(count(*) AS BIGINT) AS n,
+        |CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_docx_table" ->
       """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
         |FROM region ORDER BY 1""".stripMargin,

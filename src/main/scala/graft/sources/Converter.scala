@@ -97,6 +97,10 @@ object Converter {
         XlsxLocal.read(spark, singleLocalFile(path, ".xlsx"),
           page = if (o.tagname.forall(_.isDigit) && o.tagname.nonEmpty)
             o.tagname.toInt else 0)
+      case "xls" =>
+        XlsLocal.read(spark, singleLocalFile(path, ".xls"),
+          page = if (o.tagname.forall(_.isDigit) && o.tagname.nonEmpty)
+            o.tagname.toInt else 0)
       case "docx" =>
         DocxTables.read(spark, singleLocalFile(path, ".docx"),
           tableIndex = if (o.tagname.forall(_.isDigit) && o.tagname.nonEmpty)
@@ -186,6 +190,9 @@ object Converter {
       case "xlsx" =>
         new java.io.File(path).mkdirs()
         XlsxLocal.write(df, s"$path/part-00000.xlsx")
+      case "xls" =>
+        new java.io.File(path).mkdirs()
+        XlsLocal.write(df, s"$path/part-00000.xls")
       case f => throw new IllegalArgumentException(s"unsupported sink format: $f")
     }
   }

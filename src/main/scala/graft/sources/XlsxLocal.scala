@@ -358,10 +358,18 @@ object XlsxLocal {
     * options.
     */
   def read(spark: SparkSession, path: String, page: Int = 0,
-           startLine: Int = 0, fields: Seq[String] = Nil): DataFrame = {
+           startLine: Int = 0, fields: Seq[String] = Nil): DataFrame =
+    fromGrid(spark, sheetRows(path, page).drop(startLine), fields,
+      s"$path sheet $page")
+
+  /** Shared grid -> DataFrame tail (also used by the BIFF8 [[XlsLocal]]
+    * reader): first row = header unless `fields` given, records typed
+    * by Spark's JSON inference.
+    */
+  private[graft] def fromGrid(spark: SparkSession, grid: Vector[Vector[Cell]],
+                              fields: Seq[String], what: String): DataFrame = {
     import spark.implicits._
-    val grid = sheetRows(path, page).drop(startLine)
-    require(grid.nonEmpty, s"$path: sheet $page has no rows after startLine=$startLine")
+    require(grid.nonEmpty, s"$what has no rows")
     val (header, data) =
       if (fields.nonEmpty) (fields.toVector, grid)
       else (grid.head.map(v => if (v == null) "" else v.lex), grid.tail)

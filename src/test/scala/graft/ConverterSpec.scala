@@ -32,11 +32,13 @@ class ConverterSpec extends SparkSpecBase {
       true
     } catch { case _: Throwable => false }
 
-  for (fmt <- Seq("csv", "jsonl", "parquet", "orc", "avro")) {
+  for (fmt <- Seq("csv", "jsonl", "parquet", "orc", "avro", "bson", "xlsx", "xls")) {
     test(s"2cols6rows survives the $fmt round trip") {
       // avro: the spark-avro connector is not in this image's
       // /opt/spark/jars, so Converter falls back to the core-avro
-      // single-stream path (AvroLocal) — the round trip RUNS either way
+      // single-stream path (AvroLocal) — the round trip RUNS either
+      // way. bson/xlsx/xls ride the from-scratch local codecs (the
+      // reference's fixture set includes 2cols6rows.bson too).
       val dir = tmpDir(s"conv-$fmt")
       Converter.write(fixture, dir, fmt)
       val back = Converter.read(spark, dir, ReadOptions(fmt))

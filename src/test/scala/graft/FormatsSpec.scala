@@ -228,6 +228,54 @@ class FormatsSpec extends SparkSpecBase {
     assert(back(1).isNullAt(back(1).fieldIndex("ts")))
   }
 
+  // ---------------------------------------------------------------- XLS (BIFF8)
+
+  test("xls: CFB container round trip at several sizes") {
+    import graft.sources.XlsLocal
+    val rng = new scala.util.Random(3)
+    // < 4096 (pad path), sector-boundary, and multi-FAT-sector (>64KB)
+    for (n <- Seq(100, 4096, 4097, 512 * 130, 150000)) {
+      val data = Array.fill[Byte](n)(rng.nextInt().toByte)
+      val back = XlsLocal.cfbStream(XlsLocal.cfbWrap(data), Seq("Workbook"))
+      // the writer pads sub-4096 streams; content must match as prefix
+      assert(back.length == math.max(n, 4096))
+      assert(java.util.Arrays.equals(back.take(n), data))
+    }
+  }
+
+  test("xls: RK encodings decode per MS-XLS 2.5.276") {
+    import graft.sources.XlsLocal
+    assert(XlsLocal.rkNum((7 << 2) | 2) == 7.0)
+    assert(XlsLocal.rkNum((700 << 2) | 3) == 7.0) // int, /100
+    assert(XlsLocal.rkNum((-5 << 2) | 2) == -5.0) // negative int
+    val hi = (java.lang.Double.doubleToLongBits(1.5) >>> 32).toInt & ~3
+    assert(XlsLocal.rkNum(hi) == 1.5) // truncated double form
+    assert(XlsLocal.rkNum(hi | 1) == 0.015) // double, /100
+  }
+
+  test("xls round trip via Converter: types, SST, continuation splits") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(11)
+    // enough distinct strings (some huge) that the SST must split into
+    // CONTINUE records, including mid-string
+    val big = (0 until 3).map(i => s"big$i " + rng.alphanumeric.take(9000).mkString)
+    val rows = (0 until 400).map { i =>
+      (i.toLong, if (i < 3) big(i) else s"s$i ąčę 汉", i * 1.25 - 10, i % 3 == 0)
+    }
+    val df = rows.toDF("id", "name", "score", "flag")
+    val dir = tmpDir("xls-rt")
+    graft.sources.Converter.write(df, s"$dir/t.xls", "xls")
+    val back = graft.sources.Converter.read(s, s"$dir/t.xls",
+      ReadOptions("xls")).orderBy("id")
+    assert(back.count() == 400)
+    val a = df.selectExpr("id", "name", "CAST(score AS STRING) score", "CAST(flag AS STRING) flag")
+    val b = back.selectExpr("id", "name", "CAST(score AS STRING) score", "CAST(flag AS STRING) flag")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // string cell "123"-style fidelity comes through the type tags here too
+    assert(back.schema("name").dataType == StringType)
+  }
+
   // ---------------------------------------------------------------- DOCX
 
   test("docx tables: extraction, gridSpan repeat, vMerge continuation") {
