@@ -435,6 +435,44 @@ class FormatsSpec extends SparkSpecBase {
     assert(a.exceptAll(bk).count() == 0 && bk.exceptAll(a).count() == 0)
   }
 
+  test("xls fuzz: 300 random rows survive the round trip") {
+    val s = spark
+    val rng = new scala.util.Random(21)
+    def randStr(): String = {
+      val n = 1 + rng.nextInt(10)
+      (0 until n).map { _ =>
+        rng.nextInt(5) match {
+          case 0 => ('a' + rng.nextInt(26)).toChar
+          case 1 => (0x410 + rng.nextInt(64)).toChar // wide chars force UTF-16 SST
+          case 2 => (0x4E00 + rng.nextInt(100)).toChar
+          case 3 => ('0' + rng.nextInt(10)).toChar
+          case _ => ' '
+        }
+      }.mkString.trim + "x"
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType),
+      StructField("d", DoubleType),
+      StructField("b", BooleanType)))
+    val rows = (0 until 300).map { i =>
+      Row(i.toLong,
+        if (rng.nextInt(10) == 0) null else randStr(),
+        if (rng.nextInt(10) == 0) null else rng.nextDouble() * 1000 - 500,
+        if (rng.nextInt(10) == 0) null else rng.nextBoolean())
+    }
+    val df = s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 2), schema)
+    val dir = tmpDir("xls-fuzz")
+    graft.sources.XlsLocal.write(df, s"$dir/fuzz.xls")
+    val back = graft.sources.XlsLocal.read(s, s"$dir/fuzz.xls")
+    assert(back.count() == 300)
+    val a = df.selectExpr("id", "CAST(s AS STRING) s", "CAST(d AS STRING) d",
+      "CAST(b AS STRING) b")
+    val bk = back.selectExpr("id", "CAST(s AS STRING) s", "CAST(d AS STRING) d",
+      "CAST(b AS STRING) b")
+    assert(a.exceptAll(bk).count() == 0 && bk.exceptAll(a).count() == 0)
+  }
+
   test("bson corrupt inputs fail with clear errors, not bare bounds faults") {
     // truncated length prefix
     intercept[IllegalArgumentException] {
