@@ -427,18 +427,22 @@ object Dedup {
     var edges = cp(canon(
       pairs.select(col("id_a").as("a"), col("id_b").as("b"))))
     var iter = 0
-    var converged = edges.isEmpty // no edges => nothing to do
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0 // no edges => nothing to do
     var ok = false
     try {
       while (iter < maxIter && !converged) {
         val next = cp(smallStar(largeStar(edges)))
         // exact set-equality (both sides are distinct sets, so equal
         // counts + one empty difference suffice): the star forest is
-        // the unique fixed point, so an unchanged round IS convergence
-        converged =
-          next.count() == edges.count() && next.exceptAll(edges).isEmpty
+        // the unique fixed point, so an unchanged round IS convergence.
+        // The previous round's count carries over — one scan per
+        // round, not two.
+        val nextCount = next.count()
+        converged = nextCount == edgeCount && next.exceptAll(edges).isEmpty
         edges.unpersist(blocking = false)
         edges = next
+        edgeCount = nextCount
         iter += 1
       }
       if (!converged)

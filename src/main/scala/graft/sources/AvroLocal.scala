@@ -28,6 +28,15 @@ import scala.jdk.CollectionConverters._
 object AvroLocal {
 
   def sparkToAvroSchema(st: StructType, name: String = "row"): Schema = {
+    // name mangling must stay injective — "a b" and "a-b" both map to
+    // "a_b", and avro would otherwise throw an error naming NEITHER
+    // original column
+    val collisions = st.fields.groupBy(f => avroName(f.name)).filter(_._2.length > 1)
+    require(collisions.isEmpty,
+      "avro sink: columns collide after avro-name mangling: " +
+        collisions.map { case (m, fs) =>
+          s"${fs.map(_.name).mkString(" / ")} -> $m" }.mkString("; ") +
+        " — rename the columns before writing")
     val fields = st.fields.map { f =>
       new Schema.Field(avroName(f.name), fieldSchema(f.dataType, f.nullable,
         avroName(f.name)), null, null)

@@ -29,14 +29,7 @@ import javax.xml.stream.XMLStreamConstants
   */
 object DocxTables {
 
-  private def staxReader(in: java.io.InputStream) = {
-    val f = javax.xml.stream.XMLInputFactory.newInstance()
-    f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD,
-      java.lang.Boolean.FALSE)
-    f.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES,
-      java.lang.Boolean.FALSE)
-    f.createXMLStreamReader(in, "UTF-8")
-  }
+  private def staxReader(in: java.io.InputStream) = Esc.stax(in)
 
   /** All top-level tables in `word/document.xml`, merge semantics
     * applied: tables → rows → cell values.
@@ -67,6 +60,7 @@ object DocxTables {
     var row: scala.collection.mutable.ArrayBuffer[String] = null
     // current top-level cell state
     var inCell = false
+    var inT = false
     var gridSpan = 1
     var vMergeContinue = false
     val text = new java.lang.StringBuilder
@@ -94,16 +88,19 @@ object DocxTables {
                 // paragraphs join with \n (replaced by space below)
                 if (cellHasPara) text.append('\n')
                 cellHasPara = true
+              case "t" if inCell => inT = true
               case "tab" | "br" if inCell => text.append(' ')
               case _ =>
             }
           case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
-            // w:t runs carry the text; StAX only yields CHARACTERS
-            // inside elements, and inside a tc only w:t (and nested
-            // tables' w:t, which we deliberately fold in) holds text
-            if (inCell && !r.isWhiteSpace) text.append(r.getText)
+            // only w:t runs carry cell text (tracking the element keeps
+            // inter-tag indentation out while PRESERVING whitespace-only
+            // runs — Word splits "Hello World" into runs at formatting
+            // boundaries, including a space-only run)
+            if (inT) text.append(r.getText)
           case XMLStreamConstants.END_ELEMENT =>
             r.getLocalName match {
+              case "t" => inT = false
               case "tbl" =>
                 if (tblDepth == 1) { out += rows.toVector; rows = null }
                 tblDepth -= 1
@@ -156,28 +153,11 @@ object DocxTables {
     spark.read.json(spark.createDataset(jsonLines))
   }
 
-  private def jsonStr(sb: java.lang.StringBuilder, s: String): Unit = {
-    sb.append('"')
-    s.foreach {
-      case '"' => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case '\n' => sb.append("\\n")
-      case '\r' => sb.append("\\r")
-      case '\t' => sb.append("\\t")
-      case c if c < 0x20 => sb.append(f"\\u$c%04x")
-      case c => sb.append(c)
-    }
-    sb.append('"')
-    ()
-  }
+  private def jsonStr(sb: java.lang.StringBuilder, s: String): Unit =
+    Esc.json(sb, s)
 
-  private def xmlEscape(s: String): String =
-    s.flatMap {
-      case '&' => "&amp;"
-      case '<' => "&lt;"
-      case '>' => "&gt;"
-      case c => c.toString
-    }
+  // control characters cannot exist in XML 1.0 at all -> space
+  private def xmlEscape(s: String): String = Esc.xml(s)
 
   /** Write `rows` as a minimal one-table docx — fixture/export utility
     * (the reference reads docx tables; it does not write them). Valid

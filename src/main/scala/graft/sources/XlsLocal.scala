@@ -353,11 +353,14 @@ object XlsLocal {
           if (i16(wb, d + 12) == 0xFFFF) {
             (wb(d + 6) & 0xFF) match {
               case 0 => // cached string in the following STRING record
-                // SHRFMLA/ARRAY/TABLE records may sit between them
+                // SHRFMLA/ARRAY/TABLE records may sit between them;
+                // bound every record-header peek (a truncated stream
+                // must not read past the end)
                 var so = off + 4 + len
-                while (Set(0x003C, 0x04BC, 0x0221, 0x0236).contains(i16(wb, so)))
+                while (so + 4 <= wb.length &&
+                    Set(0x003C, 0x04BC, 0x0221, 0x0236).contains(i16(wb, so)))
                   so += 4 + i16(wb, so + 2)
-                if (i16(wb, so) == 0x0207) {
+                if (so + 4 <= wb.length && i16(wb, so) == 0x0207) {
                   val cur = new RecCursor(wb, so)
                   cells += ((row, c, Cell(cur.readString(), 's')))
                 }

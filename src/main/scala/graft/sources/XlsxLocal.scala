@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
 
 import java.nio.charset.StandardCharsets.UTF_8
-import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+import javax.xml.stream.XMLStreamConstants
 
 /** XLSX source/sink built from scratch on the public OOXML container
   * layout (ECMA-376: a zip holding `xl/workbook.xml`,
@@ -135,11 +135,12 @@ object XlsxLocal {
     */
   private[graft] def serialToIso(serial: Double): String = {
     val days = math.floor(serial).toLong
-    val date = java.time.LocalDate.ofEpochDay(days - 25569L)
-    val secs = math.round((serial - days) * 86400.0)
+    var date = java.time.LocalDate.ofEpochDay(days - 25569L)
+    var secs = math.round((serial - days) * 86400.0)
+    if (secs >= 86400L) { date = date.plusDays(1); secs -= 86400L } // rounded past midnight
     if (secs == 0L) date.toString
     else {
-      val t = java.time.LocalTime.ofSecondOfDay(math.min(secs, 86399L))
+      val t = java.time.LocalTime.ofSecondOfDay(secs)
       s"$date ${t.format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss"))}"
     }
   }
@@ -222,15 +223,7 @@ object XlsxLocal {
     out.result()
   }
 
-  private def staxReader(in: java.io.InputStream) = {
-    val f = XMLInputFactory.newInstance()
-    // zip content is local and trusted only as data: still disable
-    // DTD/external-entity resolution defensively
-    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
-    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES,
-      java.lang.Boolean.FALSE)
-    f.createXMLStreamReader(in, "UTF-8")
-  }
+  private def staxReader(in: java.io.InputStream) = Esc.stax(in)
 
   /** sharedStrings.xml: one entry per <si>, concatenating its <t> runs
     * (rich-text si elements hold several <r><t> runs).
@@ -255,7 +248,7 @@ object XlsxLocal {
           case XMLStreamConstants.END_ELEMENT =>
             r.getLocalName match {
               case "t" => inT = false
-              case "si" => inSi = false; out += cur.toString
+              case "si" => inSi = false; out += Esc.xDecode(cur.toString)
               case _ =>
             }
           case _ =>
@@ -280,6 +273,7 @@ object XlsxLocal {
                          dateStyles: Set[Int]): Vector[Vector[Cell]] = {
     val r = staxReader(in)
     val rows = Vector.newBuilder[Vector[Cell]]
+    var rowCount = 0
     var row: scala.collection.mutable.ArrayBuffer[Cell] = null
     var cellCol = -1
     var cellType = "n"
@@ -294,10 +288,23 @@ object XlsxLocal {
           case XMLStreamConstants.START_ELEMENT =>
             r.getLocalName match {
               case "row" =>
+                // ECMA-376 writers may OMIT empty rows entirely — honor
+                // the r attribute so gaps stay as empty records (the
+                // reference's openpyxl yields all-None rows there)
+                var rRef = -1
+                var i = 0
+                while (i < r.getAttributeCount) {
+                  if (r.getAttributeLocalName(i) == "r")
+                    rRef = r.getAttributeValue(i).toInt
+                  i += 1
+                }
+                while (rRef > 0 && rowCount < rRef - 1) {
+                  rows += Vector.empty; rowCount += 1
+                }
                 row = scala.collection.mutable.ArrayBuffer.empty[Cell]
               case "c" if row != null =>
                 cellType = "n"; cellCol = row.length; cellStyle = -1
-                pendingValue = null
+                pendingValue = null; text.setLength(0)
                 var i = 0
                 while (i < r.getAttributeCount) {
                   r.getAttributeLocalName(i) match {
@@ -309,7 +316,9 @@ object XlsxLocal {
                   i += 1
                 }
               case "v" => inV = true; text.setLength(0)
-              case "t" if cellType == "inlineStr" => inIsT = true; text.setLength(0)
+              // rich inline strings hold SEVERAL <r><t> runs — append,
+              // don't reset (the shared-string parser already does)
+              case "t" if cellType == "inlineStr" => inIsT = true
               case _ =>
             }
           case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
@@ -325,7 +334,7 @@ object XlsxLocal {
                   case (_, null) => null
                   case ("s", idx) => Cell(shared(idx.trim.toInt), 's')
                   case ("b", x) => Cell(if (x.trim == "1") "true" else "false", 'b')
-                  case ("inlineStr" | "str", x) => Cell(x, 's')
+                  case ("inlineStr" | "str", x) => Cell(Esc.xDecode(x), 's')
                   case (_, x) if dateStyles(cellStyle) && isNumeric(x) =>
                     // date-styled numeric cell -> ISO string, the
                     // reference's openpyxl-datetime semantics
@@ -337,7 +346,7 @@ object XlsxLocal {
                   if (row.length == cellCol) row += v else row(cellCol) = v
                 }
               case "row" =>
-                rows += row.toVector; row = null
+                rows += row.toVector; rowCount += 1; row = null
               case _ =>
             }
           case _ =>
@@ -347,8 +356,12 @@ object XlsxLocal {
     rows.result()
   }
 
+  /** STRICT JSON number lexeme — Double.parseDouble also accepts
+    * "+5"/"5d"/hex floats, which would corrupt the generated JSON line
+    * and silently null the whole record.
+    */
   private def isNumeric(s: String): Boolean =
-    s.nonEmpty && scala.util.Try(java.lang.Double.parseDouble(s)).isSuccess
+    s.matches("-?(0|[1-9]\\d*)(\\.\\d+)?([eE][+-]?\\d+)?")
 
   /** Read sheet `page` with first-row-as-header semantics into a
     * DataFrame (types via Spark's JSON inference — the same path an
@@ -394,33 +407,13 @@ object XlsxLocal {
     spark.read.json(spark.createDataset(jsonLines))
   }
 
-  private def appendJson(sb: java.lang.StringBuilder, s: String): Unit = {
-    sb.append('"')
-    s.foreach {
-      case '"' => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case '\n' => sb.append("\\n")
-      case '\r' => sb.append("\\r")
-      case '\t' => sb.append("\\t")
-      case c if c < 0x20 => sb.append(f"\\u$c%04x")
-      case c => sb.append(c)
-    }
-    sb.append('"')
-    ()
-  }
+  private def appendJson(sb: java.lang.StringBuilder, s: String): Unit =
+    Esc.json(sb, s)
 
   // ------------------------------------------------------------------
   // write
   // ------------------------------------------------------------------
 
-  private def xmlEscape(s: String): String =
-    s.flatMap {
-      case '&' => "&amp;"
-      case '<' => "&lt;"
-      case '>' => "&gt;"
-      case '"' => "&quot;"
-      case c => c.toString
-    }
 
   private def colRef(c: Int): String = {
     var v = c + 1
@@ -510,7 +503,7 @@ object XlsxLocal {
                 w.write(s"""<c r="$ref" s="2"><v>$serial</v></c>""")
               case _ =>
                 w.write(s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">""" +
-                  xmlEscape(v.toString) + "</t></is></c>")
+                  Esc.xml(Esc.xEncode(v.toString)) + "</t></is></c>")
             }
           }
         }

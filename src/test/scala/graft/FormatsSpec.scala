@@ -228,6 +228,62 @@ class FormatsSpec extends SparkSpecBase {
     assert(back(1).isNullAt(back(1).fieldIndex("ts")))
   }
 
+  test("xlsx control characters round-trip via _xHHHH_ (ECMA-376 escape)") {
+    import graft.sources.Esc
+    assert(Esc.xEncode("ab") == "a_x0001_b")
+    assert(Esc.xDecode("a_x0001_b") == "ab")
+    // literal text that LOOKS like the escape survives
+    assert(Esc.xDecode(Esc.xEncode("lit _x0041_ eral")) == "lit _x0041_ eral")
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "ctrlandbells"), (2L, "_x0042_ literal"))
+      .toDF("id", "v")
+    val dir = tmpDir("xlsx-ctrl")
+    XlsxLocal.write(df, s"$dir/c.xlsx")
+    val back = XlsxLocal.read(s, s"$dir/c.xlsx").orderBy("id").collect()
+    assert(back(0).getAs[String]("v") == "ctrlandbells")
+    assert(back(1).getAs[String]("v") == "_x0042_ literal")
+  }
+
+  test("xlsx reader: omitted empty rows and multi-run inline strings") {
+    val dir = tmpDir("xlsx-gaps")
+    val path = s"$dir/g.xlsx"
+    val zo = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(n: String, c: String): Unit = {
+      zo.putNextEntry(new java.util.zip.ZipEntry(n))
+      zo.write(c.getBytes("UTF-8")); zo.closeEntry()
+    }
+    // header at r=1, row 2 entirely omitted (legal ECMA-376), data at r=3;
+    // B3 is a RICH inline string with two <r> runs
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="x"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c><c r="B1" t="inlineStr"><is><t>b</t></is></c></row>
+        |<row r="3"><c r="A3"><v>7</v></c><c r="B3" t="inlineStr"><is><r><t>foo</t></r><r><t>bar</t></r></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zo.close()
+    val grid = XlsxLocal.sheetRows(path)
+    assert(grid.length == 3) // the omitted row stays as an empty record
+    assert(grid(1).isEmpty)
+    assert(grid(2)(1) == XlsxLocal.Cell("foobar", 's')) // runs concatenated
+    val df = XlsxLocal.read(spark, path)
+    assert(df.count() == 2) // empty row -> all-null record (openpyxl shape)
+    assert(df.where(col("a") === 7).count() == 1)
+  }
+
+  test("xlsx date serial just below midnight rolls to the next day") {
+    assert(XlsxLocal.serialToIso(45351.9999999) == "2024-03-01")
+  }
+
+  test("avro sink refuses colliding mangled names instead of avro's opaque error") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, 2)).toDF("a b", "a-b")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.AvroLocal.write(df, tmpDir("avro-col") + "/x.avro")
+    }
+    assert(e.getMessage.contains("a b") && e.getMessage.contains("a-b"))
+  }
+
   // ---------------------------------------------------------------- XLS (BIFF8)
 
   test("xls: CFB container round trip at several sizes") {
@@ -294,9 +350,11 @@ class FormatsSpec extends SparkSpecBase {
         "<w:tr><w:tc><w:tcPr><w:gridSpan w:val=\"2\"/></w:tcPr><w:p><w:r><w:t>wide</w:t></w:r></w:p></w:tc>" +
         "<w:tc><w:tcPr><w:vMerge w:val=\"restart\"/></w:tcPr><w:p><w:r><w:t>v1</w:t></w:r></w:p></w:tc></w:tr>" +
         // row 3: two normal cells + vMerge continue (inherits v1);
-        // multi-paragraph cell text joins with a space
+        // multi-paragraph cell text joins with a space; second cell has
+        // a run-split "He" + " " + "llo" (Word splits at formatting
+        // boundaries, INCLUDING space-only runs)
         "<w:tr><w:tc><w:p><w:r><w:t>x</w:t></w:r></w:p><w:p><w:r><w:t>y</w:t></w:r></w:p></w:tc>" +
-        "<w:tc><w:p><w:r><w:t>z</w:t></w:r></w:p></w:tc>" +
+        "<w:tc><w:p><w:r><w:t>He</w:t></w:r><w:r><w:t xml:space=\"preserve\"> </w:t></w:r><w:r><w:t>llo</w:t></w:r></w:p></w:tc>" +
         "<w:tc><w:tcPr><w:vMerge/></w:tcPr><w:p/></w:tc></w:tr>" +
         "</w:tbl></w:body></w:document>").getBytes("UTF-8"))
     zo.closeEntry(); zo.close()
@@ -304,7 +362,7 @@ class FormatsSpec extends SparkSpecBase {
     assert(ts.length == 1)
     assert(ts(0)(0) == Vector("A", "B", "C"))
     assert(ts(0)(1) == Vector("wide", "wide", "v1")) // span repeats (docx.py:23-24)
-    assert(ts(0)(2) == Vector("x y", "z", "v1")) // vMerge inherits (docx.py:21-22)
+    assert(ts(0)(2) == Vector("x y", "He llo", "v1")) // vMerge inherits; space-only run kept
   }
 
   test("docx writeTable -> read round trip through Converter") {
@@ -403,11 +461,12 @@ class FormatsSpec extends SparkSpecBase {
     def randStr(): String = {
       val n = 1 + rng.nextInt(10)
       (0 until n).map { _ =>
-        rng.nextInt(5) match {
+        rng.nextInt(6) match {
           case 0 => ('a' + rng.nextInt(26)).toChar
           case 1 => "<>&\"'".charAt(rng.nextInt(5))
           case 2 => (0x410 + rng.nextInt(64)).toChar
           case 3 => ('0' + rng.nextInt(10)).toChar
+          case 4 => (1 + rng.nextInt(0x1F)).toChar // control chars: _xHHHH_ path
           case _ => ' '
         }
       }.mkString.trim + "x" // avoid pure-whitespace cells
