@@ -4,6 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.{BsonLocal, Converter, DocxTables, XlsxLocal}
+import graft.sources.{XlsLocal => XlsLocal0}
 import graft.sources.Converter.ReadOptions
 
 /** The three formats implemented from scratch in round 4: BSON
@@ -568,6 +569,9 @@ class FormatsSpec extends SparkSpecBase {
     assert(graft.operators.Analyzer.analyzeFile(s, s"$dir/t.bson").format == "bson")
     assert(graft.operators.Analyzer.analyzeFile(s, s"$dir/t.bson").df.count() == 2)
     assert(graft.operators.Analyzer.analyzeFile(s, s"$dir/t.xlsx").df.count() == 2)
+    XlsLocal0.write(df, s"$dir/t.xls")
+    assert(graft.operators.Analyzer.analyzeFile(s, s"$dir/t.xls").format == "xls")
+    assert(graft.operators.Analyzer.analyzeFile(s, s"$dir/t.xls").df.count() == 2)
     assert(graft.operators.Analyzer.analyzeFile(s, s"$dir/t.docx").df.count() == 1)
   }
 }
