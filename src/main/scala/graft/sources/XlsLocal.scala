@@ -60,7 +60,9 @@ object XlsLocal {
     val miniCutoff = i32(bytes, 56)
     val firstMiniFat = i32(bytes, 60)
     val firstDifat = i32(bytes, 68)
-    def sector(id: Int): Int = 512 + id * sectorSize
+    // sector 0 starts one full SECTOR after offset 0 — for v4 files
+    // (4096-byte sectors) that is offset 4096, not 512
+    def sector(id: Int): Int = (id + 1) * sectorSize
 
     // DIFAT: 109 header entries + chained DIFAT sectors
     val fatSectors = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -146,10 +148,21 @@ object XlsLocal {
       if (stream0.length >= 4096) stream0
       else java.util.Arrays.copyOf(stream0, 4096)
     val dataSectors = (stream.length + 511) / 512
-    // f FAT sectors must map data + 1 dir + f FAT sectors
+    // fixpoint: f FAT sectors map EVERY sector (g DIFAT + f FAT +
+    // 1 dir + data); the header DIFAT holds 109 FAT refs, the rest
+    // chain through g DIFAT sectors of 127 refs each (a headerless
+    // writer would silently corrupt any stream past ~7 MB)
     var f = 1
-    while (f * 128 < dataSectors + 1 + f) f += 1
-    val totalSectors = f + 1 + dataSectors
+    var g = 0
+    var stable = false
+    while (!stable) {
+      val nf = (g + f + 1 + dataSectors + 127) / 128
+      val ng = if (nf <= 109) 0 else (nf - 109 + 126) / 127
+      if (nf == f && ng == g) stable = true else { f = nf; g = ng }
+    }
+    // layout: sectors [0..g) DIFAT, [g..g+f) FAT, g+f directory, data after
+    val dirSector = g + f
+    val totalSectors = dirSector + 1 + dataSectors
     val out = new java.io.ByteArrayOutputStream(512 * (1 + totalSectors))
     def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
     def w32(v: Int): Unit = { w16(v & 0xFFFF); w16((v >>> 16) & 0xFFFF) }
@@ -162,22 +175,37 @@ object XlsLocal {
     out.write(new Array[Byte](6))
     w32(0) // num dir sectors (v3: 0)
     w32(f) // num FAT sectors
-    w32(f) // first directory sector (right after the FAT sectors)
+    w32(dirSector) // first directory sector
     w32(0) // transaction
     w32(4096) // mini cutoff
     w32(EndOfChain); w32(0) // no miniFAT
-    w32(EndOfChain); w32(0) // no DIFAT chain
+    w32(if (g > 0) 0 else EndOfChain); w32(g) // DIFAT chain start/count
     var i = 0
-    while (i < 109) { w32(if (i < f) i else FreeSect); i += 1 }
+    while (i < 109) { w32(if (i < f) g + i else FreeSect); i += 1 }
+    // DIFAT sectors: 127 FAT refs each + next-DIFAT pointer
+    var k = 0
+    while (k < g) {
+      var j = 0
+      while (j < 127) {
+        val fatIdx = 109 + k * 127 + j
+        w32(if (fatIdx < f) g + fatIdx else FreeSect)
+        j += 1
+      }
+      w32(if (k == g - 1) EndOfChain else k + 1)
+      k += 1
+    }
     // FAT sectors
     val fat = new Array[Int](f * 128)
     java.util.Arrays.fill(fat, FreeSect)
     i = 0
-    while (i < f) { fat(i) = 0xFFFFFFFD; i += 1 } // FATSECT marker
-    fat(f) = EndOfChain // directory chain (one sector)
+    while (i < g) { fat(i) = 0xFFFFFFFC; i += 1 } // DIFSECT marker
+    i = 0
+    while (i < f) { fat(g + i) = 0xFFFFFFFD; i += 1 } // FATSECT marker
+    fat(dirSector) = EndOfChain // directory chain (one sector)
     i = 0
     while (i < dataSectors) {
-      fat(f + 1 + i) = if (i == dataSectors - 1) EndOfChain else f + 2 + i
+      fat(dirSector + 1 + i) =
+        if (i == dataSectors - 1) EndOfChain else dirSector + 2 + i
       i += 1
     }
     fat.foreach(w32)
@@ -193,7 +221,7 @@ object XlsLocal {
       w32(start); w32(size); w32(0)
     }
     dirEntry("Root Entry", 5, 1, EndOfChain, 0)
-    dirEntry("Workbook", 2, FreeSect, f + 1, stream.length)
+    dirEntry("Workbook", 2, FreeSect, dirSector + 1, stream.length)
     out.write(new Array[Byte](128 * 2))
     // data sectors
     out.write(stream, 0, stream.length)
@@ -293,7 +321,11 @@ object XlsLocal {
       tpe match {
         case 0x0809 => depth += 1
         case 0x000A => depth -= 1; if (depth <= 0) done = true
-        case 0x0085 => sheets += i32(wb, off + 4) // BOUNDSHEET lbPlyPos
+        case 0x0085 =>
+          // BOUNDSHEET: lbPlyPos(4), hsState(1), dt(1) — only dt=0
+          // WORKSHEETS count toward the page index (chart sheets and
+          // VBA modules would otherwise shift or hijack it)
+          if ((wb(off + 9) & 0xFF) == 0) sheets += i32(wb, off + 4)
         case 0x00FC => // SST
           val cur = new RecCursor(wb, off)
           cur.skip(4) // total refs
@@ -414,7 +446,7 @@ object XlsLocal {
   private def cellHeader(b: java.io.ByteArrayOutputStream, row: Int, col: Int): Unit = {
     b.write(row & 0xFF); b.write((row >> 8) & 0xFF)
     b.write(col & 0xFF); b.write((col >> 8) & 0xFF)
-    b.write(0); b.write(0) // ixfe 0
+    b.write(15); b.write(0) // ixfe 15 = the default CELL XF (0-14 are style XFs)
   }
 
   private val MaxRecData = 8224
@@ -444,6 +476,13 @@ object XlsLocal {
               v.asInstanceOf[Number].doubleValue(), 0)
           case BooleanType =>
             cells += C(row, col, 'b', if (v.asInstanceOf[Boolean]) 1 else 0, 0)
+          case TimestampType =>
+            // Timestamp.toString appends a stray ".0" — use the same
+            // ISO second-resolution shape as the xlsx serial path
+            sstRefs += 1
+            cells += C(row, col, 's', 0, sstId(
+              v.asInstanceOf[java.sql.Timestamp].toLocalDateTime.format(
+                java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))))
           case _ =>
             sstRefs += 1
             cells += C(row, col, 's', 0, sstId(v.toString))
@@ -495,6 +534,28 @@ object XlsLocal {
     bs.write(sheetName, 0, sheetName.length)
     val boundsheetPatch = globals.size + 4 // offset of lbPlyPos field
     globals.rec(0x0085, bs.toByteArray)
+    // MS-XLS requires a FONT and the 16-entry XF table (0-14 style XFs,
+    // 15 = the default cell XF every cell references)
+    val font = {
+      val b = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { b.write(v & 0xFF); b.write((v >> 8) & 0xFF) }
+      w16(200); w16(0); w16(0x7FFF); w16(0x0190) // height, grbit, icv auto, weight
+      w16(0); b.write(0); b.write(0); b.write(0); b.write(0) // sss/uls/family/charset/rsv
+      b.write(5); b.write(0); b.write("Arial".getBytes, 0, 5) // cch, compressed, name
+      b.toByteArray
+    }
+    globals.rec(0x0031, font)
+    (0 until 16).foreach { ix =>
+      val b = new java.io.ByteArrayOutputStream(20)
+      def w16(v: Int): Unit = { b.write(v & 0xFF); b.write((v >> 8) & 0xFF) }
+      w16(0); w16(0) // ifnt, ifmt
+      // style XFs: fStyle + parent 0xFFF; the cell XF (15): parent 0
+      if (ix < 15) w16(0x0004 | (0xFFF << 4)) else w16(0)
+      w16(0); w16(0); w16(0); w16(0); w16(0); w16(0) // align/rotate/borders
+      w16(0x20C0) // icvFore 64 / icvBack 65 (the conventional defaults)
+      require(b.size == 20, s"XF record must be 20 bytes, got ${b.size}")
+      globals.rec(0x00E0, b.toByteArray)
+    }
     // SST with CONTINUE splitting (string- and char-boundary capable)
     val sstChunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var cur = new java.io.ByteArrayOutputStream(MaxRecData)
@@ -504,6 +565,10 @@ object XlsLocal {
     def w32c(v: Int): Unit = { w16c(v & 0xFFFF); w16c((v >>> 16) & 0xFFFF) }
     w32c(sstRefs); w32c(sstIndex.size)
     sstIndex.keysIterator.foreach { s =>
+      // cch is a 16-bit field and Excel's own cell limit is 32767 —
+      // refuse, never truncate (same contract as the row/col limits)
+      require(s.length <= 32767,
+        s"BIFF8 cell strings are limited to 32767 chars (got ${s.length})")
       if (sstRoom < 4) flushChunk() // room for cch + grbit at least
       w16c(s.length); cur.write(1) // uncompressed UTF-16
       var i = 0

@@ -290,8 +290,9 @@ class FormatsSpec extends SparkSpecBase {
   test("xls: CFB container round trip at several sizes") {
     import graft.sources.XlsLocal
     val rng = new scala.util.Random(3)
-    // < 4096 (pad path), sector-boundary, and multi-FAT-sector (>64KB)
-    for (n <- Seq(100, 4096, 4097, 512 * 130, 150000)) {
+    // < 4096 (pad path), sector-boundary, multi-FAT-sector (>64KB),
+    // and past the 109-FAT-in-header cliff (~7.1MB -> DIFAT chain)
+    for (n <- Seq(100, 4096, 4097, 512 * 130, 150000, 7500000)) {
       val data = Array.fill[Byte](n)(rng.nextInt().toByte)
       val back = XlsLocal.cfbStream(XlsLocal.cfbWrap(data), Seq("Workbook"))
       // the writer pads sub-4096 streams; content must match as prefix
@@ -308,6 +309,48 @@ class FormatsSpec extends SparkSpecBase {
     val hi = (java.lang.Double.doubleToLongBits(1.5) >>> 32).toInt & ~3
     assert(XlsLocal.rkNum(hi) == 1.5) // truncated double form
     assert(XlsLocal.rkNum(hi | 1) == 0.015) // double, /100
+  }
+
+  test("xls: chart/macro BOUNDSHEETs do not count as data sheets") {
+    import graft.sources.XlsLocal
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("xls-chart")
+    val path = s"$dir/t.xls"
+    XlsLocal.write(Seq((1L, "a")).toDF("k", "v"), path)
+    // flip the single BOUNDSHEET's dt byte to 2 (chart sheet): the
+    // reader must then see ZERO worksheets, not a broken page 0
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    var i = 0
+    var patched = false
+    while (i < bytes.length - 10 && !patched) {
+      // BOUNDSHEET header: type 0x0085, then len; dt at data offset 5
+      if ((bytes(i) & 0xFF) == 0x85 && bytes(i + 1) == 0 &&
+          (bytes(i + 2) & 0xFF) >= 8 && bytes(i + 9) == 0 &&
+          (bytes(i + 10) & 0xFF) == 6) { // cch==6 ("Sheet1") sanity
+        bytes(i + 9) = 2
+        patched = true
+      }
+      i += 1
+    }
+    assert(patched, "BOUNDSHEET record not found to patch")
+    val path2 = s"$dir/chart.xls"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path2), bytes)
+    val e = intercept[IllegalArgumentException] { XlsLocal.sheetRows(path2) }
+    assert(e.getMessage.contains("0 sheets"))
+  }
+
+  test("xls timestamps write as ISO seconds, not Timestamp.toString's .0") {
+    val s = spark
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ts", TimestampType)))
+    val rows = Seq(Row(1L, java.sql.Timestamp.valueOf("2024-06-15 10:30:00")))
+    val df = s.createDataFrame(s.sparkContext.parallelize(rows), schema)
+    val dir = tmpDir("xls-ts")
+    graft.sources.XlsLocal.write(df, s"$dir/t.xls")
+    val back = graft.sources.XlsLocal.read(s, s"$dir/t.xls").head
+    assert(back.getAs[String]("ts") == "2024-06-15 10:30:00")
   }
 
   test("xls round trip via Converter: types, SST, continuation splits") {
