@@ -226,14 +226,43 @@ object BsonLocal {
     ()
   }
 
+  /** Per-file decompression for the wrappers the reference supports
+    * around BSON (gz/bz2/xz, undatum/common/iterable.py:10-27,57-71).
+    * Runs on the EXECUTOR — each compressed file is one task, same
+    * parallelism story as the plain read.
+    */
+  private def maybeDecompress(name: String, raw: Array[Byte]): Array[Byte] = {
+    val lower = name.toLowerCase
+    val in: java.io.InputStream =
+      if (lower.endsWith(".gz"))
+        new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(raw))
+      else if (lower.endsWith(".bz2"))
+        new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(
+          new java.io.ByteArrayInputStream(raw))
+      else if (lower.endsWith(".xz"))
+        new org.apache.commons.compress.compressors.xz.XZCompressorInputStream(
+          new java.io.ByteArrayInputStream(raw))
+      else return raw
+    val out = new ByteArrayOutputStream(raw.length * 4)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    out.toByteArray
+  }
+
   /** Distributed-per-file BSON read: file → one task → JSON lines →
-    * Spark schema inference.
+    * Spark schema inference. Files may be gz/bz2/xz-wrapped (the
+    * reference's compression envelope for BSON).
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val jsonLines = spark.sparkContext
       .binaryFiles(path)
-      .flatMap { case (_, stream) => toJsonLines(stream.toArray()) }
+      .flatMap { case (name, stream) =>
+        toJsonLines(maybeDecompress(name, stream.toArray()))
+      }
       .toDS()
     spark.read.json(jsonLines)
   }

@@ -576,6 +576,27 @@ class FormatsSpec extends SparkSpecBase {
     assert(a.exceptAll(bk).count() == 0 && bk.exceptAll(a).count() == 0)
   }
 
+  test("bson reads through the reference's gz/bz2/xz compression envelope") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("bson-gz")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    BsonLocal.write(df, s"$dir/plain.bson")
+    val raw = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/plain.bson"))
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/t.bson.gz"))
+    gz.write(raw); gz.close()
+    val xz = new org.apache.commons.compress.compressors.xz.XZCompressorOutputStream(
+      new java.io.FileOutputStream(s"$dir/t2.bson.xz"))
+    xz.write(raw); xz.close()
+    assert(BsonLocal.read(s, s"$dir/t.bson.gz").count() == 2)
+    assert(BsonLocal.read(s, s"$dir/t2.bson.xz")
+      .agg(sum("k")).head.getLong(0) == 3L)
+    // and analyzeFile strips the codec suffix before dispatching
+    assert(graft.operators.Analyzer.analyzeFile(s, s"$dir/t.bson.gz").df.count() == 2)
+  }
+
   test("bson corrupt inputs fail with clear errors, not bare bounds faults") {
     // truncated length prefix
     intercept[IllegalArgumentException] {
