@@ -628,14 +628,17 @@ object SparkEntry {
       // LOWERS the false-positive rate; the oracled values are
       // fp-independent
       val flagged = Dedup.bloomFlag(old, nw, "text", expectedOldItems = 1 << 20)
-      val missed = flagged.where(!col("maybe_dup"))
-        .join(old.select("text"), Seq("text"), "left_semi").count()
-      // reuse the flagged frame: ONE bloom build for both the
-      // contract check and the survivor computation
-      val survivors = Dedup.incrementalDedupFlagged(old, flagged, "text").count()
-      val total = nw.count()
-      Seq((total, total - survivors, missed, survivors))
-        .toDF("n_new", "n_dup", "n_missed", "n_survive")
+        .persist() // three eager consumers below — probe the batch once
+      try {
+        val missed = flagged.where(!col("maybe_dup"))
+          .join(old.select("text"), Seq("text"), "left_semi").count()
+        // reuse the flagged frame: ONE bloom build for both the
+        // contract check and the survivor computation
+        val survivors = Dedup.incrementalDedupFlagged(old, flagged, "text").count()
+        val total = flagged.count()
+        Seq((total, total - survivors, missed, survivors))
+          .toDF("n_new", "n_dup", "n_missed", "n_survive")
+      } finally { flagged.unpersist(blocking = false); () }
     }),
     "q_bson_roundtrip" -> ((s, d) => {
       // BSON source+sink (from-scratch bsonspec.org wire format —
