@@ -206,25 +206,8 @@ object BsonLocal {
       .toString
   }
 
-  private def appendJsonString(sb: java.lang.StringBuilder, s: String): Unit = {
-    sb.append('"')
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      c match {
-        case '"' => sb.append("\\\"")
-        case '\\' => sb.append("\\\\")
-        case '\n' => sb.append("\\n")
-        case '\r' => sb.append("\\r")
-        case '\t' => sb.append("\\t")
-        case _ if c < 0x20 => sb.append(f"\\u$c%04x")
-        case _ => sb.append(c)
-      }
-      i += 1
-    }
-    sb.append('"')
-    ()
-  }
+  private def appendJsonString(sb: java.lang.StringBuilder, s: String): Unit =
+    Esc.json(sb, s)
 
   /** Per-file decompression for the wrappers the reference supports
     * around BSON (gz/bz2/xz, undatum/common/iterable.py:10-27,57-71).
@@ -243,7 +226,9 @@ object BsonLocal {
         new org.apache.commons.compress.compressors.xz.XZCompressorInputStream(
           new java.io.ByteArrayInputStream(raw))
       else return raw
-    val out = new ByteArrayOutputStream(raw.length * 4)
+    // raw.length * 4 overflows Int past 512 MB compressed — clamp
+    val out = new ByteArrayOutputStream(
+      math.max(64L, math.min(raw.length.toLong * 4, Int.MaxValue - 8L)).toInt)
     try {
       val buf = new Array[Byte](1 << 16)
       var n = in.read(buf)

@@ -57,11 +57,16 @@ private[graft] object Esc {
 
   /** SpreadsheetML `_xHHHH_` escaping (ECMA-376 §22.4.2.4, shared
     * strings / inline strings): control characters become `_xHHHH_`,
-    * and literal text that LOOKS like the escape gets its underscore
-    * escaped first (`_x005F_`).
+    * and EVERY literal `_x` is escaped to `_x005F_x` first. Escaping
+    * only lookalike matches is not enough: adjacent lookalikes share
+    * an underscore (`_x0041_x0042_`), so the non-escaped second one
+    * would decode and corrupt the value. After the blanket `_x`
+    * escape, every `_x` in the output starts either a control-char
+    * marker or a `_x005F_` marker, and the single-pass decode is
+    * exactly inverse.
     */
   def xEncode(s: String): String = {
-    val pre = XPattern.matcher(s).replaceAll("_x005F_x$1_")
+    val pre = s.replace("_x", "_x005F_x")
     val sb = new java.lang.StringBuilder(pre.length)
     var i = 0
     while (i < pre.length) {

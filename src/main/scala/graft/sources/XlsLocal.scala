@@ -324,7 +324,10 @@ object XlsLocal {
         case 0x0085 =>
           // BOUNDSHEET: lbPlyPos(4), hsState(1), dt(1) — only dt=0
           // WORKSHEETS count toward the page index (chart sheets and
-          // VBA modules would otherwise shift or hijack it)
+          // VBA modules would otherwise shift or hijack it). Bounded:
+          // a truncated stream must raise a clear error, not AIOOBE
+          require(off + 10 <= wb.length && len >= 6,
+            s"corrupt BIFF8: truncated BOUNDSHEET record at offset $off")
           if ((wb(off + 9) & 0xFF) == 0) sheets += i32(wb, off + 4)
         case 0x00FC => // SST
           val cur = new RecCursor(wb, off)

@@ -234,13 +234,15 @@ object XlsxLocal {
     val cur = new java.lang.StringBuilder
     var inSi = false
     var inT = false
+    var inRPh = false // phonetic guide runs are NOT cell text (CT_Rst)
     try {
       while (r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT =>
             r.getLocalName match {
               case "si" => inSi = true; cur.setLength(0)
-              case "t" if inSi => inT = true
+              case "rPh" | "phoneticPr" => inRPh = true
+              case "t" if inSi && !inRPh => inT = true
               case _ =>
             }
           case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
@@ -248,6 +250,7 @@ object XlsxLocal {
           case XMLStreamConstants.END_ELEMENT =>
             r.getLocalName match {
               case "t" => inT = false
+              case "rPh" | "phoneticPr" => inRPh = false
               case "si" => inSi = false; out += Esc.xDecode(cur.toString)
               case _ =>
             }
@@ -280,6 +283,7 @@ object XlsxLocal {
     var cellStyle = -1
     var inV = false
     var inIsT = false
+    var inRPh = false
     val text = new java.lang.StringBuilder
     var pendingValue: String = null
     try {
@@ -294,8 +298,19 @@ object XlsxLocal {
                 var rRef = -1
                 var i = 0
                 while (i < r.getAttributeCount) {
-                  if (r.getAttributeLocalName(i) == "r")
-                    rRef = r.getAttributeValue(i).toInt
+                  if (r.getAttributeLocalName(i) == "r") {
+                    val raw = r.getAttributeValue(i)
+                    rRef =
+                      try raw.toInt
+                      catch { case _: NumberFormatException =>
+                        throw new IllegalArgumentException(
+                          s"worksheet row reference is not a number: '$raw'") }
+                    // the xlsx grid caps at 1,048,576 rows — an
+                    // out-of-range reference must not drive the gap
+                    // fill into allocating billions of empty rows
+                    require(rRef >= 1 && rRef <= 1048576,
+                      s"worksheet row reference out of range: $rRef")
+                  }
                   i += 1
                 }
                 while (rRef > 0 && rowCount < rRef - 1) {
@@ -316,15 +331,18 @@ object XlsxLocal {
                   i += 1
                 }
               case "v" => inV = true; text.setLength(0)
+              case "rPh" | "phoneticPr" => inRPh = true
               // rich inline strings hold SEVERAL <r><t> runs — append,
-              // don't reset (the shared-string parser already does)
-              case "t" if cellType == "inlineStr" => inIsT = true
+              // don't reset (the shared-string parser already does);
+              // phonetic guide runs (rPh) are NOT cell text
+              case "t" if cellType == "inlineStr" && !inRPh => inIsT = true
               case _ =>
             }
           case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
             if (inV || inIsT) text.append(r.getText)
           case XMLStreamConstants.END_ELEMENT =>
             r.getLocalName match {
+              case "rPh" | "phoneticPr" => inRPh = false
               case "v" =>
                 inV = false; pendingValue = text.toString
               case "t" if inIsT =>
@@ -360,8 +378,10 @@ object XlsxLocal {
     * "+5"/"5d"/hex floats, which would corrupt the generated JSON line
     * and silently null the whole record.
     */
+  private val NumLexeme =
+    java.util.regex.Pattern.compile("-?(0|[1-9]\\d*)(\\.\\d+)?([eE][+-]?\\d+)?")
   private def isNumeric(s: String): Boolean =
-    s.matches("-?(0|[1-9]\\d*)(\\.\\d+)?([eE][+-]?\\d+)?")
+    NumLexeme.matcher(s).matches() // precompiled: called once per cell
 
   /** Read sheet `page` with first-row-as-header semantics into a
     * DataFrame (types via Spark's JSON inference — the same path an

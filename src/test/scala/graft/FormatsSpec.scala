@@ -233,8 +233,13 @@ class FormatsSpec extends SparkSpecBase {
     import graft.sources.Esc
     assert(Esc.xEncode("ab") == "a_x0001_b")
     assert(Esc.xDecode("a_x0001_b") == "ab")
-    // literal text that LOOKS like the escape survives
-    assert(Esc.xDecode(Esc.xEncode("lit _x0041_ eral")) == "lit _x0041_ eral")
+    // literal text that LOOKS like the escape survives — including
+    // ADJACENT lookalikes sharing an underscore, a control char feeding
+    // into a lookalike, and a pre-escaped literal (each corrupted under
+    // the old match-only-lookalikes encoder)
+    for (v <- Seq("lit _x0041_ eral", "_x0041_x0042_", "\u0001x0001_",
+        "_x005F_x0041_", "__x0041__", "a_xb", "_x", "x_", "_x00GG_"))
+      assert(Esc.xDecode(Esc.xEncode(v)) == v, s"round trip broke for: $v")
     val s = spark
     import s.implicits._
     val df = Seq((1L, "ctrlandbells"), (2L, "_x0042_ literal"))
