@@ -23,10 +23,14 @@ import java.nio.charset.StandardCharsets.UTF_16LE
   * reference's own xls path emits raw serials too).
   *
   * Writer scope: one worksheet, LABELSST/NUMBER/BOOLERR cells, SST
-  * with record-boundary splitting; the stream is zero-padded past the
-  * 4096-byte mini-stream cutoff so it always lives in regular FAT
-  * sectors (padding after EOF is dead space within the stream —
-  * readers stop at the EOF record).
+  * with record-boundary splitting, the spec-required FONT + 16-XF
+  * table; the stream is zero-padded past the 4096-byte mini-stream
+  * cutoff so it always lives in regular FAT sectors (padding after
+  * EOF is dead space within the stream — readers stop at the EOF
+  * record), and the CFB header grows a DIFAT chain once the stream
+  * needs more than 109 FAT sectors (~7 MB). BIFF8 hard limits
+  * (65536 rows, 256 columns, 32767-char cell strings) are REFUSED,
+  * never truncated.
   *
   * Same shape contract as [[XlsxLocal]]: first row = field names,
   * records typed by Spark's JSON inference. Driver-side bounded by
