@@ -414,6 +414,15 @@ class FormatsSpec extends SparkSpecBase {
     assert(ts(0)(2) == Vector("x y", "He llo", "v1")) // vMerge inherits; space-only run kept
   }
 
+  test("docx writer replaces XML-illegal control chars with spaces") {
+    val dir = tmpDir("docx-ctrl")
+    val path = s"$dir/c.docx"
+    DocxTables.writeTable(Seq(Seq("h"), Seq("a\u0001b\u0007c")), path)
+    // XML 1.0 cannot carry control chars at all; the writer substitutes
+    // spaces and the merge-aware extractor then collapses/strips them
+    assert(DocxTables.tables(path)(0)(1) == Vector("a b c"))
+  }
+
   test("docx writeTable -> read round trip through Converter") {
     val s = spark
     val dir = tmpDir("docx-rt")
