@@ -776,12 +776,27 @@ object Dedup {
     * job over `old` first (one extra scan).
     */
   def bloomFlag(old: DataFrame, batch: DataFrame, textCol: String,
-                expectedOldItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
+                expectedOldItems: Long = -1L, fpp: Double = 0.01): DataFrame =
+    bloomFlagHandle(old, batch, textCol, expectedOldItems, fpp)._1
+
+  /** [[bloomFlag]] plus the broadcast handle. A bloom at fpp 0.01 is
+    * ~1.2 bytes/item — a continuous-ingestion driver that calls this
+    * per batch without destroying the broadcast leaks that block on
+    * every executor until GC-driven ContextCleaner catch-up. Callers
+    * in long-lived drivers should `handle.destroy()` (or at least
+    * `unpersist()`) once the flagged batch is fully materialized;
+    * one-shot jobs can ignore the handle (the convenience overload
+    * above does).
+    */
+  def bloomFlagHandle(old: DataFrame, batch: DataFrame, textCol: String,
+                      expectedOldItems: Long = -1L, fpp: Double = 0.01)
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[
+          org.apache.spark.util.sketch.BloomFilter]) = {
     val nOld = if (expectedOldItems > 0) expectedOldItems else old.count()
     val bf = old.stat.bloomFilter(normHash(col(textCol)), math.max(nOld, 1L), fpp)
     val bc = old.sparkSession.sparkContext.broadcast(bf)
     val probe = udf((h: Long) => bc.value.mightContainLong(h))
-    batch.withColumn("maybe_dup", probe(normHash(col(textCol))))
+    (batch.withColumn("maybe_dup", probe(normHash(col(textCol)))), bc)
   }
 
   /** Batch rows that are NOT already in the corpus: bloom-unflagged

@@ -58,7 +58,12 @@ object BsonLocal {
       val size = readInt32(bytes, off)
       require(size >= 5 && off + size <= bytes.length,
         s"corrupt BSON: document size $size at offset $off (file ${bytes.length} bytes)")
-      val sb = new java.lang.StringBuilder(size * 2)
+      // capacity hint clamped: `size * 2` overflows Int for a >1 GiB
+      // document, and the resulting NegativeArraySizeException would
+      // escape the corrupt-input rewrap below (it guards the PARSE,
+      // not this allocation)
+      val sb = new java.lang.StringBuilder(
+        math.min(size.toLong * 2, Int.MaxValue - 8L).toInt)
       // a corrupt interior (bad string length, unterminated cstring)
       // surfaces as a bounds error — rewrap with file context instead
       // of a bare AIOOBE
@@ -137,8 +142,14 @@ object BsonLocal {
     case 0x04 => parseDocument(b, off, sb, array = true)
     case 0x05 => // binary: int32 len, subtype byte, payload -> base64
       val len = readInt32(b, off)
+      // subtype 0x02 ("old binary", bsonspec.org): the payload is
+      // itself prefixed with an inner int32 length — skip it so the
+      // base64 carries only the real bytes
+      val (pOff, pLen) =
+        if (b(off + 4) == 0x02 && len >= 4) (off + 9, len - 4)
+        else (off + 5, len)
       val b64 = java.util.Base64.getEncoder.encodeToString(
-        java.util.Arrays.copyOfRange(b, off + 5, off + 5 + len))
+        java.util.Arrays.copyOfRange(b, pOff, pOff + pLen))
       appendJsonString(sb, b64)
       off + 5 + len
     case 0x06 | 0x0A | 0x7F | 0xFF => // undefined / null / maxkey / minkey

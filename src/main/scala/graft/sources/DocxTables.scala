@@ -17,7 +17,12 @@ import javax.xml.stream.XMLStreamConstants
   *    value across all N grid columns (docx.py:23-24);
   *  - a vertically merged continuation cell (`w:vMerge` with
   *    val="continue" or no val) takes the value from the same column
-  *    of the row above (docx.py:21-22).
+  *    of the row above. DELIBERATE divergence: the reference
+  *    (docx.py:22) indexes `results[n-1][len(r)-1]` — the PREVIOUS
+  *    column, with a Python `[-1]` wrap to the last cell for column
+  *    0 — which is an upstream off-by-one, not vMerge semantics. We
+  *    keep the same-column value (what the merged cell visually
+  *    spans); tables without merges are unaffected.
   *
   * Nested tables are flattened into the containing cell's text (the
   * reference's `cell.text` does the same).

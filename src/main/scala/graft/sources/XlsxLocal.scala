@@ -383,6 +383,19 @@ object XlsxLocal {
   private def isNumeric(s: String): Boolean =
     NumLexeme.matcher(s).matches() // precompiled: called once per cell
 
+  /** The three Java non-finite double lexemes. Spreadsheet formats
+    * cannot represent non-finite numerics (xlsx: invalid XML; xls:
+    * raw IEEE bits Excel reinterprets), so the writers emit these as
+    * string cells and [[fromGrid]] maps the exact lexemes back to JSON
+    * non-numeric number tokens (Jackson `allowNonNumericNumbers`, on
+    * by default in Spark's JSON reader). Trade-off, documented: a text
+    * column consisting ENTIRELY of these lexemes re-enters as doubles;
+    * any finite-string admixture keeps it a string column with the
+    * lexemes preserved verbatim.
+    */
+  private[sources] def isNonFinite(s: String): Boolean =
+    s == "NaN" || s == "Infinity" || s == "-Infinity"
+
   /** Read sheet `page` with first-row-as-header semantics into a
     * DataFrame (types via Spark's JSON inference — the same path an
     * xlsx→jsonl convert would take). `startLine` skips leading rows
@@ -417,8 +430,12 @@ object XlsxLocal {
           appendJson(sb, name)
           sb.append(':')
           // the sheet's own type tag decides the JSON shape — a string
-          // cell "123" stays a string
-          if (v.kind == 'b' || (v.kind == 'n' && isNumeric(v.lex))) sb.append(v.lex)
+          // cell "123" stays a string. Exception: the exact non-finite
+          // lexemes pass as (non-numeric) number tokens regardless of
+          // kind, because the writers can only represent them as
+          // strings — see isNonFinite for the trade-off.
+          if (v.kind == 'b' || (v.kind == 'n' && isNumeric(v.lex)) ||
+              isNonFinite(v.lex)) sb.append(v.lex)
           else appendJson(sb, v.lex)
         }
       }
@@ -511,7 +528,16 @@ object XlsxLocal {
             dt match {
               case ByteType | ShortType | IntegerType | LongType | FloatType |
                    DoubleType | _: DecimalType =>
-                w.write(s"""<c r="$ref"><v>${v.toString}</v></c>""")
+                val lex = v.toString
+                // SpreadsheetML numeric cells cannot carry NaN/Infinity
+                // (<v>NaN</v> is invalid — Excel triggers file repair);
+                // emit the lexeme as an inline string instead. fromGrid
+                // recognizes these exact lexemes on read-back, so the
+                // round trip keeps the column numeric.
+                if (isNonFinite(lex))
+                  w.write(s"""<c r="$ref" t="inlineStr"><is><t>$lex</t></is></c>""")
+                else
+                  w.write(s"""<c r="$ref"><v>$lex</v></c>""")
               case BooleanType =>
                 val b = if (v.asInstanceOf[Boolean]) "1" else "0"
                 w.write(s"""<c r="$ref" t="b"><v>$b</v></c>""")

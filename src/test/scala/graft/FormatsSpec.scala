@@ -123,6 +123,29 @@ class FormatsSpec extends SparkSpecBase {
     assert(json.contains(""""none":null"""))
   }
 
+  test("bson binary subtype 0x02 (old binary) skips the inner length") {
+    // per bsonspec.org, subtype 0x02 wraps the payload in an extra
+    // int32 length; base64 must carry only the real bytes
+    val payload = Array[Byte](0x41, 0x42, 0x43)
+    val o = new java.io.ByteArrayOutputStream()
+    def cstr(s: String): Unit = { o.write(s.getBytes); o.write(0) }
+    def i32(v: Int): Unit = { o.write(v); o.write(v >> 8); o.write(v >> 16); o.write(v >> 24) }
+    o.write(0x05); cstr("old"); i32(payload.length + 4); o.write(0x02)
+    i32(payload.length); o.write(payload)
+    o.write(0x05); cstr("new"); i32(payload.length); o.write(0x00)
+    o.write(payload)
+    val body = o.toByteArray
+    val doc = {
+      val t = new java.io.ByteArrayOutputStream()
+      def t32(v: Int): Unit = { t.write(v); t.write(v >> 8); t.write(v >> 16); t.write(v >> 24) }
+      t32(body.length + 5); t.write(body); t.write(0); t.toByteArray
+    }
+    val json = BsonLocal.toJsonLines(doc).toSeq.head
+    val b64 = java.util.Base64.getEncoder.encodeToString(payload)
+    assert(json.contains(s""""old":"$b64""""), json)
+    assert(json.contains(s""""new":"$b64""""), json)
+  }
+
   test("bson read is distributed per file (many files -> one scan)") {
     val s = spark
     import s.implicits._
@@ -157,6 +180,37 @@ class FormatsSpec extends SparkSpecBase {
     assert(rows(0).getAs[Double]("score") == 1.5)
     assert(rows(0).getAs[Boolean]("flag"))
     assert(!rows(1).getAs[Boolean]("flag"))
+  }
+
+  test("xlsx/xls: non-finite doubles round-trip as doubles, file stays valid") {
+    val s = spark
+    import s.implicits._
+    // a double column MIXING finite and non-finite values must come
+    // back as one double column (the pre-fix writer emitted invalid
+    // <v>NaN</v> and read-back demoted the whole column to string)
+    val df = Seq(
+      (1L, 1.5), (2L, Double.NaN),
+      (3L, Double.PositiveInfinity), (4L, Double.NegativeInfinity)
+    ).toDF("id", "score")
+    for (fmt <- Seq("xlsx", "xls")) {
+      val dir = tmpDir(s"$fmt-nonfinite")
+      Converter.write(df, s"$dir/t.$fmt", fmt)
+      val back = Converter.read(s, s"$dir/t.$fmt", ReadOptions(fmt)).orderBy("id")
+      assert(back.schema("score").dataType ==
+        org.apache.spark.sql.types.DoubleType, s"$fmt demoted the column")
+      val vs = back.collect().map(_.getAs[Double]("score"))
+      assert(vs(0) == 1.5 && vs(1).isNaN &&
+        vs(2).isPosInfinity && vs(3).isNegInfinity, s"$fmt: ${vs.toSeq}")
+    }
+    // xlsx file must remain parseable XML throughout (no invalid
+    // numeric cells): walk the raw sheet — non-finites must be STRING
+    // cells in the file, never numeric <v> payloads
+    val dir2 = tmpDir("xlsx-nonfinite2")
+    Converter.write(df, s"$dir2/t.xlsx", "xlsx")
+    val grid = XlsxLocal.sheetRows(s"$dir2/t.xlsx/part-00000.xlsx", 0)
+    assert(grid.length == 5)
+    assert(grid.drop(2).map(_(1).kind).toSet == Set('s'),
+      "non-finite doubles must be written as string cells")
   }
 
   test("xlsx reader: shared strings, cell-ref gaps, column refs") {
