@@ -671,6 +671,28 @@ object SparkEntry {
           .toDF("n_new", "n_dup", "n_missed", "n_survive")
       } finally { flagged.unpersist(blocking = false); () }
     }),
+    "q_pickle_roundtrip" -> ((s, d) => {
+      // pickle source+sink (from-scratch protocol-4 opcode walker /
+      // emitter, flat-record subset; fixture-matrix completion — the
+      // reference corpus ships 2cols6rows_flat.pickle via the external
+      // iterabledata package). Same staging scheme as q_bson_roundtrip:
+      // write the table as concatenated per-record pickles, read it
+      // back distributed, aggregate the READ-BACK frame vs the oracle's
+      // aggregate over the original parquet.
+      val cus = t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-qpickle-" +
+        java.lang.Integer.toHexString(d.hashCode)
+      graft.sources.Converter.write(cus, s"$dir/customer.pickle", "pickle")
+      val back = graft.sources.Converter.read(s, s"$dir/customer.pickle",
+        graft.sources.Converter.ReadOptions("pickle"))
+      back.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("c_custkey").cast("long").as("s"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"),
+          max("c_name").as("max_name"))
+        .orderBy("c_nationkey")
+    }),
     "q_bson_roundtrip" -> ((s, d) => {
       // BSON source+sink (from-scratch bsonspec.org wire format —
       // reference: bson.decode_file_iter / BSON.encode per record,
@@ -1579,6 +1601,11 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_missed,
         |  CAST(sum(CASE WHEN tn IN (SELECT tn FROM oldn) THEN 0 ELSE 1 END) AS BIGINT) AS n_survive
         |FROM newb""".stripMargin,
+    "q_pickle_roundtrip" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |CAST(count(*) AS BIGINT) AS n, CAST(sum(c_custkey) AS BIGINT) AS s,
+        |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+        |max(c_name) AS max_name FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bson_roundtrip" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
         |CAST(count(*) AS BIGINT) AS n, CAST(sum(n_nationkey) AS BIGINT) AS s,

@@ -301,7 +301,19 @@ object Dedup {
     * `spark.cleaner.referenceTracking.cleanCheckpoints`).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsCounted(pairs, maxIter, checkpointDir)._1
+
+  /** [[connectedComponents]] plus the number of sweeps actually run
+    * (including the final no-change sweep that proves convergence) —
+    * the data-driven signal for choosing between label propagation
+    * (sweeps ≈ diameter; best on the dense low-diameter clumps near-dup
+    * graphs produce) and [[connectedComponentsStar]] (O(log²n) rounds
+    * regardless of shape; the extreme-skew/diameter fallback). See
+    * tools.CcDiagCli, which reports both on a given corpus.
+    */
+  def connectedComponentsCounted(pairs: DataFrame, maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): (DataFrame, Int) = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def cp(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
@@ -367,7 +379,7 @@ object Dedup {
       // release the edge checkpoint on the refusal path too
       edges.unpersist(blocking = false)
     }
-    labels
+    (labels, iter)
   }
 
   /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris et
@@ -391,7 +403,15 @@ object Dedup {
     * anti-join emptiness test, not a hash heuristic).
     */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50,
-                              checkpointDir: Option[String] = None): DataFrame = {
+                              checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsStarCounted(pairs, maxIter, checkpointDir)._1
+
+  /** [[connectedComponentsStar]] plus the number of (large+small)-star
+    * rounds actually run — counterpart of
+    * [[connectedComponentsCounted]] for the diagnostic CLI.
+    */
+  def connectedComponentsStarCounted(pairs: DataFrame, maxIter: Int = 50,
+                              checkpointDir: Option[String] = None): (DataFrame, Int) = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def cp(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
@@ -453,9 +473,9 @@ object Dedup {
       // root; roots label themselves. The returned plan reads the
       // final checkpoint — which is why the cleanup below must not
       // release it on the success path.
-      edges.select(col("a").as("id"), col("b").as("cluster"))
+      (edges.select(col("a").as("id"), col("b").as("cluster"))
         .union(edges.select(col("b").as("id"), col("b").as("cluster")).distinct())
-        .distinct()
+        .distinct(), iter)
     } finally {
       // refusal/failure only: the success return is BACKED by the
       // final checkpoint (a truncated-lineage Dataset cannot be

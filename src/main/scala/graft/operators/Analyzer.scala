@@ -234,6 +234,7 @@ object Analyzer {
         else if (n.endsWith(".orc")) "orc"
         else if (n.endsWith(".avro")) "avro"
         else if (n.endsWith(".bson")) "bson"
+        else if (n.endsWith(".pickle") || n.endsWith(".pkl")) "pickle"
         else if (n.endsWith(".xlsx")) "xlsx"
         else if (n.endsWith(".xls")) "xls"
         else if (n.endsWith(".docx")) "docx"

@@ -225,7 +225,7 @@ object BsonLocal {
     * Runs on the EXECUTOR — each compressed file is one task, same
     * parallelism story as the plain read.
     */
-  private def maybeDecompress(name: String, raw: Array[Byte]): Array[Byte] = {
+  private[sources] def maybeDecompress(name: String, raw: Array[Byte]): Array[Byte] = {
     val lower = name.toLowerCase
     val in: java.io.InputStream =
       if (lower.endsWith(".gz"))

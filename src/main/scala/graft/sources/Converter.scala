@@ -11,8 +11,9 @@ import org.apache.spark.sql.types._
   * 1000-record discovery pass; its distributed write replaces the
   * 50k-record batching.
   *
-  * Formats: csv, jsonl (json-lines), parquet, orc, avro, bson, xlsx
-  * as sources AND sinks; json (multiline doc/array), xml and docx
+  * Formats: csv, jsonl (json-lines), parquet, orc, avro, bson, xlsx,
+  * xls, pickle (flat-record subset, [[PickleLocal]]) as sources AND
+  * sinks; json (multiline doc/array), xml and docx
   * tables are READ-ONLY (the reference converts OUT of those shapes
   * into row formats — jsonl is the json sink). Compression codecs on text formats
   * (gz/bz2/xz... whatever Hadoop codecs ship) come free via file
@@ -21,6 +22,17 @@ import org.apache.spark.sql.types._
   * (we use zstd: brotli needs a native lib not shipped with Spark —
   * documented delta), orc=zstd, avro=deflate
   * (undatum/cmds/converter.py:362,377,414).
+  *
+  * KNOWN LIMITATION (code-complete-blocked): `.br` brotli container
+  * reads. The reference fixture corpus includes `2cols6rows.csv.br`
+  * (via the external iterabledata package — the reference's own
+  * COMPRESSED_FILE_TYPES, undatum/constants.py:10, omits brotli too).
+  * commons-compress's BrotliCompressorInputStream is a thin wrapper
+  * requiring the separate `org.brotli:dec` jar, which is absent from
+  * /opt/spark/jars and unfetchable offline — same class of delta as
+  * the parquet-brotli default above. If that jar appears on the
+  * classpath, wiring is a two-line extension branch in
+  * [[unpackToTemp]] next to zstd/lz4.
   */
 object Converter {
 
@@ -90,6 +102,7 @@ object Converter {
         if (avroDatasourceAvailable(spark)) spark.read.format("avro").load(path)
         else AvroLocal.read(spark, path)
       case "bson" => BsonLocal.read(spark, path)
+      case "pickle" => PickleLocal.read(spark, path)
       case "xlsx" =>
         // tagname doubles as the sheet index (the reference's
         // start_page, converter.py:192), mirroring its use as the XML
@@ -187,6 +200,9 @@ object Converter {
         // (converter.py:141-147) — same single-stream shape here
         new java.io.File(path).mkdirs()
         BsonLocal.write(df, s"$path/part-00000.bson")
+      case "pickle" =>
+        new java.io.File(path).mkdirs()
+        PickleLocal.write(df, s"$path/part-00000.pickle")
       case "xlsx" =>
         new java.io.File(path).mkdirs()
         XlsxLocal.write(df, s"$path/part-00000.xlsx")

@@ -311,8 +311,15 @@ object XlsLocal {
   /** Raw cell grid of sheet `page` as typed cells (reusing
     * [[XlsxLocal.Cell]]: 'n' number, 's' string, 'b' boolean).
     */
-  def sheetRows(path: String, page: Int = 0): Vector[Vector[XlsxLocal.Cell]] = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+  def sheetRows(path: String, page: Int = 0): Vector[Vector[XlsxLocal.Cell]] =
+    sheetRowsOf(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), page)
+
+  /** Byte-array core of [[sheetRows]] — runs inside executor tasks for
+    * [[readMany]] without touching the filesystem.
+    */
+  def sheetRowsOf(bytes: Array[Byte],
+                  page: Int = 0): Vector[Vector[XlsxLocal.Cell]] = {
     val wb = cfbStream(bytes, Seq("Workbook", "Book"))
     // pass 1 over the globals substream: BOUNDSHEETs + SST
     var off = 0
@@ -347,7 +354,7 @@ object XlsLocal {
     }
     val sheetOffsets = sheets.result()
     require(page < sheetOffsets.length,
-      s"$path: ${sheetOffsets.length} sheets, index $page out of range")
+      s"workbook has ${sheetOffsets.length} sheets, index $page out of range")
     // pass 2 over the selected sheet substream: cells
     import XlsxLocal.Cell
     val cells = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Cell)]
@@ -435,6 +442,25 @@ object XlsLocal {
            startLine: Int = 0, fields: Seq[String] = Nil): DataFrame =
     XlsxLocal.fromGrid(spark, sheetRows(path, page).drop(startLine), fields,
       s"$path sheet $page")
+
+  /** Per-file-distributed read of a directory/glob of BIFF8 workbooks —
+    * same contract and plan shape as [[XlsxLocal.readMany]] (one task
+    * per file, one schema inference over all JSON lines). The CFB
+    * parser already works off a byte array, so no temp spill needed.
+    */
+  def readMany(spark: SparkSession, glob: String, page: Int = 0,
+               startLine: Int = 0, fields: Seq[String] = Nil): DataFrame = {
+    import spark.implicits._
+    val jsonLines = spark.sparkContext
+      .binaryFiles(glob)
+      .flatMap { case (name, stream) =>
+        XlsxLocal.gridToJsonLines(
+          sheetRowsOf(stream.toArray(), page).drop(startLine),
+          fields, s"$name sheet $page")
+      }
+      .toDS()
+    spark.read.json(jsonLines)
+  }
 
   // ------------------------------------------------------------------
   // BIFF8 writer

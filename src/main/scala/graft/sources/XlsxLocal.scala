@@ -408,6 +408,43 @@ object XlsxLocal {
     fromGrid(spark, sheetRows(path, page).drop(startLine), fields,
       s"$path sheet $page")
 
+  /** Per-file-DISTRIBUTED read of a directory/glob of workbooks: each
+    * file is one executor task (binaryFiles → parse → JSON lines), all
+    * lines feed one schema inference — the same shape as
+    * [[BsonLocal.read]]. Each workbook carries its own header row
+    * (or the shared `fields` override). A single workbook is
+    * hard-capped by the format (1,048,576 rows), so the driver-side
+    * [[read]] is fine for one file; this is the scale path for
+    * DIRECTORIES of workbooks, removing the one driver-bound read in
+    * the format matrix. ZipFile needs a seekable file, so each task
+    * spills its workbook bytes to executor-local tmp and deletes it.
+    */
+  def readMany(spark: SparkSession, glob: String, page: Int = 0,
+               startLine: Int = 0, fields: Seq[String] = Nil): DataFrame = {
+    import spark.implicits._
+    val jsonLines = spark.sparkContext
+      .binaryFiles(glob)
+      .flatMap { case (name, stream) =>
+        gridToJsonLines(withBytesAsTempFile(name, ".xlsx", stream.toArray())(
+          sheetRows(_, page)).drop(startLine), fields, s"$name sheet $page")
+      }
+      .toDS()
+    spark.read.json(jsonLines)
+  }
+
+  /** Spill `bytes` to an executor-local temp file for parsers that
+    * need a real (seekable) file, always cleaning up.
+    */
+  private[sources] def withBytesAsTempFile[A](name: String, suffix: String,
+                                              bytes: Array[Byte])
+                                             (f: String => A): A = {
+    val tmp = java.io.File.createTempFile("graft-wb-", suffix)
+    try {
+      java.nio.file.Files.write(tmp.toPath, bytes)
+      f(tmp.getAbsolutePath)
+    } finally { tmp.delete(); () }
+  }
+
   /** Shared grid -> DataFrame tail (also used by the BIFF8 [[XlsLocal]]
     * reader): first row = header unless `fields` given, records typed
     * by Spark's JSON inference.
@@ -415,11 +452,21 @@ object XlsxLocal {
   private[graft] def fromGrid(spark: SparkSession, grid: Vector[Vector[Cell]],
                               fields: Seq[String], what: String): DataFrame = {
     import spark.implicits._
+    spark.read.json(spark.createDataset(gridToJsonLines(grid, fields, what)))
+  }
+
+  /** Grid -> JSON lines, the serial core of [[fromGrid]] — also runs
+    * INSIDE executor tasks for the multi-file [[readMany]] path, so it
+    * must not touch a SparkSession.
+    */
+  private[graft] def gridToJsonLines(grid: Vector[Vector[Cell]],
+                                     fields: Seq[String],
+                                     what: String): Vector[String] = {
     require(grid.nonEmpty, s"$what has no rows")
     val (header, data) =
       if (fields.nonEmpty) (fields.toVector, grid)
       else (grid.head.map(v => if (v == null) "" else v.lex), grid.tail)
-    val jsonLines = data.map { cells =>
+    data.map { cells =>
       val sb = new java.lang.StringBuilder("{")
       var first = true
       header.zipWithIndex.foreach { case (name, i) =>
@@ -441,7 +488,6 @@ object XlsxLocal {
       }
       sb.append('}').toString
     }
-    spark.read.json(spark.createDataset(jsonLines))
   }
 
   private def appendJson(sb: java.lang.StringBuilder, s: String): Unit =

@@ -437,6 +437,31 @@ class FormatsSpec extends SparkSpecBase {
 
   // ---------------------------------------------------------------- DOCX
 
+  test("xlsx/xls readMany: directory of workbooks -> one distributed scan") {
+    val s = spark
+    import s.implicits._
+    for (fmt <- Seq("xlsx", "xls")) {
+      val dir = tmpDir(s"$fmt-many")
+      // three workbooks, same header, disjoint rows
+      (0 until 3).foreach { k =>
+        val df = Seq((k * 10 + 1L, s"w$k-a", k * 1.5), (k * 10 + 2L, s"w$k-b", -k.toDouble))
+          .toDF("id", "name", "score")
+        if (fmt == "xlsx") XlsxLocal.write(df, s"$dir/wb$k.xlsx")
+        else XlsLocal0.write(df, s"$dir/wb$k.xls")
+      }
+      val many =
+        if (fmt == "xlsx") XlsxLocal.readMany(s, s"$dir/*.xlsx")
+        else XlsLocal0.readMany(s, s"$dir/*.xls")
+      assert(many.rdd.getNumPartitions >= 1)
+      val rows = many.orderBy("id").collect()
+      assert(rows.length == 6, s"$fmt: ${rows.length}")
+      assert(rows.map(_.getAs[Long]("id")).toSeq ==
+        Seq(1L, 2L, 11L, 12L, 21L, 22L))
+      assert(rows(2).getAs[String]("name") == "w1-a")
+      assert(rows(2).getAs[Double]("score") == 1.5) // w1-a: 1 * 1.5
+    }
+  }
+
   test("docx tables: extraction, gridSpan repeat, vMerge continuation") {
     val dir = tmpDir("docx")
     val path = s"$dir/doc.docx"
