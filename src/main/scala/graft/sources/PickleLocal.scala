@@ -46,10 +46,11 @@ object PickleLocal {
     private var off = 0
     private val pending = scala.collection.mutable.Queue.empty[String]
 
-    override def hasNext: Boolean = pending.nonEmpty || off < bytes.length
-
-    override def next(): String = {
-      if (pending.isEmpty) {
+    // look-ahead in hasNext: a pickle may legitimately yield ZERO
+    // lines (an empty list), so "more bytes" does not imply "more
+    // records" — decode until a line lands or input runs out
+    override def hasNext: Boolean = {
+      while (pending.isEmpty && off < bytes.length) {
         val (value, end) =
           try runOne(bytes, off)
           catch {
@@ -67,13 +68,16 @@ object PickleLocal {
                 s"${if (other == null) "None" else other.getClass.getSimpleName}" +
                 " (flat-dict records expected)")
             }
-            if (l.isEmpty && !hasNext)
-              refuse("pickle holds an empty list — no records")
           case other => refuse("top-level value is " +
             s"${if (other == null) "None" else other.getClass.getSimpleName}" +
             " (flat dict or list of flat dicts expected)")
         }
       }
+      pending.nonEmpty
+    }
+
+    override def next(): String = {
+      if (!hasNext) throw new NoSuchElementException("end of pickle stream")
       pending.dequeue()
     }
   }
@@ -87,8 +91,10 @@ object PickleLocal {
   private def runOne(b: Array[Byte], start: Int): (AnyRef, Int) = {
     var off = start
     val stack = new java.util.ArrayDeque[AnyRef]()
-    val memo = new java.util.ArrayList[AnyRef]()
-    val memoById = new java.util.HashMap[Integer, AnyRef]() // explicit PUT/GET ids
+    // ONE memo namespace, exactly CPython's unpickler: PUT/BINPUT store
+    // at an explicit id, MEMOIZE stores at len(memo) — so streams mixing
+    // the forms resolve identically here and there
+    val memo = new java.util.HashMap[Integer, AnyRef]()
 
     def u8(): Int = { val v = b(off) & 0xFF; off += 1; v }
     def i16le(): Int = { val v = (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8); off += 2; v }
@@ -167,13 +173,13 @@ object PickleLocal {
           val items = popToMark()
           stack.peek.asInstanceOf[java.util.ArrayList[AnyRef]].addAll(items); ()
         // ---- memo ----------------------------------------------------
-        case 0x94 => memo.add(stack.peek) // MEMOIZE
-        case 'q' => memoById.put(u8(), stack.peek); () // BINPUT
-        case 'r' => memoById.put(i32le(), stack.peek); () // LONG_BINPUT
-        case 'p' => memoById.put(line().toInt, stack.peek); () // PUT
-        case 'h' => stack.push(memoGet(memo, memoById, u8())) // BINGET
-        case 'j' => stack.push(memoGet(memo, memoById, i32le())) // LONG_BINGET
-        case 'g' => stack.push(memoGet(memo, memoById, line().toInt)) // GET
+        case 0x94 => memo.put(memo.size, stack.peek); () // MEMOIZE
+        case 'q' => memo.put(u8(), stack.peek); () // BINPUT
+        case 'r' => memo.put(i32le(), stack.peek); () // LONG_BINPUT
+        case 'p' => memo.put(line().toInt, stack.peek); () // PUT
+        case 'h' => stack.push(memoGet(memo, u8())) // BINGET
+        case 'j' => stack.push(memoGet(memo, i32le())) // LONG_BINGET
+        case 'g' => stack.push(memoGet(memo, line().toInt)) // GET
         // ---- scalars -------------------------------------------------
         case 0x8c => stack.push(str(u8())) // SHORT_BINUNICODE
         case 'X' => stack.push(str(i32le())) // BINUNICODE
@@ -224,14 +230,10 @@ object PickleLocal {
   /** NONE placeholder — ArrayDeque refuses real nulls. */
   private object NullRef
 
-  private def memoGet(memo: java.util.ArrayList[AnyRef],
-                      byId: java.util.HashMap[Integer, AnyRef],
-                      id: Int): AnyRef = {
-    val v = if (byId.containsKey(id)) byId.get(id)
-      else if (id >= 0 && id < memo.size()) memo.get(id)
-      else refuse(s"memo reference $id before definition")
-    v
-  }
+  private def memoGet(memo: java.util.HashMap[Integer, AnyRef],
+                      id: Int): AnyRef =
+    if (memo.containsKey(id)) memo.get(id)
+    else refuse(s"memo reference $id before definition")
 
   /** Two's-complement little-endian long (CPython LONG1 encoding). */
   private def long1(bs: Array[Byte]): Long = {

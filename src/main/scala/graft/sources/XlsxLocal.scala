@@ -425,7 +425,7 @@ object XlsxLocal {
     val jsonLines = spark.sparkContext
       .binaryFiles(glob)
       .flatMap { case (name, stream) =>
-        gridToJsonLines(withBytesAsTempFile(name, ".xlsx", stream.toArray())(
+        gridToJsonLines(withBytesAsTempFile(".xlsx", stream.toArray())(
           sheetRows(_, page)).drop(startLine), fields, s"$name sheet $page")
       }
       .toDS()
@@ -435,7 +435,7 @@ object XlsxLocal {
   /** Spill `bytes` to an executor-local temp file for parsers that
     * need a real (seekable) file, always cleaning up.
     */
-  private[sources] def withBytesAsTempFile[A](name: String, suffix: String,
+  private[sources] def withBytesAsTempFile[A](suffix: String,
                                               bytes: Array[Byte])
                                              (f: String => A): A = {
     val tmp = java.io.File.createTempFile("graft-wb-", suffix)
