@@ -341,6 +341,12 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
+    "q_tfidf_topk" -> ((s, d) =>
+      // top-3 TF-IDF keywords per document; tie-broken on term so both
+      // engines rank identically (tf and ln(N/df) are the same exact
+      // doubles on both sides)
+      TextOps.tfidfTopK(t(s, d, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "term")),
     "q_quality" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextOps.qualityScoreBp(col("text")).as("quality_bp"))
@@ -518,6 +524,24 @@ object SparkEntry {
         Similarity.annScan(emb, "embedding", q).select("vec_id", "embedding"),
         "annlsh_scan")
       Similarity.bruteTopK(scanned, "embedding", "vec_id", q, 10)
+    }),
+    "q_semantic_dedup" -> ((s, d) => {
+      // SemDeDup (embedding-level near-dup pruning): the deterministic
+      // IVF cell assignment dumps to the side channel; the oracle
+      // recomputes within-cell cosine pairs + recursive-CTE clusters
+      // in DuckDB and derives the identical survivor set. The prune
+      // runs off the SAME dumped assignment (semanticDedupAssigned),
+      // so scoring, clustering, and the keep-min rule are verified
+      // value-for-value; only the k-means itself rides its own
+      // determinism (seeded, and the dump pins its output anyway).
+      val emb = t(s, d, "embeddings")
+      val idx = graft.sim.Ivf.train(emb, "embedding", k = 8)
+      val cells = dumpSide(
+        graft.sim.Ivf.assign(emb, "embedding", idx)
+          .select("vec_id", "ivf_cell"), "semdedup_cells")
+      Dedup.semanticDedupAssigned(emb, emb.join(cells, Seq("vec_id")),
+          "vec_id", "embedding", 0.35)
+        .select("vec_id").orderBy("vec_id")
     }),
     "q_cosine_pairs" -> ((s, d) =>
       Similarity.cosinePairsWithin(t(s, d, "embeddings"), "embedding", "vec_id",
@@ -1240,6 +1264,22 @@ object SparkEntry {
         |       / greatest(len(list_filter(string_split_regex(text,'\s+'), x -> x <> '')),1) > 0.05 THEN 'en'
         |  ELSE 'unknown' END AS lang_pred
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_tfidf_topk" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text),'\s+'), x -> x <> '') ws
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf
+        |  FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) n FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |  tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df) AS tfidf,
+        |  row_number() OVER (PARTITION BY tf.doc_id
+        |    ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df) DESC, tf.term) rk
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, round(tfidf, 4) AS tfidf
+        |FROM sc WHERE rk <= 3 ORDER BY doc_id, term""".stripMargin,
     "q_quality" ->
       """WITH c AS (SELECT doc_id,
         |  CAST(length(text) AS BIGINT) L,
@@ -1572,6 +1612,30 @@ object SparkEntry {
         |   * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
         |                           list_transform(b.embedding, x -> CAST(x AS DOUBLE))))) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_semantic_dedup" ->
+      """WITH RECURSIVE cells AS (SELECT vec_id, ivf_cell
+        |  FROM read_parquet('/tmp/graft_oracle_side/semdedup_cells/*.parquet')),
+        |p AS (SELECT ca.vec_id id_a, cb.vec_id id_b
+        |  FROM cells ca JOIN cells cb
+        |    ON ca.ivf_cell = cb.ivf_cell AND ca.vec_id < cb.vec_id
+        |  JOIN embeddings a ON a.vec_id = ca.vec_id
+        |  JOIN embeddings b ON b.vec_id = cb.vec_id
+        |  WHERE list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |                         list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+        |    / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |                             list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+        |     * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+        |                             list_transform(b.embedding, x -> CAST(x AS DOUBLE)))))
+        |      >= 0.35),
+        |e AS (SELECT id_a a, id_b b FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN e ON reach.id = e.a),
+        |losers AS (SELECT id FROM (SELECT id, min(r) AS cluster
+        |  FROM reach GROUP BY id) WHERE id <> cluster)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM losers) ORDER BY vec_id""".stripMargin,
     "q_cosine_lsh" ->
       """WITH c AS (SELECT id_a, id_b
         |  FROM read_parquet('/tmp/graft_oracle_side/coslsh_cand/*.parquet')),

@@ -752,6 +752,56 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // semantic dedup over an embedding column
+  // ------------------------------------------------------------------
+
+  /** SemDeDup-style semantic near-dup pruning (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication" — public): documents whose EMBEDDINGS are
+    * near-identical are pruned even when their text is not, catching
+    * paraphrases and template variants exact/minhash dedup misses.
+    *
+    * Plan, all existing machinery composed: (1) deterministic k-means
+    * centroids on a seeded sample ([[graft.sim.Ivf.train]] — one
+    * bounded collect); (2) map-side cell assignment
+    * ([[graft.sim.Ivf.assign]], broadcast centroid literals, no
+    * shuffle); (3) exact cosine pairs ≥ `threshold` WITHIN each cell
+    * ([[graft.sim.Similarity.cosinePairsWithin]] keyed on `ivf_cell` —
+    * one shuffle on the cell key, Σ|cell|² not n², with the hot-block
+    * guard/divert contract); (4) transitive closure
+    * ([[connectedComponents]]) keeps the MIN id per semantic cluster
+    * and anti-joins the rest away.
+    *
+    * Documented recall trade (the paper's own): pairs straddling a
+    * cell boundary are not compared — k tunes the cost/recall curve
+    * exactly like the paper's cluster count. Returns the surviving
+    * rows of `df` unchanged.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, k: Int = 16,
+                    onHotBlock: String = "error"): DataFrame = {
+    val idx = graft.sim.Ivf.train(df, vecCol, k)
+    val assigned = graft.sim.Ivf.assign(df, vecCol, idx)
+    semanticDedupAssigned(df, assigned, idCol, vecCol, threshold, onHotBlock)
+  }
+
+  /** The prune half on an already-cell-assigned frame (column
+    * `ivf_cell`) — lets the oracle query dump the assignment for
+    * independent verification while pruning off the SAME assignment.
+    */
+  def semanticDedupAssigned(df: DataFrame, assigned: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double,
+                            onHotBlock: String = "error"): DataFrame = {
+    val pairs = graft.sim.Similarity.cosinePairsWithin(
+      assigned, vecCol, idCol, "ivf_cell", threshold, onHotBlock = onHotBlock)
+    val losers = connectedComponents(pairs.select("id_a", "id_b"))
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as("__loser"))
+    df.join(losers, df(idCol) === losers("__loser"), "left_anti")
+  }
+
+  // ------------------------------------------------------------------
   // incremental ingestion: bloom novelty prefilter
   // ------------------------------------------------------------------
 

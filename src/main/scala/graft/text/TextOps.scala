@@ -212,4 +212,66 @@ object TextOps {
       floor(lit(10000) * (total - distinct) / total).cast("long"))
       .otherwise(0L)
   }
+
+  /** Top-k TF-IDF keywords per document: tf = term count in the doc
+    * (lowercased whitespace tokens, same tokenization as [[tokenize]]
+    * and the shingle kernels), idf = ln(N / df) with N = corpus row
+    * count and df = docs containing the term, rank by tfidf desc then
+    * term asc (fully deterministic). Output columns:
+    * (idCol, term, tf, df, tfidf rounded to 4).
+    *
+    * Plan shape at scale: one corpus scan -> explode ->
+    * map-side-combined groupBy (id, term); document frequency is a
+    * second agg over that (vocabulary-sized — exchanged on the bare
+    * term); N rides a single-row broadcast crossJoin (no collect);
+    * the final per-doc top-k is a window on id, which AQE handles as
+    * one hash exchange. Nothing driver-side, nothing quadratic.
+    */
+  def tfidfTopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    val terms = termFrequencies(docs, idCol, textCol)
+    tfidfTail(docs, terms, idCol, k)
+  }
+
+  /** The 100-TB form of [[tfidfTopK]]: the (id, term, tf) aggregation
+    * is staged to parquet ONCE and both consumers (document frequency,
+    * scoring) read the stage — the unstaged plan's branches each
+    * re-scan and re-explode the corpus (same trade as
+    * [[graft.dedup.Dedup.stageSignatures]]). The corpus-row count for
+    * idf still reads `docs`, but a parquet count(*) is satisfied from
+    * row-group metadata (empty ReadSchema), not a data scan.
+    */
+  def tfidfTopKStaged(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, k: Int,
+                      stagePath: String): org.apache.spark.sql.DataFrame = {
+    termFrequencies(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(stagePath)
+    tfidfTail(docs, docs.sparkSession.read.parquet(stagePath), idCol, k)
+  }
+
+  private def termFrequencies(docs: org.apache.spark.sql.DataFrame,
+                              idCol: String,
+                              textCol: String): org.apache.spark.sql.DataFrame = {
+    val words = filter(split(lower(col(textCol)), "\\s+"), w => w =!= lit(""))
+    docs.select(col(idCol), explode(words).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+  }
+
+  private def tfidfTail(docs: org.apache.spark.sql.DataFrame,
+                        terms: org.apache.spark.sql.DataFrame, idCol: String,
+                        k: Int): org.apache.spark.sql.DataFrame = {
+    val dfreq = terms.groupBy("term")
+      .agg(count(lit(1)).cast("long").as("df"))
+    val nDocs = docs.agg(count(lit(1)).cast("long").as("__n"))
+    terms.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf") * log(col("__n").cast("double") / col("df")))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))))
+      .where(col("__rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 4).as("tfidf"))
+  }
 }

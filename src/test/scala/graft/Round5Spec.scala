@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.dedup.Dedup
+
+/** Round-5 additions: SemDeDup-style semantic dedup over an embedding
+  * column (planted-structure correctness; the value-for-value path is
+  * the q_semantic_dedup oracle row).
+  */
+class SemanticDedupSpec extends SparkSpecBase {
+
+  /** `n` vectors near `center` (tiny deterministic jitter) + the rest
+    * far away on distinct axes.
+    */
+  private def df(rows: Seq[(Long, Array[Float])]) = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("vec", ArrayType(FloatType), nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, v) => Row(i, v.toSeq) }),
+      schema)
+  }
+
+  private def axis(dim: Int, i: Int, scale: Float = 1f): Array[Float] = {
+    val a = new Array[Float](dim); a(i) = scale; a
+  }
+
+  test("planted semantic clusters: min id survives, isolated points kept") {
+    val dim = 8
+    // cluster A: ids 10,11,12 all ≈ e0; cluster B: ids 20,21 ≈ e1;
+    // isolated: ids 30 (e2), 31 (e3)
+    def jitter(base: Array[Float], eps: Float, at: Int): Array[Float] = {
+      val v = base.clone(); v(at) = v(at) + eps; v
+    }
+    val e0 = axis(dim, 0); val e1 = axis(dim, 1)
+    val rows = Seq(
+      10L -> e0, 11L -> jitter(e0, 0.05f, 4), 12L -> jitter(e0, -0.04f, 5),
+      20L -> e1, 21L -> jitter(e1, 0.06f, 6),
+      30L -> axis(dim, 2), 31L -> axis(dim, 3))
+    // k=1: one cell — no boundary effects; threshold 0.9 separates the
+    // planted clusters (within-cluster cos ≈ 0.998, cross ≈ 0)
+    val out = Dedup.semanticDedup(df(rows), "id", "vec",
+      threshold = 0.9, k = 1)
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 20L, 30L, 31L))
+  }
+
+  test("cell boundaries bound the comparison set (documented recall trade)") {
+    val dim = 4
+    // two far-apart clumps force k=2 k-means to split them; a planted
+    // near-dup PAIR straddling nothing (both in one clump) is pruned,
+    // while the clumps themselves never cross-compare
+    val e0 = axis(dim, 0); val e1 = axis(dim, 1)
+    val rows = Seq(
+      1L -> e0, 2L -> { val v = e0.clone(); v(2) = 0.03f; v },
+      5L -> e1, 6L -> { val v = e1.clone(); v(3) = 0.02f; v })
+    val out = Dedup.semanticDedup(df(rows), "id", "vec",
+      threshold = 0.9, k = 2)
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 5L))
+  }
+
+  test("no pairs above threshold -> everything survives") {
+    val dim = 6
+    val rows = (0 until 5).map(i => i.toLong -> axis(dim, i))
+    val out = Dedup.semanticDedup(df(rows), "id", "vec",
+      threshold = 0.5, k = 2)
+    assert(out.count() == 5)
+  }
+}
+
+class TfidfSpec extends SparkSpecBase {
+
+  test("hand-computed tfidf: common term ranks below rare term") {
+    val s = spark
+    import s.implicits._
+    // 4 docs; "the" in all (idf=0), "cat"/"dog" in one each
+    val docs = Seq(
+      (1L, "the cat the cat sat"),
+      (2L, "the dog ran"),
+      (3L, "the bird the bird the bird"),
+      (4L, "the fish")).toDF("doc_id", "text")
+    val out = graft.text.TextOps.tfidfTopK(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "term").collect()
+    val d1 = out.filter(_.getLong(0) == 1L).map(r =>
+      (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // doc 1: cat tf=2 df=1 -> 2*ln(4)=2.7726; sat tf=1 df=1 -> 1.3863;
+    // "the" (idf=ln(1)=0) must NOT make top-2
+    assert(d1.toSeq == Seq(
+      ("cat", 2L, 1L, math.rint(2 * math.log(4.0) * 10000) / 10000),
+      ("sat", 1L, 1L, math.rint(math.log(4.0) * 10000) / 10000)))
+    // "the" (idf=0) only surfaces where a doc has < k nonzero terms
+    // (docs 3, 4); where competition exists (docs 1, 2) it never ranks
+    assert(!out.exists(r =>
+      r.getString(1) == "the" && (r.getLong(0) == 1L || r.getLong(0) == 2L)))
+    // every doc contributes at most k rows
+    assert(out.groupBy(_.getLong(0)).forall(_._2.length <= 2))
+  }
+
+  test("staged form equals the unstaged plan") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha"), (2L, "beta gamma"), (3L, "delta")
+    ).toDF("doc_id", "text")
+    val a = graft.text.TextOps.tfidfTopK(docs, "doc_id", "text", 2)
+      .orderBy("doc_id", "term").collect().toSeq
+    val b = graft.text.TextOps.tfidfTopKStaged(docs, "doc_id", "text", 2,
+      tmpDir("tfidf-stage") + "/t").orderBy("doc_id", "term").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("deterministic tie-break on term for equal tfidf") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "b a"), (2L, "z y")).toDF("doc_id", "text")
+    val out = graft.text.TextOps.tfidfTopK(docs, "doc_id", "text", k = 1)
+      .orderBy("doc_id").collect()
+    // all four terms have tf=1, df=1 — rank 1 must be the
+    // lexicographically first term of each doc
+    assert(out.map(_.getString(1)).toSeq == Seq("a", "y"))
+  }
+}
