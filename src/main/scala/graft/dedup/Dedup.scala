@@ -779,10 +779,13 @@ object Dedup {
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, k: Int = 16,
-                    onHotBlock: String = "error"): DataFrame = {
+                    onHotBlock: String = "error",
+                    ccMaxIter: Int = 20,
+                    ccCheckpointDir: Option[String] = None): DataFrame = {
     val idx = graft.sim.Ivf.train(df, vecCol, k)
     val assigned = graft.sim.Ivf.assign(df, vecCol, idx)
-    semanticDedupAssigned(df, assigned, idCol, vecCol, threshold, onHotBlock)
+    semanticDedupAssigned(df, assigned, idCol, vecCol, threshold, onHotBlock,
+      ccMaxIter, ccCheckpointDir)
   }
 
   /** The prune half on an already-cell-assigned frame (column
@@ -792,10 +795,17 @@ object Dedup {
   def semanticDedupAssigned(df: DataFrame, assigned: DataFrame,
                             idCol: String, vecCol: String,
                             threshold: Double,
-                            onHotBlock: String = "error"): DataFrame = {
+                            onHotBlock: String = "error",
+                            ccMaxIter: Int = 20,
+                            ccCheckpointDir: Option[String] = None): DataFrame = {
     val pairs = graft.sim.Similarity.cosinePairsWithin(
       assigned, vecCol, idCol, "ivf_cell", threshold, onHotBlock = onHotBlock)
-    val losers = connectedComponents(pairs.select("id_a", "id_b"))
+    // the CC scale knobs pass through: at cluster scale callers supply
+    // a reliable checkpointDir (localCheckpoint is executor-loss
+    // fragile — see connectedComponents' own contract) and can raise
+    // maxIter for long semantic chains
+    val losers = connectedComponents(pairs.select("id_a", "id_b"),
+        ccMaxIter, ccCheckpointDir)
       .where(col("id") =!= col("cluster"))
       .select(col("id").as("__loser"))
     df.join(losers, df(idCol) === losers("__loser"), "left_anti")

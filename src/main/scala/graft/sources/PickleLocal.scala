@@ -54,9 +54,16 @@ object PickleLocal {
         val (value, end) =
           try runOne(bytes, off)
           catch {
-            case e: IndexOutOfBoundsException =>
+            // bounds = truncated stream; NoSuchElement/NPE = stack or
+            // memo underflow (e.g. SETITEM on an empty stack, BINGET of
+            // a memo slot a mis-ordered PUT left null) — all surface as
+            // the documented IllegalArgumentException with context, not
+            // a bare collection fault out of an executor task
+            case e @ (_: IndexOutOfBoundsException |
+                      _: java.util.NoSuchElementException |
+                      _: NullPointerException) =>
               throw new IllegalArgumentException(
-                s"corrupt pickle: truncated opcode stream at offset $off", e)
+                s"corrupt pickle: malformed opcode stream at offset $off", e)
           }
         off = end
         value match {
@@ -129,9 +136,10 @@ object PickleLocal {
     }
     def popToMark(): java.util.ArrayList[AnyRef] = {
       val items = new java.util.ArrayList[AnyRef]()
-      while (!stack.isEmpty && (stack.peek ne Mark)) items.add(0, stack.pop())
+      while (!stack.isEmpty && (stack.peek ne Mark)) items.add(stack.pop())
       require(!stack.isEmpty, "corrupt pickle: no MARK for collection op")
       stack.pop() // the mark
+      java.util.Collections.reverse(items) // popped LIFO; O(n), not add(0,_)
       items
     }
     def setItems(d: AnyRef, items: java.util.List[AnyRef]): Unit = {
@@ -185,7 +193,7 @@ object PickleLocal {
         case 'X' => stack.push(str(i32le())) // BINUNICODE
         case 0x8d => // BINUNICODE8
           val n = i64le()
-          require(n <= Int.MaxValue - 8, s"pickle string too large: $n")
+          require(n >= 0 && n <= Int.MaxValue - 8, s"pickle string too large: $n")
           stack.push(str(n.toInt))
         case 'V' => stack.push(line()) // UNICODE (protocol 0)
         case 'K' => stack.push(Long.box(u8().toLong)) // BININT1
@@ -213,7 +221,7 @@ object PickleLocal {
         case 'B' => stack.push(rawBytes(i32le())) // BINBYTES
         case 0x8e => // BINBYTES8
           val n = i64le()
-          require(n <= Int.MaxValue - 8, s"pickle bytes too large: $n")
+          require(n >= 0 && n <= Int.MaxValue - 8, s"pickle bytes too large: $n")
           stack.push(rawBytes(n.toInt))
         case '.' => // STOP
           require(!stack.isEmpty, "corrupt pickle: STOP on empty stack")
@@ -290,11 +298,13 @@ object PickleLocal {
   }
 
   // ------------------------------------------------------------------
-  // encode: Row -> one protocol-4 pickle per record (the fixture's own
-  // wire shape: PROTO 4, FRAME, dict via MARK..SETITEMS, STOP),
-  // concatenated — what pickle.dump(dict, f, protocol=4) per row
-  // produces, so any CPython consumer iterating pickle.load()s reads
-  // the sink directly.
+  // encode: Row -> one protocol-4 pickle per record (PROTO 4, FRAME,
+  // dict via MARK..SETITEMS, STOP), concatenated — a CPython-LOADABLE
+  // equivalent of per-row pickle.dump(dict, f, protocol=4): CPython
+  // interleaves MEMOIZE opcodes this writer deliberately omits (memo
+  // is useless across flat scalar records), so bytes are
+  // load-compatible, not byte-identical. Any consumer iterating
+  // pickle.load()s reads the sink directly (interop-verified).
   // ------------------------------------------------------------------
 
   import org.apache.spark.sql.types._

@@ -313,13 +313,16 @@ object XlsLocal {
     */
   def sheetRows(path: String, page: Int = 0): Vector[Vector[XlsxLocal.Cell]] =
     sheetRowsOf(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), page)
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), page,
+      what = path)
 
   /** Byte-array core of [[sheetRows]] — runs inside executor tasks for
-    * [[readMany]] without touching the filesystem.
+    * [[readMany]] without touching the filesystem. `what` names the
+    * workbook in errors (essential when one file of a readMany glob is
+    * bad).
     */
-  def sheetRowsOf(bytes: Array[Byte],
-                  page: Int = 0): Vector[Vector[XlsxLocal.Cell]] = {
+  def sheetRowsOf(bytes: Array[Byte], page: Int = 0,
+                  what: String = "workbook"): Vector[Vector[XlsxLocal.Cell]] = {
     val wb = cfbStream(bytes, Seq("Workbook", "Book"))
     // pass 1 over the globals substream: BOUNDSHEETs + SST
     var off = 0
@@ -354,7 +357,7 @@ object XlsLocal {
     }
     val sheetOffsets = sheets.result()
     require(page < sheetOffsets.length,
-      s"workbook has ${sheetOffsets.length} sheets, index $page out of range")
+      s"$what has ${sheetOffsets.length} sheets, index $page out of range")
     // pass 2 over the selected sheet substream: cells
     import XlsxLocal.Cell
     val cells = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Cell)]
@@ -455,7 +458,7 @@ object XlsLocal {
       .binaryFiles(glob)
       .flatMap { case (name, stream) =>
         XlsxLocal.gridToJsonLines(
-          sheetRowsOf(stream.toArray(), page).drop(startLine),
+          sheetRowsOf(stream.toArray(), page, what = name).drop(startLine),
           fields, s"$name sheet $page")
       }
       .toDS()

@@ -37,7 +37,8 @@ object CcDiagCli {
     spark.sparkContext.setLogLevel("ERROR")
     try {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val stage = s"${System.getProperty("java.io.tmpdir")}/graft-ccdiag-stage"
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft-ccdiag-stage-" +
+        java.lang.Integer.toHexString(sfDir.hashCode) // concurrent runs on different corpora must not share a stage
       val pairs = Dedup.jaccardWithinStaged(docs, "doc_id", "text",
         "source", stage, shingleN = 2, threshold = threshold)
         .persist()
