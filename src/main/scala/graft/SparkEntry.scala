@@ -243,6 +243,23 @@ object SparkEntry {
           .otherwise(date_format(col("ts"), "dd MMM yyyy")).as("dstr"))
       UndatumOps.dateFormatScores(ev, "dstr")
     }),
+    "q_date_scores_wide" -> ((s, d) => {
+      // the 22-format WIDE bank (qddate's generated breadth: ISO-T /
+      // minute datetimes, US 12-hour clock, full English month names,
+      // Russian genitive month shapes) over six DuckDB-expressible
+      // input families; the ru formats must score exactly 0 on these
+      // Latin/numeric inputs (asserted by the oracle) — their positive
+      // matches are ScalaTest-verified (no strptime spelling exists
+      // for Cyrillic month names in DuckDB)
+      val ev = t(s, d, "events").select(
+        when(col("event_id") % 6 === 0, date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+          .when(col("event_id") % 6 === 1, date_format(col("ts"), "dd.MM.yyyy HH:mm:ss"))
+          .when(col("event_id") % 6 === 2, date_format(col("ts"), "MM/dd/yyyy hh:mm a"))
+          .when(col("event_id") % 6 === 3, date_format(col("ts"), "dd MMMM yyyy"))
+          .when(col("event_id") % 6 === 4, date_format(col("ts"), "MMMM dd, yyyy"))
+          .otherwise(date_format(col("ts"), "yyyy.MM.dd")).as("dstr"))
+      UndatumOps.dateFormatScoresWide(ev, "dstr")
+    }),
     "q_query_expr" -> ((s, d) =>
       // the reference's experimental mistql `query` command
       // (cmds/query.py) — record kept when the expression is truthy —
@@ -1195,6 +1212,65 @@ object SparkEntry {
         |    CAST(count(try_strptime(dstr, '%d.%m.%y')) AS BIGINT) FROM src
         |  UNION ALL SELECT 'yyyy-MM-dd HH:mm:ss',
         |    CAST(count(try_strptime(dstr, '%Y-%m-%d %H:%M:%S')) AS BIGINT) FROM src)
+        |ORDER BY fmt""".stripMargin,
+    // The three (ru) formats are hard 0s here BY CONSTRUCTION: every
+    // generated family is Latin/numeric, and Java's ru-locale month
+    // symbols are Cyrillic-only, so no input row can parse — the
+    // literal-0 rows make the oracle assert that (a kernel false
+    // positive on any ru format would hash-mismatch). DuckDB strptime
+    // has no locale arg, hence no positive-side SQL spelling; the
+    // positive ru matches are DateBankSpec-verified.
+    "q_date_scores_wide" ->
+      """WITH src AS (SELECT CASE
+        |  WHEN event_id % 6 = 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+        |  WHEN event_id % 6 = 1 THEN strftime(ts, '%d.%m.%Y %H:%M:%S')
+        |  WHEN event_id % 6 = 2 THEN strftime(ts, '%m/%d/%Y %I:%M %p')
+        |  WHEN event_id % 6 = 3 THEN strftime(ts, '%d %B %Y')
+        |  WHEN event_id % 6 = 4 THEN strftime(ts, '%B %d, %Y')
+        |  ELSE strftime(ts, '%Y.%m.%d') END dstr
+        |  FROM events)
+        |SELECT fmt, n_parsed FROM (
+        |  SELECT 'yyyy-MM-dd' AS fmt,
+        |    CAST(count(try_strptime(dstr, '%Y-%m-%d')) AS BIGINT) AS n_parsed FROM src
+        |  UNION ALL SELECT 'dd.MM.yyyy',
+        |    CAST(count(try_strptime(dstr, '%d.%m.%Y')) AS BIGINT) FROM src
+        |  UNION ALL SELECT 'MM/dd/yyyy',
+        |    CAST(count(try_strptime(dstr, '%m/%d/%Y')) AS BIGINT) FROM src
+        |  UNION ALL SELECT 'yyyy/MM/dd',
+        |    CAST(count(try_strptime(dstr, '%Y/%m/%d')) AS BIGINT) FROM src
+        |  UNION ALL SELECT 'dd/MM/yyyy',
+        |    CAST(count(try_strptime(dstr, '%d/%m/%Y')) AS BIGINT) FROM src
+        |  UNION ALL SELECT 'dd-MM-yyyy',
+        |    CAST(count(try_strptime(dstr, '%d-%m-%Y')) AS BIGINT) FROM src
+        |  UNION ALL SELECT 'yyyyMMdd',
+        |    CAST(count(try_strptime(dstr, '%Y%m%d')) AS BIGINT) FROM src
+        |  UNION ALL SELECT 'dd MMM yyyy',
+        |    CAST(count(try_strptime(dstr, '%d %b %Y')) AS BIGINT) FROM src
+        |  UNION ALL SELECT 'MMM dd, yyyy',
+        |    CAST(count(try_strptime(dstr, '%b %d, %Y')) AS BIGINT) FROM src
+        |  UNION ALL SELECT 'dd.MM.yy',
+        |    CAST(count(try_strptime(dstr, '%d.%m.%y')) AS BIGINT) FROM src
+        |  UNION ALL SELECT 'yyyy-MM-dd HH:mm:ss',
+        |    CAST(count(try_strptime(dstr, '%Y-%m-%d %H:%M:%S')) AS BIGINT) FROM src
+        |  UNION ALL SELECT 'yyyy-MM-dd''T''HH:mm:ss',
+        |    CAST(count(try_strptime(dstr, '%Y-%m-%dT%H:%M:%S')) AS BIGINT) FROM src
+        |  UNION ALL SELECT 'dd.MM.yyyy HH:mm:ss',
+        |    CAST(count(try_strptime(dstr, '%d.%m.%Y %H:%M:%S')) AS BIGINT) FROM src
+        |  UNION ALL SELECT 'dd.MM.yyyy HH:mm',
+        |    CAST(count(try_strptime(dstr, '%d.%m.%Y %H:%M')) AS BIGINT) FROM src
+        |  UNION ALL SELECT 'yyyy-MM-dd HH:mm',
+        |    CAST(count(try_strptime(dstr, '%Y-%m-%d %H:%M')) AS BIGINT) FROM src
+        |  UNION ALL SELECT 'MM/dd/yyyy hh:mm a',
+        |    CAST(count(try_strptime(dstr, '%m/%d/%Y %I:%M %p')) AS BIGINT) FROM src
+        |  UNION ALL SELECT 'dd MMMM yyyy',
+        |    CAST(count(try_strptime(dstr, '%d %B %Y')) AS BIGINT) FROM src
+        |  UNION ALL SELECT 'MMMM dd, yyyy',
+        |    CAST(count(try_strptime(dstr, '%B %d, %Y')) AS BIGINT) FROM src
+        |  UNION ALL SELECT 'd MMMM yyyy (ru)', CAST(0 AS BIGINT)
+        |  UNION ALL SELECT 'd MMM yyyy (ru)', CAST(0 AS BIGINT)
+        |  UNION ALL SELECT 'd MMMM yyyy г. (ru)', CAST(0 AS BIGINT)
+        |  UNION ALL SELECT 'yyyy.MM.dd',
+        |    CAST(count(try_strptime(dstr, '%Y.%m.%d')) AS BIGINT) FROM src)
         |ORDER BY fmt""".stripMargin,
     "q_query_expr" ->
       """SELECT event_id, CAST(value AS DOUBLE) AS value FROM events

@@ -271,6 +271,24 @@ object UndatumOps {
       scoresTail(df.agg(aggCols.head, aggCols.tail: _*), formats)
     } else dateFormatScoresDeclarative(df, field, formats)
 
+  /** Score the 22-format WIDE bank ([[graft.functions.DateBank.formatsWide]]:
+    * the 11 defaults + ISO-T/minute datetimes, the US 12-hour clock,
+    * full English month names, and the Russian genitive month-name
+    * shapes qddate generates). Kernel-only: the ru-locale formats have
+    * no `try_to_timestamp` spelling (no locale arg), so the semantic
+    * spec here is the unguarded [[graft.functions.DateBank.parsesWide]]
+    * formatter walk, which DateBankSpec property-asserts the guarded
+    * kernel against row-by-row.
+    */
+  def dateFormatScoresWide(df: DataFrame, field: String): DataFrame = {
+    graft.functions.DateBank.register(df.sparkSession)
+    val fmts = graft.functions.DateBank.formatsWide
+    val m = call_function("date_bank_mask_wide", col(field).cast(StringType))
+    val aggCols = fmts.indices.map(i =>
+      sum(shiftright(m, i).bitwiseAND(lit(1))).cast(LongType).as(s"__c_$i"))
+    scoresTail(df.agg(aggCols.head, aggCols.tail: _*), fmts)
+  }
+
   /** The one-`try_to_timestamp`-per-format reference form — kept as
     * the semantic spec the native kernel is property-tested against.
     */

@@ -68,6 +68,102 @@ class DateBankSpec extends SparkSpecBase {
     assert(a.count(_.last.asInstanceOf[Long] > 0L) >= 4)
   }
 
+  /** Wide-family valid strings + ru month-name strings formatted by
+    * the SAME JVM's CLDR symbols (no hardcoded Cyrillic month list to
+    * drift from the parser's own locale data).
+    */
+  private def wideCorpus: Seq[String] = {
+    import java.time.format.DateTimeFormatter
+    import java.time.{LocalDate, LocalDateTime}
+    val ru = java.util.Locale.forLanguageTag("ru")
+    val rng = new scala.util.Random(7)
+    val fmts = Seq(
+      DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"),
+      DateTimeFormatter.ofPattern("dd.MM.yyyy HH:mm:ss"),
+      DateTimeFormatter.ofPattern("dd.MM.yyyy HH:mm"),
+      DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm"),
+      DateTimeFormatter.ofPattern("MM/dd/yyyy hh:mm a", java.util.Locale.US),
+      DateTimeFormatter.ofPattern("dd MMMM yyyy", java.util.Locale.US),
+      DateTimeFormatter.ofPattern("MMMM dd, yyyy", java.util.Locale.US),
+      DateTimeFormatter.ofPattern("d MMMM yyyy", ru),
+      DateTimeFormatter.ofPattern("dd MMMM yyyy", ru),
+      DateTimeFormatter.ofPattern("d MMM yyyy", ru),
+      DateTimeFormatter.ofPattern("d MMMM yyyy 'г.'", ru),
+      DateTimeFormatter.ofPattern("yyyy.MM.dd"))
+    val valid = (0 until 60).flatMap { _ =>
+      val dt = LocalDateTime.of(1900 + rng.nextInt(200), 1 + rng.nextInt(12),
+        1 + rng.nextInt(28), rng.nextInt(24), rng.nextInt(60), rng.nextInt(60))
+      fmts.map(_.format(dt))
+    }
+    val ruMisses = Seq("1 январь 2012", "32 января 2012", "1 января 12",
+      "1 января 2012 г", "января 1 2012", "5 ян. 2019", "1  января  2012",
+      "1 Jan 2012 г.", "28 сентября 2012г.")
+    valid ++ ruMisses ++ Seq(LocalDate.now.toString)
+  }
+
+  test("WIDE kernel bitmask == unguarded formatter walk, per row per format") {
+    val all = (adversarial ++ wideCorpus).distinct
+    val bad = all.flatMap { v =>
+      val m = DateBank.maskWide(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v))
+      DateBank.formatsWide.indices.collect {
+        case i if ((m >> i) & 1) != (if (DateBank.parsesWide(v, i)) 1 else 0) =>
+          (v, DateBank.formatsWide(i), (m >> i) & 1)
+      }
+    }
+    assert(bad.isEmpty, s"guard skipped a parseable format or invented a match: $bad")
+  }
+
+  test("WIDE bank narrow prefix == narrow mask (bits 0-10 unchanged)") {
+    val all = (adversarial ++ wideCorpus).distinct
+    val bad = all.filter { v =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(v)
+      (DateBank.maskWide(u) & 0x7FF) != DateBank.mask(u)
+    }
+    assert(bad.isEmpty, s"wide/narrow disagree on the shared 11 formats: $bad")
+  }
+
+  test("ru month-name families parse: positives land on the right bits") {
+    val ruIdx = DateBank.formatsWide.indexOf("d MMMM yyyy (ru)")
+    val ruAbbr = DateBank.formatsWide.indexOf("d MMM yyyy (ru)")
+    val ruG = DateBank.formatsWide.indexOf("d MMMM yyyy г. (ru)")
+    def m(s: String) =
+      DateBank.maskWide(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    val janFull = java.time.format.DateTimeFormatter
+      .ofPattern("d MMMM yyyy", java.util.Locale.forLanguageTag("ru"))
+      .format(java.time.LocalDate.of(2012, 1, 1))
+    assert(((m(janFull) >> ruIdx) & 1) == 1, s"'$janFull' must parse (ru full)")
+    val sepG = java.time.format.DateTimeFormatter
+      .ofPattern("d MMMM yyyy 'г.'", java.util.Locale.forLanguageTag("ru"))
+      .format(java.time.LocalDate.of(2012, 9, 28))
+    assert(((m(sepG) >> ruG) & 1) == 1, s"'$sepG' must parse (ru г.)")
+    val mayAbbr = java.time.format.DateTimeFormatter
+      .ofPattern("d MMM yyyy", java.util.Locale.forLanguageTag("ru"))
+      .format(java.time.LocalDate.of(2019, 5, 5))
+    assert(((m(mayAbbr) >> ruAbbr) & 1) == 1, s"'$mayAbbr' must parse (ru abbr)")
+    // English month strings must NOT light the ru bits
+    assert(((m("28 January 2023") >> ruIdx) & 1) == 0)
+    // and Cyrillic strings must not light the English bits
+    val en = DateBank.formatsWide.indexOf("dd MMMM yyyy")
+    assert(((m(janFull) >> en) & 1) == 0)
+  }
+
+  test("dateFormatScoresWide: one row per wide format, via codegen") {
+    val s = spark
+    import s.implicits._
+    val df = (adversarial ++ wideCorpus).toDF("v")
+    val r = UndatumOps.dateFormatScoresWide(df, "v").collect()
+    assert(r.length == DateBank.formatsWide.size)
+    val byFmt = r.map(x => x.getString(0) -> x.getLong(1)).toMap
+    // every wide family generated 60 valid strings; each must score
+    assert(byFmt("yyyy-MM-dd'T'HH:mm:ss") >= 60)
+    assert(byFmt("d MMMM yyyy (ru)") >= 60)   // "d" also parses the dd form
+    assert(byFmt("d MMM yyyy (ru)") >= 60)
+    assert(byFmt("d MMMM yyyy г. (ru)") >= 60)
+    assert(byFmt("MM/dd/yyyy hh:mm a") >= 60)
+    assert(byFmt("yyyy.MM.dd") >= 60)
+  }
+
   test("custom bank still takes the declarative path") {
     val s = spark
     import s.implicits._
