@@ -364,6 +364,25 @@ object SparkEntry {
       // doubles on both sides)
       TextOps.tfidfTopK(t(s, d, "documents"), "doc_id", "text", k = 3)
         .orderBy("doc_id", "term")),
+    "q_line_dedup" -> ((s, d) => {
+      // CCNet/RefinedWeb boilerplate pass: remove lines occurring >= 3
+      // times across the corpus. The synthetic docs are single-line,
+      // so the harness first builds a deterministic multi-line frame
+      // (3-word chunks, newline-joined) and then runs the real op
+      // end-to-end (split -> corpus-wide count -> anti -> reassemble)
+      val words = t(s, d, "documents").select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+      val chunks = words
+        .groupBy(col("doc_id"), floor(col("i") / 3).as("pos"))
+        .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("i").as("i"), col("w").as("w")))),
+          x => x.getField("w"))).as("line"))
+      val mdoc = chunks.groupBy("doc_id")
+        .agg(concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos").as("p"), col("line").as("l")))),
+          x => x.getField("l"))).as("mtext"))
+      TextOps.lineDedup(mdoc, "doc_id", "mtext", minDup = 3).orderBy("doc_id")
+    }),
     "q_quality" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextOps.qualityScoreBp(col("text")).as("quality_bp"))
@@ -1356,6 +1375,36 @@ object SparkEntry {
         |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
         |SELECT doc_id, term, tf, df, round(tfidf, 4) AS tfidf
         |FROM sc WHERE rk <= 3 ORDER BY doc_id, term""".stripMargin,
+    "q_line_dedup" ->
+      """WITH words AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS w,
+        |    generate_subscripts(string_split(text, ' '), 1) AS i
+        |  FROM documents),
+        |chunk AS (SELECT doc_id, (i - 1) // 3 AS pos,
+        |    string_agg(w, ' ' ORDER BY i) AS line
+        |  FROM words GROUP BY 1, 2),
+        |mdoc AS (SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY pos) AS mtext
+        |  FROM chunk GROUP BY doc_id),
+        |keyed AS (SELECT doc_id,
+        |    generate_subscripts(string_split(mtext, chr(10)), 1) AS pos,
+        |    unnest(string_split(mtext, chr(10))) AS line
+        |  FROM mdoc),
+        |k2 AS (SELECT doc_id, pos, line, lower(trim(line)) AS k FROM keyed),
+        |dup AS (SELECT k FROM k2 WHERE k <> '' GROUP BY k
+        |  HAVING count(*) >= 3),
+        |kept AS (SELECT doc_id, pos, line FROM k2
+        |  WHERE k NOT IN (SELECT k FROM dup)),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total
+        |  FROM k2 GROUP BY doc_id),
+        |re AS (SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY pos) AS text_kept,
+        |    CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(re.text_kept, '') AS text_kept,
+        |  CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(t.n_total - coalesce(re.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM tot t LEFT JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_quality" ->
       """WITH c AS (SELECT doc_id,
         |  CAST(length(text) AS BIGINT) L,

@@ -274,4 +274,48 @@ object TextOps {
       .select(col(idCol), col("term"), col("tf"), col("df"),
         round(col("tfidf"), 4).as("tfidf"))
   }
+
+  /** Cross-document LINE dedup — the CCNet/RefinedWeb boilerplate
+    * pass (Wenzek et al. 2019 §4.1 dedups the corpus at paragraph
+    * granularity; Penedo et al. 2023 removes lines repeated across
+    * documents: nav bars, cookie banners, footers). A line whose
+    * normalized key (lower+trim) occurs >= `minDup` times ACROSS the
+    * corpus is removed from every document; whitespace-only lines are
+    * structural and always kept. Returns one row per input document:
+    * (id, text_kept, n_kept, n_removed), empty string when every line
+    * was boilerplate.
+    *
+    * Scale shape: one explode, one map-side-combined count on the
+    * normalized key, one left join of lines against the (usually
+    * tiny: it is the boilerplate set) dup-key frame — AQE broadcasts
+    * it when small, falls back to an 8-byte-ish hash shuffle when
+    * not — and one reassembly exchange on doc id. No driver-side
+    * state, no per-row UDFs; line order is restored by sorting the
+    * collected (pos, line) structs, never by assuming shuffle order.
+    */
+  def lineDedup(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, minDup: Int,
+                delim: String = "\n"): org.apache.spark.sql.DataFrame = {
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(delim))).as(Seq("__lp", "__ll")))
+      .withColumn("__lk", lower(trim(col("__ll"))))
+    val dup = lines.where(col("__lk") =!= "")
+      .groupBy("__lk").agg(count(lit(1)).as("__lc"))
+      .where(col("__lc") >= minDup)
+      .select(col("__lk"), lit(true).as("__ldup"))
+    lines.join(dup, Seq("__lk"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(delim, transform(
+          filter(
+            array_sort(collect_list(struct(col("__lp").as("p"),
+              col("__ll").as("l"), col("__ldup").isNull.as("keep")))),
+            x => x.getField("keep")),
+          x => x.getField("l"))).as("text_kept"),
+        sum(when(col("__ldup").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_kept"),
+        sum(when(col("__ldup").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_removed"))
+  }
 }

@@ -122,4 +122,41 @@ class TfidfSpec extends SparkSpecBase {
     // lexicographically first term of each doc
     assert(out.map(_.getString(1)).toSeq == Seq("a", "y"))
   }
+
+  test("lineDedup removes corpus-wide boilerplate, keeps structure") {
+    val s = spark
+    import s.implicits._
+    val banner = "Accept our cookies"
+    val docs = Seq(
+      (1L, s"$banner\nunique one\n\nclosing one"),
+      (2L, s"  accept our COOKIES \nunique two"), // normalized same key
+      (3L, s"$banner\nunique three"),
+      (4L, banner) // entirely boilerplate
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextOps.lineDedup(docs, "doc_id", "text", minDup = 3)
+      .orderBy("doc_id").collect()
+    assert(out.length == 4)
+    // banner occurs 3x across the corpus (trim+lower key) -> removed
+    assert(out(0).getString(1) == "unique one\n\nclosing one") // blank kept
+    assert(out(0).getLong(2) == 3L && out(0).getLong(3) == 1L)
+    assert(out(1).getString(1) == "unique two")
+    assert(out(2).getString(1) == "unique three")
+    // all-boilerplate doc survives as a row with empty text
+    assert(out(3).getString(1) == "" && out(3).getLong(2) == 0L
+      && out(3).getLong(3) == 1L)
+  }
+
+  test("lineDedup below threshold removes nothing; order preserved") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "dup line\nalpha\nbeta"),
+      (2L, "dup line\ngamma")
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextOps.lineDedup(docs, "doc_id", "text", minDup = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "dup line\nalpha\nbeta")
+    assert(out(1).getString(1) == "dup line\ngamma")
+    assert(out.forall(_.getLong(3) == 0L))
+  }
 }
