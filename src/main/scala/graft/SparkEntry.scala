@@ -387,6 +387,13 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), TextOps.qualityScoreBp(col("text")).as("quality_bp"))
         .orderBy("doc_id")),
+    "q_gopher_rules" -> ((s, d) =>
+      // Gopher pre-dedup quality gate (Rae et al. 2021 A1.1): integer
+      // basis-point metrics + per-rule booleans + conjunction
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.gopherRules(col("text")).as("g"))
+        .select(col("doc_id"), col("g.*"))
+        .orderBy("doc_id")),
     "q_fingerprint" -> ((s, d) =>
       // portable md5 form so DuckDB verifies the values; the xxhash64
       // variant (TextOps.fingerprint) is the 100-TB hot path
@@ -1420,6 +1427,26 @@ object SparkEntry {
         |  + (1500 - CAST(floor(CAST(1500*least(4*p,L) AS DOUBLE)/L1) AS BIGINT))
         |  + (1500 - CAST(floor(CAST(1500*least(4*g,L) AS DOUBLE)/L1) AS BIGINT)) AS quality_bp
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_gopher_rules" ->
+      """WITH c AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') ws,
+        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) sumlen,
+        |  CAST(len(regexp_extract_all(lower(text),'\b(the|of|and|a|in|to|is|it|that|for|on|with|as|was|at|by)\b')) AS BIGINT) stop_hits
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) n_words,
+        |  CAST(floor(10000 * sumlen / greatest(len(ws), 1)) AS BIGINT) mean_len_bp,
+        |  CAST(floor(10000 * len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+        |    / greatest(len(ws), 1)) AS BIGINT) alpha_bp,
+        |  stop_hits FROM c)
+        |SELECT doc_id, n_words, mean_len_bp, alpha_bp, stop_hits,
+        |  n_words BETWEEN 50 AND 100000 AS r_words,
+        |  mean_len_bp BETWEEN 30000 AND 100000 AS r_mean_len,
+        |  alpha_bp >= 8000 AS r_alpha,
+        |  stop_hits >= 2 AS r_stop,
+        |  (n_words BETWEEN 50 AND 100000) AND (mean_len_bp BETWEEN 30000 AND 100000)
+        |    AND alpha_bp >= 8000 AND stop_hits >= 2 AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') ws

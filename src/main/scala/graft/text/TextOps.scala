@@ -275,6 +275,38 @@ object TextOps {
         round(col("tfidf"), 4).as("tfidf"))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, Appendix
+    * A1.1), the pre-dedup gate of that pipeline: word-count range,
+    * mean-word-length range, minimum alphabetic-word share, minimum
+    * stopword hits. All integer/basis-point math (no float ratios) so
+    * a SQL oracle reproduces the exact values; all built-in
+    * expressions, one codegen'd scan.
+    *
+    * Returns columns: n_words, mean_len_bp (10000×mean word length),
+    * alpha_bp (10000×alphabetic-word share), stop_hits, and the
+    * individual rule booleans + conjunction `gopher_pass`.
+    */
+  def gopherRules(text: Column,
+                  minWords: Long = 50, maxWords: Long = 100000): Column = {
+    val words = filter(split(text, "\\s+"), w => w =!= lit(""))
+    val n = size(words).cast("long")
+    val n1 = greatest(n, lit(1L)) // divide-safe; rules still use n
+    val sumLen = length(regexp_replace(text, lit("\\s"), lit(""))).cast("long")
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val meanLenBp = floor(lit(10000L) * sumLen / n1).cast("long")
+    val alphaBp = floor(lit(10000L) * alphaWords / n1).cast("long")
+    val stops = stopwordHits(text)
+    val rWords = n.between(minWords, maxWords)
+    val rMeanLen = meanLenBp.between(30000L, 100000L)
+    val rAlpha = alphaBp >= 8000L
+    val rStop = stops >= 2L
+    struct(
+      n.as("n_words"), meanLenBp.as("mean_len_bp"), alphaBp.as("alpha_bp"),
+      stops.as("stop_hits"), rWords.as("r_words"), rMeanLen.as("r_mean_len"),
+      rAlpha.as("r_alpha"), rStop.as("r_stop"),
+      (rWords && rMeanLen && rAlpha && rStop).as("gopher_pass"))
+  }
+
   /** Cross-document LINE dedup — the CCNet/RefinedWeb boilerplate
     * pass (Wenzek et al. 2019 §4.1 dedups the corpus at paragraph
     * granularity; Penedo et al. 2023 removes lines repeated across

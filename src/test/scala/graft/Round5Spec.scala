@@ -123,6 +123,34 @@ class TfidfSpec extends SparkSpecBase {
     assert(out.map(_.getString(1)).toSeq == Seq("a", "y"))
   }
 
+  test("gopherRules: rule booleans fire on the right pathologies") {
+    val s = spark
+    import s.implicits._
+    // 60 words, mean length well over 3, all alphabetic, stopword hits
+    val good =
+      ("the quality filtering pipeline processes documents with great care " * 7)
+        .trim
+    val docs = Seq(
+      (1L, good),                      // passes everything
+      (2L, "short doc the of"),        // fails word count, has stops
+      (3L, ("12345 67890 " * 30).trim), // no alpha words, no stops
+      (4L, ("x " * 60).trim)           // mean word len 1 < 3
+    ).toDF("doc_id", "text")
+    val out = docs.select($"doc_id",
+        graft.text.TextOps.gopherRules($"text").as("g"))
+      .select($"doc_id", $"g.*").orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("gopher_pass"))
+    assert(!out(1).getAs[Boolean]("r_words") && out(1).getAs[Boolean]("r_stop"))
+    assert(!out(2).getAs[Boolean]("r_alpha") && !out(2).getAs[Boolean]("r_stop"))
+    assert(!out(3).getAs[Boolean]("r_mean_len"))
+    assert(out(3).getAs[Long]("mean_len_bp") == 10000L)
+    // empty text is divide-safe
+    val e = Seq((9L, "")).toDF("doc_id", "text")
+      .select(graft.text.TextOps.gopherRules($"text").as("g"))
+      .select($"g.*").collect()(0)
+    assert(e.getAs[Long]("n_words") == 0L && !e.getAs[Boolean]("gopher_pass"))
+  }
+
   test("lineDedup removes corpus-wide boilerplate, keeps structure") {
     val s = spark
     import s.implicits._
