@@ -394,6 +394,33 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.gopherRules(col("text")).as("g"))
         .select(col("doc_id"), col("g.*"))
         .orderBy("doc_id")),
+    "q_url_canonical" -> ((s, d) => {
+      // URL canonicalization + registrable domain over a deterministic
+      // synthetic URL column (docs carry no URLs): five families
+      // exercising fragment/default-port/tracking-param/case rules and
+      // two-level ccTLD domains
+      val k = (col("doc_id") % 20).cast("string")
+      val id = col("doc_id").cast("string")
+      val url = when(col("doc_id") % 5 === 0,
+          concat(lit("HTTPS://WWW.Example"), k, lit(".COM:443/Path/"), id,
+            lit("?utm_source=feed&id="), id, lit("#sec")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("http://news.example"), k, lit(".co.uk:80/story?id="), id,
+            lit("&fbclid=abc"), id))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("https://Blog.Example"), k, lit(".org/post/"), id,
+            lit("?utm_campaign=x&utm_medium=y")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("https://shop.example"), k, lit(".com.au/item/"), id,
+            lit("#frag")))
+        .otherwise(concat(lit("http://example"), k, lit(".com/page/"), id))
+      t(s, d, "documents").select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          graft.functions.UrlOps.canonicalizeUrl(col("url")).as("canon_url"),
+          graft.functions.UrlOps.host(col("url")).as("host"),
+          graft.functions.UrlOps.registrableDomain(col("url")).as("domain"))
+        .orderBy("doc_id")
+    }),
     "q_fingerprint" -> ((s, d) =>
       // portable md5 form so DuckDB verifies the values; the xxhash64
       // variant (TextOps.fingerprint) is the 100-TB hot path
@@ -1447,6 +1474,41 @@ object SparkEntry {
         |  (n_words BETWEEN 50 AND 100000) AND (mean_len_bp BETWEEN 30000 AND 100000)
         |    AND alpha_bp >= 8000 AND stop_hits >= 2 AS gopher_pass
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_url_canonical" ->
+      """WITH u AS (SELECT doc_id, CASE CAST(doc_id % 5 AS INTEGER)
+        |  WHEN 0 THEN 'HTTPS://WWW.Example' || (doc_id % 20) || '.COM:443/Path/'
+        |    || doc_id || '?utm_source=feed&id=' || doc_id || '#sec'
+        |  WHEN 1 THEN 'http://news.example' || (doc_id % 20) || '.co.uk:80/story?id='
+        |    || doc_id || '&fbclid=abc' || doc_id
+        |  WHEN 2 THEN 'https://Blog.Example' || (doc_id % 20) || '.org/post/'
+        |    || doc_id || '?utm_campaign=x&utm_medium=y'
+        |  WHEN 3 THEN 'https://shop.example' || (doc_id % 20) || '.com.au/item/'
+        |    || doc_id || '#frag'
+        |  ELSE 'http://example' || (doc_id % 20) || '.com/page/' || doc_id
+        |  END AS url FROM documents),
+        |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '', 'g') nf FROM u),
+        |s2 AS (SELECT doc_id, url, nf,
+        |  regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', 0) pre FROM s1),
+        |s3 AS (SELECT doc_id, url, nf, pre, substr(nf, length(pre) + 1) rest FROM s2),
+        |s4 AS (SELECT doc_id, url,
+        |  regexp_replace(regexp_replace(lower(pre), '^(http://[^:]*):80$', '\1'),
+        |    '^(https://[^:]*):443$', '\1') p2,
+        |  regexp_replace(rest, '(?i)([?&])(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*',
+        |    '\1', 'g') r1 FROM s3),
+        |s5 AS (SELECT doc_id, url,
+        |  p2 || regexp_replace(regexp_replace(r1, '([?&])[?&]+', '\1', 'g'),
+        |    '[?&]+$', '', 'g') canon_url,
+        |  lower(regexp_extract(url,
+        |    '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1)) host
+        |  FROM s4)
+        |SELECT doc_id, url, canon_url, host,
+        |  CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) IN
+        |    ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au',
+        |     'co.jp','or.jp','ne.jp','com.br','com.cn','com.mx','co.in',
+        |     'co.kr','com.tr','com.ar','co.za','com.sg','co.nz')
+        |  THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+        |  ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain
+        |FROM s5 ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') ws

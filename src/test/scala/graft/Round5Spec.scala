@@ -123,6 +123,34 @@ class TfidfSpec extends SparkSpecBase {
     assert(out.map(_.getString(1)).toSeq == Seq("a", "y"))
   }
 
+  test("UrlOps: canonicalization edges beyond the oracle families") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.UrlOps
+    val urls = Seq(
+      "https://u:p@Host.Example.COM:8443/a?gclid=1&x=2&utm_a=3&y=4",
+      "http://example.com:8080/keep-port",
+      "https://example.com/?utm_only=1",
+      "HTTP://EXAMPLE.COM:80",
+      "nothing here",
+      "https://localhost/x"
+    ).toDF("url")
+    val out = urls.select(
+      UrlOps.canonicalizeUrl($"url").as("c"),
+      UrlOps.host($"url").as("h"),
+      UrlOps.registrableDomain($"url").as("d")).collect()
+    // userinfo kept (canonicalization never drops credentials silently),
+    // authority lowercased, non-default port kept, both trackers gone
+    assert(out(0).getString(0) == "https://u:p@host.example.com:8443/a?x=2&y=4")
+    assert(out(0).getString(1) == "host.example.com")
+    assert(out(0).getString(2) == "example.com")
+    assert(out(1).getString(0) == "http://example.com:8080/keep-port")
+    assert(out(2).getString(0) == "https://example.com/")
+    assert(out(3).getString(0) == "http://example.com")
+    assert(out(4).getString(0) == "nothing here" && out(4).getString(1) == "")
+    assert(out(5).getString(1) == "localhost" && out(5).getString(2) == "")
+  }
+
   test("gopherRules: rule booleans fire on the right pathologies") {
     val s = spark
     import s.implicits._
