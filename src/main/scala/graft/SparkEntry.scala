@@ -421,6 +421,55 @@ object SparkEntry {
           graft.functions.UrlOps.registrableDomain(col("url")).as("domain"))
         .orderBy("doc_id")
     }),
+    "q_url_dedup" -> ((s, d) => {
+      // crawl-frontier dedup: every raw URL is DISTINCT (trackers and
+      // fragments carry the raw doc_id) but canonical forms collide on
+      // (family, host k, path id) — the collisions canonicalization
+      // exists to catch
+      val k = (col("doc_id") % 4).cast("string")
+      val pid = (col("doc_id") % 13).cast("string")
+      val id = col("doc_id").cast("string")
+      val url = when(col("doc_id") % 5 === 0,
+          concat(lit("HTTPS://WWW.Example"), k, lit(".COM:443/Path/"), pid,
+            lit("?utm_source="), id, lit("#sec")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("http://news.example"), k, lit(".co.uk:80/story/"), pid,
+            lit("?fbclid=abc"), id))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("https://Blog.Example"), k, lit(".org/post/"), pid,
+            lit("?utm_campaign="), id, lit("&utm_medium=y")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("https://shop.example"), k, lit(".com.au/item/"), pid,
+            lit("#frag"), id))
+        .otherwise(concat(lit("http://example"), k, lit(".com/page/"), pid,
+          lit("?gclid="), id))
+      graft.functions.UrlOps.urlDedup(
+        t(s, d, "documents").select(col("doc_id"), url.as("url")),
+        "doc_id", "url").orderBy("canon_url")
+    }),
+    "q_domain_filter" -> ((s, d) => {
+      // blocklist curation: one registrable domain blocks every host
+      // and path under it (www./news./shop. variants alike)
+      import s.implicits._
+      val k = (col("doc_id") % 4).cast("string")
+      val id = col("doc_id").cast("string")
+      val url = when(col("doc_id") % 5 === 0,
+          concat(lit("HTTPS://WWW.Example"), k, lit(".COM:443/Path/"), id))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("http://news.example"), k, lit(".co.uk:80/story/"), id))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("https://Blog.Example"), k, lit(".org/post/"), id))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("https://shop.example"), k, lit(".com.au/item/"), id))
+        .otherwise(concat(lit("http://example"), k, lit(".com/page/"), id))
+      val docs = t(s, d, "documents").select(col("doc_id"), url.as("url"))
+      val block = Seq("example1.com", "example2.co.uk", "example3.org",
+        "example0.com.au").toDF("domain")
+      graft.functions.UrlOps.domainFilter(docs, "url", block)
+        .select(col("doc_id"), col("url"),
+          graft.functions.UrlOps.registrableDomain(col("url")).as("domain"))
+        .orderBy("doc_id")
+    }),
     "q_fingerprint" -> ((s, d) =>
       // portable md5 form so DuckDB verifies the values; the xxhash64
       // variant (TextOps.fingerprint) is the 100-TB hot path
@@ -1509,6 +1558,55 @@ object SparkEntry {
         |  THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
         |  ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain
         |FROM s5 ORDER BY doc_id""".stripMargin,
+    "q_url_dedup" ->
+      """WITH u AS (SELECT doc_id, CASE CAST(doc_id % 5 AS INTEGER)
+        |  WHEN 0 THEN 'HTTPS://WWW.Example' || (doc_id % 4) || '.COM:443/Path/'
+        |    || (doc_id % 13) || '?utm_source=' || doc_id || '#sec'
+        |  WHEN 1 THEN 'http://news.example' || (doc_id % 4) || '.co.uk:80/story/'
+        |    || (doc_id % 13) || '?fbclid=abc' || doc_id
+        |  WHEN 2 THEN 'https://Blog.Example' || (doc_id % 4) || '.org/post/'
+        |    || (doc_id % 13) || '?utm_campaign=' || doc_id || '&utm_medium=y'
+        |  WHEN 3 THEN 'https://shop.example' || (doc_id % 4) || '.com.au/item/'
+        |    || (doc_id % 13) || '#frag' || doc_id
+        |  ELSE 'http://example' || (doc_id % 4) || '.com/page/' || (doc_id % 13)
+        |    || '?gclid=' || doc_id
+        |  END AS url FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') nf FROM u),
+        |s2 AS (SELECT doc_id, nf,
+        |  regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', 0) pre FROM s1),
+        |s3 AS (SELECT doc_id, nf, pre, substr(nf, length(pre) + 1) rest FROM s2),
+        |s4 AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(lower(pre), '^(http://[^:]*):80$', '\1'),
+        |    '^(https://[^:]*):443$', '\1') p2,
+        |  regexp_replace(rest, '(?i)([?&])(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*',
+        |    '\1', 'g') r1 FROM s3),
+        |s5 AS (SELECT doc_id,
+        |  p2 || regexp_replace(regexp_replace(r1, '([?&])[?&]+', '\1', 'g'),
+        |    '[?&]+$', '', 'g') canon_url FROM s4)
+        |SELECT canon_url, min(doc_id) AS doc_id,
+        |  count(*) AS fetch_count
+        |FROM s5 GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+    "q_domain_filter" ->
+      """WITH u AS (SELECT doc_id, CASE CAST(doc_id % 5 AS INTEGER)
+        |  WHEN 0 THEN 'HTTPS://WWW.Example' || (doc_id % 4) || '.COM:443/Path/' || doc_id
+        |  WHEN 1 THEN 'http://news.example' || (doc_id % 4) || '.co.uk:80/story/' || doc_id
+        |  WHEN 2 THEN 'https://Blog.Example' || (doc_id % 4) || '.org/post/' || doc_id
+        |  WHEN 3 THEN 'https://shop.example' || (doc_id % 4) || '.com.au/item/' || doc_id
+        |  ELSE 'http://example' || (doc_id % 4) || '.com/page/' || doc_id
+        |  END AS url FROM documents),
+        |h AS (SELECT doc_id, url, lower(regexp_extract(url,
+        |  '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1)) host FROM u),
+        |d AS (SELECT doc_id, url,
+        |  CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) IN
+        |    ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au',
+        |     'co.jp','or.jp','ne.jp','com.br','com.cn','com.mx','co.in',
+        |     'co.kr','com.tr','com.ar','co.za','com.sg','co.nz')
+        |  THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+        |  ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain FROM h)
+        |SELECT doc_id, url, domain FROM d
+        |WHERE domain NOT IN ('example1.com', 'example2.co.uk', 'example3.org',
+        |  'example0.com.au')
+        |ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') ws

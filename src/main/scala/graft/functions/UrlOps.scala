@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization and host/domain extraction for web-corpus
@@ -72,4 +72,34 @@ object UrlOps {
     when(isTwoLevel, regexp_extract(h, "([^.]+\\.[^.]+\\.[^.]+)$", 1))
       .otherwise(twoSuffix)
   }
+
+  /** URL-level dedup: one row per canonical URL, keeping the minimum
+    * id and the fetch multiplicity. This is the crawl-frontier dedup
+    * that runs BEFORE content dedup — the same page fetched with
+    * different tracking params / fragments / host casing collapses
+    * here without ever shuffling document text. The groupBy map-side
+    * combines, so per-partition duplicate fetches collapse before the
+    * exchange; the shuffle carries (canon_url, id) only. At 10^12
+    * URLs, pre-hash the canonical form (cf. Dedup.exactDedup's 8-byte
+    * normHash) if the URL bytes themselves dominate the exchange.
+    */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol), canonicalizeUrl(col(urlCol)).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(min(col(idCol)).as(idCol),
+        count(lit(1)).cast("long").as("fetch_count"))
+
+  /** Drop rows whose registrable domain is on a blocklist — the
+    * standard curation pass against known spam/SEO/adult domain lists
+    * (UT1, RefinedWeb §3.1). The blocklist frame (one `domain`
+    * column) is broadcast, so the scan never shuffles: a left-anti
+    * broadcast-hash probe per row. Blocklists are O(10^6) rows —
+    * always broadcastable.
+    */
+  def domainFilter(df: DataFrame, urlCol: String,
+      blocklist: DataFrame): DataFrame =
+    df.withColumn("__dom", registrableDomain(col(urlCol)))
+      .join(broadcast(blocklist.select(col("domain").as("__dom"))),
+        Seq("__dom"), "left_anti")
+      .drop("__dom")
 }

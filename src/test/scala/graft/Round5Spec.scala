@@ -151,6 +151,42 @@ class TfidfSpec extends SparkSpecBase {
     assert(out(5).getString(1) == "localhost" && out(5).getString(2) == "")
   }
 
+  test("urlDedup: distinct raw fetches with one canonical form collapse") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.UrlOps
+    val fetches = Seq(
+      (7L, "https://Example.com/a?utm_source=x"),
+      (3L, "HTTPS://example.COM:443/a#frag"),
+      (9L, "https://example.com/a"),
+      (5L, "https://example.com/b")
+    ).toDF("doc_id", "url")
+    val out = UrlOps.urlDedup(fetches, "doc_id", "url")
+      .orderBy("canon_url").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(0) == "https://example.com/a")
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 3L)
+    assert(out(1).getString(0) == "https://example.com/b")
+    assert(out(1).getLong(1) == 5L && out(1).getLong(2) == 1L)
+  }
+
+  test("domainFilter: one blocked registrable domain drops every host under it") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.UrlOps
+    val rows = Seq(
+      (1L, "https://www.spam.com/x"),
+      (2L, "https://cdn.spam.com/y"),
+      (3L, "https://spam.com.evil.org/z"), // domain is evil.org, NOT spam.com
+      (4L, "https://good.co.uk/a"),
+      (5L, "https://sub.good.co.uk/b")
+    ).toDF("doc_id", "url")
+    val block = Seq("spam.com", "good.co.uk").toDF("domain")
+    val kept = UrlOps.domainFilter(rows, "url", block)
+      .orderBy("doc_id").collect()
+    assert(kept.map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("gopherRules: rule booleans fire on the right pathologies") {
     val s = spark
     import s.implicits._
