@@ -470,6 +470,27 @@ object SparkEntry {
           graft.functions.UrlOps.registrableDomain(col("url")).as("domain"))
         .orderBy("doc_id")
     }),
+    "q_dsir_weights" -> ((s, d) => {
+      // DSIR importance weights: target = the English subset, raw =
+      // the whole corpus; hashed unigram+bigram buckets (256), exact
+      // integer micro-nat weights
+      val docs = t(s, d, "documents")
+      val (ratios, default) = graft.text.Dsir.logRatiosMicro(
+        docs.where(col("lang") === "en"), docs, "text", hexChars = 2)
+      graft.text.Dsir.docLogWeightsMicro(
+          docs, "doc_id", "text", ratios, default, hexChars = 2)
+        .orderBy("doc_id")
+    }),
+    "q_dsir_sample" -> ((s, d) => {
+      // Gumbel top-50 resample over the q_dsir_weights scores — the
+      // deterministic md5-seeded draw lets DuckDB replay the sample
+      val docs = t(s, d, "documents")
+      val (ratios, default) = graft.text.Dsir.logRatiosMicro(
+        docs.where(col("lang") === "en"), docs, "text", hexChars = 2)
+      val w = graft.text.Dsir.docLogWeightsMicro(
+        docs, "doc_id", "text", ratios, default, hexChars = 2)
+      graft.text.Dsir.resample(w, "doc_id", n = 50).orderBy("doc_id")
+    }),
     "q_fingerprint" -> ((s, d) =>
       // portable md5 form so DuckDB verifies the values; the xxhash64
       // variant (TextOps.fingerprint) is the 100-TB hot path
@@ -1607,6 +1628,57 @@ object SparkEntry {
         |WHERE domain NOT IN ('example1.com', 'example2.co.uk', 'example3.org',
         |  'example0.com.au')
         |ORDER BY doc_id""".stripMargin,
+    "q_dsir_weights" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') ws
+        |  FROM documents),
+        |f AS (SELECT doc_id, lang,
+        |  [substr(md5(x), 1, 2) for x in ws] ||
+        |  [substr(md5(ws[i] || ' ' || ws[i+1]), 1, 2)
+        |    for i in range(1, len(ws))] feats FROM w),
+        |e AS (SELECT doc_id, lang, unnest(feats) AS bucket FROM f),
+        |tc AS (SELECT bucket, CAST(count(*) AS BIGINT) ct FROM e
+        |  WHERE lang = 'en' GROUP BY 1),
+        |rc AS (SELECT bucket, CAST(count(*) AS BIGINT) cr FROM e GROUP BY 1),
+        |tot AS (SELECT CAST((SELECT COALESCE(sum(ct), 0) FROM tc) AS BIGINT) tt,
+        |  CAST((SELECT COALESCE(sum(cr), 0) FROM rc) AS BIGINT) tr),
+        |ratio AS (SELECT rc.bucket,
+        |  CAST(floor(ln((CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE) / (tot.tt + 256))
+        |    / (CAST(rc.cr + 1 AS DOUBLE) / (tot.tr + 256))) * 1e6 + 0.5)
+        |    AS BIGINT) r
+        |  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot),
+        |dw AS (SELECT e.doc_id, CAST(sum(ratio.r) AS BIGINT) lw
+        |  FROM e JOIN ratio USING (bucket) GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(dw.lw, 0) AS BIGINT) AS log_w_micro
+        |FROM documents d LEFT JOIN dw USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_dsir_sample" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') ws
+        |  FROM documents),
+        |f AS (SELECT doc_id, lang,
+        |  [substr(md5(x), 1, 2) for x in ws] ||
+        |  [substr(md5(ws[i] || ' ' || ws[i+1]), 1, 2)
+        |    for i in range(1, len(ws))] feats FROM w),
+        |e AS (SELECT doc_id, lang, unnest(feats) AS bucket FROM f),
+        |tc AS (SELECT bucket, CAST(count(*) AS BIGINT) ct FROM e
+        |  WHERE lang = 'en' GROUP BY 1),
+        |rc AS (SELECT bucket, CAST(count(*) AS BIGINT) cr FROM e GROUP BY 1),
+        |tot AS (SELECT CAST((SELECT COALESCE(sum(ct), 0) FROM tc) AS BIGINT) tt,
+        |  CAST((SELECT COALESCE(sum(cr), 0) FROM rc) AS BIGINT) tr),
+        |ratio AS (SELECT rc.bucket,
+        |  CAST(floor(ln((CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE) / (tot.tt + 256))
+        |    / (CAST(rc.cr + 1 AS DOUBLE) / (tot.tr + 256))) * 1e6 + 0.5)
+        |    AS BIGINT) r
+        |  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot),
+        |dw AS (SELECT e.doc_id, CAST(sum(ratio.r) AS BIGINT) lw
+        |  FROM e JOIN ratio USING (bucket) GROUP BY 1),
+        |k AS (SELECT d.doc_id, CAST(COALESCE(dw.lw, 0) AS BIGINT) log_w_micro,
+        |  CAST(COALESCE(dw.lw, 0) + floor(-ln(-ln(
+        |    (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
+        |      + 0.5) / 16777216.0)) * 1e6 + 0.5) AS BIGINT) key_micro
+        |  FROM documents d LEFT JOIN dw USING (doc_id))
+        |SELECT doc_id, log_w_micro, key_micro FROM k
+        |ORDER BY key_micro DESC, doc_id LIMIT 50""".stripMargin,
     "q_repetition" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') ws

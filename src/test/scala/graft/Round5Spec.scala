@@ -187,6 +187,51 @@ class TfidfSpec extends SparkSpecBase {
     assert(kept.map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("Dsir: target-like docs outscore off-target docs; empty text scores 0") {
+    val s = spark
+    import s.implicits._
+    import graft.text.Dsir
+    val raw = Seq(
+      (1L, "apple banana apple banana cherry"),
+      (2L, "apple banana cherry apple banana"),
+      (3L, "xyzzy quux grault xyzzy quux"),
+      (4L, "quux grault xyzzy grault quux"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val target = raw.where($"doc_id" <= 2)
+    val (ratios, default) = Dsir.logRatiosMicro(target, raw, "text", 2)
+    val w = Dsir.docLogWeightsMicro(raw, "doc_id", "text", ratios, default, 2)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // DSIR scores are RELATIVE (smoothing over the 256-bucket space
+    // shrinks all ratios toward 0 when the corpora are tiny): target-
+    // like docs must outscore off-target docs, and off-target docs —
+    // whose buckets are raw-only — must land clearly negative
+    assert(w(1L) > w(3L) && w(2L) > w(4L))
+    assert(w(5L) == 0L)
+    assert(w(3L) < 0L && w(4L) < 0L)
+  }
+
+  test("Dsir: resample is the deterministic Gumbel top-k, no dupes") {
+    val s = spark
+    import s.implicits._
+    import graft.text.Dsir
+    val raw = (0L until 40L).map(i =>
+      (i, if (i % 4 == 0) "apple banana cherry" else "xyzzy quux grault"))
+      .toDF("doc_id", "text")
+    val target = raw.where($"doc_id" % 4 === 0)
+    val (ratios, default) = Dsir.logRatiosMicro(target, raw, "text", 2)
+    val w = Dsir.docLogWeightsMicro(raw, "doc_id", "text", ratios, default, 2)
+    val picked = Dsir.resample(w, "doc_id", 10).collect()
+    assert(picked.length == 10)
+    assert(picked.map(_.getLong(0)).distinct.length == 10)
+    // deterministic seed: a second draw returns identical picks
+    val again = Dsir.resample(w, "doc_id", 10).collect()
+    assert(picked.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+    // the upweighted minority (10 of 40 docs) should dominate the sample
+    val fruity = picked.count(_.getLong(0) % 4 == 0)
+    assert(fruity >= 7, s"expected mostly target-like picks, got $fruity/10")
+  }
+
   test("gopherRules: rule booleans fire on the right pathologies") {
     val s = spark
     import s.implicits._
