@@ -491,6 +491,14 @@ object SparkEntry {
         docs, "doc_id", "text", ratios, default, hexChars = 2)
       graft.text.Dsir.resample(w, "doc_id", n = 50).orderBy("doc_id")
     }),
+    "q_lm_perplexity" -> ((s, d) => {
+      // CCNet-style LM quality gate: top-512 unigram LM learned on the
+      // corpus itself, every doc scored in one shuffle-free scan
+      val docs = t(s, d, "documents")
+      val (model, oov) = graft.text.LmScore.unigramLmMicro(docs, "text", 512)
+      graft.text.LmScore.docPerplexityMicro(docs, "doc_id", "text", model, oov)
+        .orderBy("doc_id")
+    }),
     "q_fingerprint" -> ((s, d) =>
       // portable md5 form so DuckDB verifies the values; the xxhash64
       // variant (TextOps.fingerprint) is the 100-TB hot path
@@ -1679,6 +1687,29 @@ object SparkEntry {
         |  FROM documents d LEFT JOIN dw USING (doc_id))
         |SELECT doc_id, log_w_micro, key_micro FROM k
         |ORDER BY key_micro DESC, doc_id LIMIT 50""".stripMargin,
+    "q_lm_perplexity" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') ws
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        |c AS (SELECT word, CAST(count(*) AS BIGINT) n FROM t GROUP BY 1),
+        |v AS (SELECT word, n FROM c ORDER BY n DESC, word LIMIT 512),
+        |tot AS (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) t,
+        |  CAST(count(*) AS BIGINT) v FROM v),
+        |lm AS (SELECT word, CAST(floor(-ln(CAST(n + 1 AS DOUBLE)
+        |  / (tot.t + tot.v + 1)) * 1e6 + 0.5) AS BIGINT) nll
+        |  FROM v CROSS JOIN tot),
+        |oov AS (SELECT CAST(floor(-ln(CAST(1 AS DOUBLE)
+        |  / (tot.t + tot.v + 1)) * 1e6 + 0.5) AS BIGINT) nll FROM tot),
+        |d AS (SELECT t.doc_id, CAST(sum(COALESCE(lm.nll, oov.nll)) AS BIGINT) s,
+        |  CAST(count(*) AS BIGINT) n
+        |  FROM t LEFT JOIN lm USING (word) CROSS JOIN oov GROUP BY 1)
+        |SELECT doc.doc_id, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_words,
+        |  CAST(COALESCE(d.s, 0) AS BIGINT) AS nll_micro,
+        |  CAST(CASE WHEN d.n IS NULL THEN 0
+        |    ELSE floor(CAST(d.s AS DOUBLE) / d.n + 0.5) END AS BIGINT)
+        |    AS ppl_micro
+        |FROM documents doc LEFT JOIN d USING (doc_id) ORDER BY doc.doc_id""".stripMargin,
     "q_repetition" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') ws

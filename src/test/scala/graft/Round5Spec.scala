@@ -232,6 +232,34 @@ class TfidfSpec extends SparkSpecBase {
     assert(fruity >= 7, s"expected mostly target-like picks, got $fruity/10")
   }
 
+  test("LmScore: rare/OOV-heavy docs score higher perplexity; empty doc 0") {
+    val s = spark
+    import s.implicits._
+    import graft.text.LmScore
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat sat again"),
+      (2L, "the cat sat on the mat"),
+      (3L, "zyxwv qponm lkjih gfedc"), // in vocab (learned on corpus) but rare
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val (model, oov) = LmScore.unigramLmMicro(docs, "text", 512)
+    val out = LmScore.docPerplexityMicro(docs, "doc_id", "text", model, oov)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(3L)._3 > out(1L)._3, "rare-word doc must out-perplex common doc")
+    assert(out(4L) == ((0L, 0L, 0L)))
+    // OOV words (never seen at learn time) cost the most
+    val (modelSmall, oovSmall) = LmScore.unigramLmMicro(
+      docs.where($"doc_id" <= 2), "text", 512)
+    val out2 = LmScore.docPerplexityMicro(docs, "doc_id", "text",
+        modelSmall, oovSmall)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out2(3L) > out2(1L) && out2(3L) > out2(2L))
+    // mean NLL identity: nll_micro/n rounds to ppl_micro
+    val (n1, s1, p1) = out(1L)
+    assert(p1 == math.floor(s1.toDouble / n1 + 0.5).toLong)
+  }
+
   test("gopherRules: rule booleans fire on the right pathologies") {
     val s = spark
     import s.implicits._
