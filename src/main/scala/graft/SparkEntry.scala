@@ -499,6 +499,12 @@ object SparkEntry {
       graft.text.LmScore.docPerplexityMicro(docs, "doc_id", "text", model, oov)
         .orderBy("doc_id")
     }),
+    "q_substr_dup" -> ((s, d) =>
+      // ExactSubstr-style duplicated 8-word-window share per doc
+      // (portable md5 keys so DuckDB replays the window hashing; the
+      // xxhash64 form is the 100-TB hot path)
+      Dedup.substrDupStats(t(s, d, "documents"), "doc_id", "text",
+        k = 8, portable = true).orderBy("doc_id")),
     "q_fingerprint" -> ((s, d) =>
       // portable md5 form so DuckDB verifies the values; the xxhash64
       // variant (TextOps.fingerprint) is the 100-TB hot path
@@ -1710,6 +1716,23 @@ object SparkEntry {
         |    ELSE floor(CAST(d.s AS DOUBLE) / d.n + 0.5) END AS BIGINT)
         |    AS ppl_micro
         |FROM documents doc LEFT JOIN d USING (doc_id) ORDER BY doc.doc_id""".stripMargin,
+    "q_substr_dup" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') ws
+        |  FROM documents),
+        |f AS (SELECT doc_id, [md5(array_to_string(ws[i:i+7], ' '))
+        |  for i in range(1, len(ws) - 6)] wk FROM w),
+        |e AS (SELECT doc_id, unnest(wk) AS wkey FROM f),
+        |c AS (SELECT wkey, CAST(count(*) AS BIGINT) n FROM e GROUP BY 1),
+        |st AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) n_windows,
+        |  CAST(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS BIGINT) dup_windows
+        |  FROM e JOIN c USING (wkey) GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(st.n_windows, 0) AS BIGINT) AS n_windows,
+        |  CAST(COALESCE(st.dup_windows, 0) AS BIGINT) AS dup_windows,
+        |  CAST(CASE WHEN st.n_windows IS NULL THEN 0
+        |    ELSE floor(st.dup_windows * 10000 / st.n_windows) END AS BIGINT)
+        |    AS dup_bp
+        |FROM documents d LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') ws

@@ -906,4 +906,59 @@ object Dedup {
       .drop("__normh")
     flagged.where(!col("maybe_dup")).unionByName(verified).drop("maybe_dup")
   }
+
+  /** All k-word rolling window keys of a document, IN POSITION ORDER
+    * (no dedup — unlike [[shingles]], within-doc repeats matter here).
+    * `portable=true` keys by md5 hex (DuckDB-reproducible, the oracle
+    * form); default keys by xxhash64 (8 bytes — the 100-TB form, same
+    * trade as [[graft.text.TextOps.fingerprint]]).
+    */
+  def windowKeys(text: Column, k: Int, portable: Boolean = false): Column = {
+    val ws = filter(split(lower(text), "\\s+"), w => w =!= lit(""))
+    def key(win: Column): Column =
+      if (portable) md5(win) else xxhash64(win).cast("string")
+    when(size(ws) >= k,
+      transform(sequence(lit(0), size(ws) - k),
+        i => key(concat_ws(" ", slice(ws, i + 1, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** ExactSubstr-style duplicated-span scoring (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): a
+    * token position is duplicated when its k-word window occurs ≥
+    * `minCount` times ACROSS the corpus (within-doc repeats count,
+    * matching the paper's any-second-occurrence rule). Reports per doc
+    * the window count, duplicated-window count, and duplicated share
+    * in basis points — filter or trim on `dup_bp`.
+    *
+    * The paper's suffix array is a single-machine structure; the
+    * distributed shape is the window-hash equivalent at fixed k: one
+    * explode to (id, key) — O(total tokens) rows of 8-byte keys, no
+    * text — a map-side-combined count over keys, a shuffle-on-key
+    * rejoin (both sides already hashed — AQE handles skewed hot
+    * windows), and a per-doc rollup. Every doc survives as a row
+    * (zero windows → zeros).
+    */
+  def substrDupStats(df: DataFrame, idCol: String, textCol: String,
+                     k: Int, minCount: Long = 2,
+                     portable: Boolean = false): DataFrame = {
+    val ex = df.select(col(idCol),
+      explode(windowKeys(col(textCol), k, portable)).as("__wk"))
+    val counts = ex.groupBy("__wk")
+      .agg(count(lit(1)).cast("long").as("__wn"))
+    val stats = ex.join(counts, "__wk")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_windows"),
+        sum(when(col("__wn") >= minCount, lit(1L)).otherwise(lit(0L)))
+          .cast("long").as("dup_windows"))
+    df.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"))
+      .withColumn("dup_bp",
+        when(col("n_windows") === 0, lit(0L))
+          .otherwise(floor(col("dup_windows") * lit(10000) / col("n_windows"))
+            .cast("long")))
+  }
 }

@@ -260,6 +260,39 @@ class TfidfSpec extends SparkSpecBase {
     assert(p1 == math.floor(s1.toDouble / n1 + 0.5).toLong)
   }
 
+  test("substrDupStats: planted shared span flags exactly its windows") {
+    val s = spark
+    import s.implicits._
+    import graft.dedup.Dedup
+    val span = "one two three four" // shared 4-word span
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma delta"),     // 8 words, 5 windows(k=4)
+      (2L, s"$span epsilon zeta eta theta"),     // span at the start
+      (3L, "iota kappa lambda mu nu xi"),        // no overlap
+      (4L, "tiny doc"),                          // < k words -> 0 windows
+      (5L, "rep rep rep rep rep rep rep")        // within-doc repetition
+    ).toDF("doc_id", "text")
+    val out = Dedup.substrDupStats(docs, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // docs 1 and 2 share exactly ONE window: the span itself
+    assert(out(1L) == ((5L, 1L, 2000L)))
+    assert(out(2L) == ((5L, 1L, 2000L)))
+    assert(out(3L) == ((3L, 0L, 0L)))
+    assert(out(4L) == ((0L, 0L, 0L)))
+    // "rep"x7 with k=4: all 4 windows are the same key -> all duplicated
+    assert(out(5L) == ((4L, 4L, 10000L)))
+    // portable (md5) and hot-path (xxhash64) forms agree
+    val p = Dedup.substrDupStats(docs, "doc_id", "text", k = 4,
+      portable = true).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val h = Dedup.substrDupStats(docs, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(p.toSeq == h.toSeq)
+  }
+
   test("gopherRules: rule booleans fire on the right pathologies") {
     val s = spark
     import s.implicits._
