@@ -505,6 +505,15 @@ object SparkEntry {
       // xxhash64 form is the 100-TB hot path)
       Dedup.substrDupStats(t(s, d, "documents"), "doc_id", "text",
         k = 8, portable = true).orderBy("doc_id")),
+    "q_substr_trim" -> ((s, d) =>
+      // keep-first span trim: later occurrences of any duplicated
+      // 8-word window are removed from the token stream
+      Dedup.substrDedupTrim(t(s, d, "documents"), "doc_id", "text",
+          k = 8, portable = true)
+        .select(col("doc_id"), col("text_dedup"),
+          TextOps.tokenCount(col("text")).as("n_before"),
+          TextOps.tokenCount(col("text_dedup")).as("n_after"))
+        .orderBy("doc_id")),
     "q_fingerprint" -> ((s, d) =>
       // portable md5 form so DuckDB verifies the values; the xxhash64
       // variant (TextOps.fingerprint) is the 100-TB hot path
@@ -1733,6 +1742,29 @@ object SparkEntry {
         |    ELSE floor(st.dup_windows * 10000 / st.n_windows) END AS BIGINT)
         |    AS dup_bp
         |FROM documents d LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_substr_trim" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') ws
+        |  FROM documents),
+        |f AS (SELECT doc_id, [{'pos': i - 1,
+        |  'wkey': md5(array_to_string(ws[i:i+7], ' '))}
+        |  for i in range(1, len(ws) - 6)] wk FROM w),
+        |e AS (SELECT doc_id, s.pos AS pos, s.wkey AS wkey
+        |  FROM (SELECT doc_id, unnest(wk) s FROM f)),
+        |r AS (SELECT doc_id, pos,
+        |  row_number() OVER (PARTITION BY wkey ORDER BY doc_id, pos) rk FROM e),
+        |dups AS (SELECT doc_id, list(pos ORDER BY pos) ps FROM r
+        |  WHERE rk >= 2 GROUP BY 1),
+        |j AS (SELECT w.doc_id, w.ws,
+        |  COALESCE(dups.ps, CAST([] AS BIGINT[])) ps
+        |  FROM w LEFT JOIN dups USING (doc_id)),
+        |kq AS (SELECT doc_id, ws, [ws[i] for i in range(1, len(ws) + 1)
+        |  if len(list_filter(ps, p -> i - 1 >= p AND i - 1 <= p + 7)) = 0] kept
+        |  FROM j)
+        |SELECT doc_id, COALESCE(array_to_string(kept, ' '), '') AS text_dedup,
+        |  CAST(len(ws) AS BIGINT) AS n_before,
+        |  CAST(len(kept) AS BIGINT) AS n_after
+        |FROM kq ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') ws

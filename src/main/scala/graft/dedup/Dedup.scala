@@ -961,4 +961,41 @@ object Dedup {
           .otherwise(floor(col("dup_windows") * lit(10000) / col("n_windows"))
             .cast("long")))
   }
+
+  /** The trim half of ExactSubstr dedup: remove every duplicated
+    * k-word span EXCEPT its first occurrence (global keep-first by
+    * (id, position) — Lee et al. 2021 keep one copy), returning the
+    * input rows plus `text_dedup`, the surviving LOWERCASED token
+    * stream (windows are keyed on lowered tokens, so the trim is a
+    * token-level operation by construction).
+    *
+    * Distributed shape: the O(total tokens) (key, id, pos) stream
+    * ranks within each window key — a hash shuffle on the 8-byte key;
+    * per-key groups are duplicate sets (tiny except boilerplate hot
+    * keys, which AQE splits) — then non-first positions roll up per
+    * doc (sorted, ≤doc-length ints) and one final scan drops covered
+    * tokens with an index-aware HOF. Documents with nothing to trim
+    * never enter the rank shuffle's output and keep their tokens
+    * verbatim.
+    */
+  def substrDedupTrim(df: DataFrame, idCol: String, textCol: String,
+                      k: Int, portable: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = df.select(col(idCol),
+      posexplode(windowKeys(col(textCol), k, portable))
+        .as(Seq("__pos", "__wk")))
+    val dup = ex
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__wk")).orderBy(col(idCol), col("__pos"))))
+      .where(col("__rk") >= 2)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__pos"))).as("__dups"))
+    val ws = filter(split(lower(col(textCol)), "\\s+"), w => w =!= lit(""))
+    df.join(dup, Seq(idCol), "left")
+      .withColumn("text_dedup", concat_ws(" ",
+        filter(ws, (_, i) => !exists(
+          coalesce(col("__dups"), array().cast("array<int>")),
+          p => i >= p && i <= p + lit(k - 1)))))
+      .drop("__dups")
+  }
 }

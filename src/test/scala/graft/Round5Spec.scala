@@ -293,6 +293,28 @@ class TfidfSpec extends SparkSpecBase {
     assert(p.toSeq == h.toSeq)
   }
 
+  test("substrDedupTrim: keep-first trims later occurrences only") {
+    val s = spark
+    import s.implicits._
+    import graft.dedup.Dedup
+    val span = "one two three four"
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma delta"),
+      (2L, s"$span epsilon zeta eta theta"),
+      (3L, "iota kappa lambda mu"),
+      (5L, "rep rep rep rep rep rep rep")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substrDedupTrim(docs, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("text_dedup")).toMap
+    // doc 1 (lowest id) keeps its copy of the span; doc 2 loses it
+    assert(out(1L) == s"alpha beta $span gamma delta")
+    assert(out(2L) == "epsilon zeta eta theta")
+    assert(out(3L) == "iota kappa lambda mu")
+    // self-repetition: first window kept, overlapping later ones trimmed
+    assert(out(5L) == "rep")
+  }
+
   test("gopherRules: rule booleans fire on the right pathologies") {
     val s = spark
     import s.implicits._
