@@ -1121,7 +1121,29 @@ object SparkEntry {
             col("stats.minTok").as("min_tok"), col("stats.maxTok").as("max_tok"),
             col("stats.maxRun").as("max_run"))
           .orderBy("source")
-      })
+      }),
+      // 8-byte xxhash64 window keys (the 100-TB form); Verify's md5
+      // `portable` form exists only so DuckDB can replay the hashing —
+      // results are identical, the exchange carries 4× fewer key bytes
+      "q_substr_dup" -> ((s, d) =>
+        Dedup.substrDupStats(t(s, d, "documents"), "doc_id", "text", k = 8)
+          .orderBy("doc_id")),
+      "q_substr_trim" -> ((s, d) =>
+        Dedup.substrDedupTrim(t(s, d, "documents"), "doc_id", "text", k = 8)
+          .select(col("doc_id"), col("text_dedup"),
+            TextOps.tokenCount(col("text")).as("n_before"),
+            TextOps.tokenCount(col("text_dedup")).as("n_after"))
+          .orderBy("doc_id")),
+      // native-kernel xxhash64 buckets + one-scan learn (the 100-TB
+      // form); Verify's md5 form exists so DuckDB can replay the hash
+      "q_dsir_weights" -> ((s, d) =>
+        graft.text.Dsir.dsirWeightsFast(t(s, d, "documents"), "doc_id",
+          "text", col("lang") === "en", b = 256).orderBy("doc_id")),
+      "q_dsir_sample" -> ((s, d) =>
+        graft.text.Dsir.resample(
+          graft.text.Dsir.dsirWeightsFast(t(s, d, "documents"), "doc_id",
+            "text", col("lang") === "en", b = 256),
+          "doc_id", n = 50).orderBy("doc_id"))
     )
 
   /** DuckDB-dialect oracles. Tables are registered by bare name over

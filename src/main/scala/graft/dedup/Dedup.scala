@@ -915,12 +915,12 @@ object Dedup {
     */
   def windowKeys(text: Column, k: Int, portable: Boolean = false): Column = {
     val ws = filter(split(lower(text), "\\s+"), w => w =!= lit(""))
-    def key(win: Column): Column =
-      if (portable) md5(win) else xxhash64(win).cast("string")
+    def key(win: Column): Column = if (portable) md5(win) else xxhash64(win)
+    val emptyType = if (portable) "array<string>" else "array<bigint>"
     when(size(ws) >= k,
       transform(sequence(lit(0), size(ws) - k),
         i => key(concat_ws(" ", slice(ws, i + 1, lit(k))))))
-      .otherwise(array().cast("array<string>"))
+      .otherwise(array().cast(emptyType))
   }
 
   /** ExactSubstr-style duplicated-span scoring (Lee et al. 2021,

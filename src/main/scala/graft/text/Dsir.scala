@@ -86,18 +86,24 @@ object Dsir {
   }
 
   /** Per-document importance weight in micro-nats: one shuffle-free
-    * scan; the ratio map rides the plan as a literal (≤16^hexChars
-    * entries), `defaultMicro` covers buckets unseen at learn time.
+    * scan. Features stay in codegen (split/md5/substring); the ratio
+    * table ships as a Spark broadcast consulted by one O(1)-per-
+    * feature udf — a map LITERAL would be a linear probe per feature
+    * (GetMapValue has no hash index; measured 10× slower at 256
+    * entries — same trade as [[TextOps.tokenize]]). `defaultMicro`
+    * covers buckets unseen at learn time.
     */
   def docLogWeightsMicro(df: DataFrame, idCol: String, textCol: String,
       ratios: Map[String, Long], defaultMicro: Long,
       hexChars: Int): DataFrame = {
-    val m = if (ratios.isEmpty) map().cast("map<string,bigint>")
-            else typedlit(ratios)
+    val bc = df.sparkSession.sparkContext.broadcast(ratios)
+    val sumRatios = udf { fs: Seq[String] =>
+      var s = 0L; val it = fs.iterator
+      while (it.hasNext) s += bc.value.getOrElse(it.next(), defaultMicro)
+      s
+    }
     df.select(col(idCol),
-      aggregate(features(col(textCol), hexChars), lit(0L),
-        (acc, f) => acc + coalesce(element_at(m, f), lit(defaultMicro)))
-        .as("log_w_micro"))
+      sumRatios(features(col(textCol), hexChars)).as("log_w_micro"))
   }
 
   /** Deterministic standard-Gumbel draw in micro-nats, seeded by
@@ -122,4 +128,62 @@ object Dsir {
       .withColumn("key_micro", col("log_w_micro") + gumbelKeyMicro(col(idCol)))
       .orderBy(col("key_micro").desc, col(idCol))
       .limit(n)
+
+  // ---- fast path: xxhash64-bucketed features via the native one-pass
+  // kernel ([[graft.functions.DsirBuckets]]). Same algorithm, same
+  // shapes; the hash function differs from the md5 portable form (so
+  // bucket collisions differ slightly), which is why the md5 form
+  // exists at all — DuckDB can replay md5 but not xxhash64. At 100 TB
+  // run THIS path. ----
+
+  /** Non-distinct unigram+bigram buckets in [0, b). */
+  def featuresFast(text: Column, b: Int): Column =
+    graft.functions.DsirBuckets.native(text, b)
+
+  /** One-scan learn when the target is a predicate over the raw
+    * corpus (the common curation case): both histograms come from a
+    * single explode + b-bounded agg with a conditional count. Returns
+    * the dense per-bucket ratio array (index = bucket id) — no
+    * default needed, the array covers the whole space.
+    */
+  def logRatiosMicroFast(raw: DataFrame, targetPred: Column,
+      textCol: String, b: Int): Array[Long] = {
+    val ex = raw.select(explode(featuresFast(col(textCol), b)).as("bucket"),
+      targetPred.as("__t"))
+    val rows = ex.groupBy("bucket").agg(
+      count(lit(1)).cast("long").as("cr"),
+      sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).cast("long").as("ct"))
+      .collect()
+    val ct = new Array[Long](b)
+    val cr = new Array[Long](b)
+    rows.foreach { r =>
+      val k = r.getInt(0); cr(k) = r.getLong(1); ct(k) = r.getLong(2)
+    }
+    val tt = ct.sum
+    val tr = cr.sum
+    Array.tabulate(b)(k => math.floor(math.log(
+      ((ct(k) + 1).toDouble / (tt + b)) / ((cr(k) + 1).toDouble / (tr + b)))
+      * 1e6 + 0.5).toLong)
+  }
+
+  /** Fast per-doc weights: broadcast dense array, O(1) indexed lookup
+    * per feature, one shuffle-free scan.
+    */
+  def docLogWeightsMicroFast(df: DataFrame, idCol: String, textCol: String,
+      ratios: Array[Long], b: Int): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(ratios)
+    val sumR = udf { fs: Seq[Int] =>
+      var s = 0L; val it = fs.iterator
+      while (it.hasNext) s += bc.value(it.next())
+      s
+    }
+    df.select(col(idCol),
+      sumR(featuresFast(col(textCol), b)).as("log_w_micro"))
+  }
+
+  /** End-to-end fast form: one learn scan + one score scan. */
+  def dsirWeightsFast(raw: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, b: Int): DataFrame =
+    docLogWeightsMicroFast(raw, idCol, textCol,
+      logRatiosMicroFast(raw, targetPred, textCol, b), b)
 }

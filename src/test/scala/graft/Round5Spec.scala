@@ -293,6 +293,54 @@ class TfidfSpec extends SparkSpecBase {
     assert(p.toSeq == h.toSeq)
   }
 
+  test("DsirBuckets native kernel equals the declarative formulation") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val b = 64
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "single",
+      "",
+      "   leading and   multi  spaces\ttabs\nnewlines  ",
+      "ünïcödé wörds ALSO Mixed CASE",
+      "a b", "x"
+    ) ++ (0 until 50).map(i => s"doc $i body word$i tail common words here")
+    val df = texts.toDF("text")
+    val ws = filter(split(lower($"text"), "\\s+"), w => w =!= lit(""))
+    val declUni = transform(ws, w => pmod(xxhash64(w), lit(b.toLong)).cast("int"))
+    val declBi = when(size(ws) >= 2,
+      transform(sequence(lit(0), size(ws) - 2),
+        i => pmod(xxhash64(concat_ws(" ", slice(ws, i + 1, lit(2)))),
+          lit(b.toLong)).cast("int")))
+      .otherwise(array().cast("array<int>"))
+    val rows = df.select(
+      graft.text.Dsir.featuresFast($"text", b).as("fast"),
+      concat(declUni, declBi).as("decl")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+        s"mismatch for text: '$t'")
+    }
+  }
+
+  test("Dsir fast path: same ordering properties as the portable form") {
+    val s = spark
+    import s.implicits._
+    import graft.text.Dsir
+    val raw = Seq(
+      (1L, "apple banana apple banana cherry", "en"),
+      (2L, "apple banana cherry apple banana", "en"),
+      (3L, "xyzzy quux grault xyzzy quux", "xx"),
+      (4L, "quux grault xyzzy grault quux", "xx"),
+      (5L, "", "xx")
+    ).toDF("doc_id", "text", "lang")
+    val w = Dsir.dsirWeightsFast(raw, "doc_id", "text", $"lang" === "en", 256)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w(1L) > w(3L) && w(2L) > w(4L))
+    assert(w(5L) == 0L)
+    assert(w(3L) < 0L && w(4L) < 0L)
+  }
+
   test("substrDedupTrim: keep-first trims later occurrences only") {
     val s = spark
     import s.implicits._
