@@ -491,6 +491,15 @@ object SparkEntry {
         docs, "doc_id", "text", ratios, default, hexChars = 2)
       graft.text.Dsir.resample(w, "doc_id", n = 50).orderBy("doc_id")
     }),
+    "q_nb_quality" -> ((s, d) => {
+      // hashed-NB quality classifier: positive class = the English
+      // subset, every doc scored with exact micro-nat posterior odds
+      val docs = t(s, d, "documents")
+      val model = graft.text.NbQuality.trainMicro(
+        docs, col("lang") === "en", "text", hexChars = 2)
+      graft.text.NbQuality.score(docs, "doc_id", "text", model, hexChars = 2)
+        .orderBy("doc_id")
+    }),
     "q_lm_perplexity" -> ((s, d) => {
       // CCNet-style LM quality gate: top-512 unigram LM learned on the
       // corpus itself, every doc scored in one shuffle-free scan
@@ -1143,7 +1152,10 @@ object SparkEntry {
         graft.text.Dsir.resample(
           graft.text.Dsir.dsirWeightsFast(t(s, d, "documents"), "doc_id",
             "text", col("lang") === "en", b = 256),
-          "doc_id", n = 50).orderBy("doc_id"))
+          "doc_id", n = 50).orderBy("doc_id")),
+      "q_nb_quality" -> ((s, d) =>
+        graft.text.NbQuality.classifyFast(t(s, d, "documents"), "doc_id",
+          "text", col("lang") === "en", b = 256).orderBy("doc_id"))
     )
 
   /** DuckDB-dialect oracles. Tables are registered by bare name over
@@ -1724,6 +1736,38 @@ object SparkEntry {
         |  FROM documents d LEFT JOIN dw USING (doc_id))
         |SELECT doc_id, log_w_micro, key_micro FROM k
         |ORDER BY key_micro DESC, doc_id LIMIT 50""".stripMargin,
+    "q_nb_quality" ->
+      """WITH w AS (SELECT doc_id, lang = 'en' AS p,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') ws
+        |  FROM documents),
+        |f AS (SELECT doc_id, p,
+        |  [substr(md5(x), 1, 2) for x in ws] ||
+        |  [substr(md5(ws[i] || ' ' || ws[i+1]), 1, 2)
+        |    for i in range(1, len(ws))] feats FROM w),
+        |e AS (SELECT doc_id, p, unnest(feats) AS bucket FROM f),
+        |bc AS (SELECT bucket,
+        |  CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) cp,
+        |  CAST(sum(CASE WHEN p THEN 0 ELSE 1 END) AS BIGINT) cn
+        |  FROM e GROUP BY 1),
+        |tot AS (SELECT CAST((SELECT COALESCE(sum(cp), 0) FROM bc) AS BIGINT) tp,
+        |  CAST((SELECT COALESCE(sum(cn), 0) FROM bc) AS BIGINT) tn,
+        |  CAST((SELECT count(*) FROM documents WHERE lang = 'en') AS BIGINT) np,
+        |  CAST((SELECT count(*) FROM documents WHERE lang <> 'en' OR lang IS NULL)
+        |    AS BIGINT) nn),
+        |ratio AS (SELECT bc.bucket,
+        |  CAST(floor(ln((CAST(bc.cp + 1 AS DOUBLE) / (tot.tp + 256))
+        |    / (CAST(bc.cn + 1 AS DOUBLE) / (tot.tn + 256))) * 1e6 + 0.5)
+        |    AS BIGINT) r
+        |  FROM bc CROSS JOIN tot),
+        |ds AS (SELECT e.doc_id, CAST(sum(ratio.r) AS BIGINT) s
+        |  FROM e JOIN ratio USING (bucket) GROUP BY 1),
+        |pr AS (SELECT CAST(floor(ln(CAST(np + 1 AS DOUBLE) / (nn + 1)) * 1e6
+        |  + 0.5) AS BIGINT) pri FROM tot)
+        |SELECT d.doc_id,
+        |  CAST(pr.pri + COALESCE(ds.s, 0) AS BIGINT) AS score_micro,
+        |  (pr.pri + COALESCE(ds.s, 0)) > 0 AS nb_pos
+        |FROM documents d CROSS JOIN pr LEFT JOIN ds USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_lm_perplexity" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') ws

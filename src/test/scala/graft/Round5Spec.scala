@@ -427,4 +427,54 @@ class TfidfSpec extends SparkSpecBase {
     assert(out(1).getString(1) == "dup line\ngamma")
     assert(out.forall(_.getLong(3) == 0L))
   }
+
+  test("NbQuality: in-class docs score positive, off-class negative") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.text.NbQuality
+    // balanced classes with disjoint vocabularies: NB must separate
+    val pos = (0 until 20).map(i => (i.toLong, s"good clean prose $i", true))
+    val neg = (0 until 20).map(i => (100L + i, s"spam junk noise $i", false))
+    val df = (pos ++ neg).toDF("doc_id", "text", "label")
+    val m = NbQuality.trainMicro(df, col("label"), "text", hexChars = 2)
+    val out = NbQuality.score(df, "doc_id", "text", m, hexChars = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pos.forall { case (id, _, _) => out(id) > 0 })
+    assert(neg.forall { case (id, _, _) => out(id) < 0 })
+    // balanced classes -> prior ~ 0 (exactly ln(21/21) = 0)
+    assert(m.priorMicro == 0L)
+  }
+
+  test("NbQuality: empty text scores the bare prior; skewed prior sign") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.text.NbQuality
+    val df = Seq(
+      (1L, "alpha beta", true), (2L, "alpha gamma", true),
+      (3L, "alpha delta", true), (4L, "zeta eta", false),
+      (5L, "", false)
+    ).toDF("doc_id", "text", "label")
+    val m = NbQuality.trainMicro(df, col("label"), "text", hexChars = 2)
+    // prior = ln((3+1)/(2+1)) > 0
+    assert(m.priorMicro == math.floor(math.log(4.0 / 3.0) * 1e6 + 0.5).toLong)
+    val out = NbQuality.score(df, "doc_id", "text", m, hexChars = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(5L) == m.priorMicro)
+  }
+
+  test("NbQuality fast path: same decisions as the portable form") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.text.NbQuality
+    val pos = (0 until 20).map(i => (i.toLong, s"good clean prose $i", true))
+    val neg = (0 until 20).map(i => (100L + i, s"spam junk noise $i", false))
+    val df = (pos ++ neg).toDF("doc_id", "text", "label")
+    val out = NbQuality.classifyFast(df, "doc_id", "text", col("label"), 256)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(pos.forall { case (id, _, _) => out(id) })
+    assert(neg.forall { case (id, _, _) => !out(id) })
+  }
 }
