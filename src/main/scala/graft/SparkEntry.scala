@@ -500,6 +500,20 @@ object SparkEntry {
       graft.text.NbQuality.score(docs, "doc_id", "text", model, hexChars = 2)
         .orderBy("doc_id")
     }),
+    "q_bpe_roundtrip" -> ((s, d) => {
+      // BPE subword tokenizer trained on the corpus itself (top-4096
+      // word histogram, 300 merges, full-corpus alphabet), every doc
+      // encoded to subword ids then decoded back. The oracle pins the
+      // LOSSLESSNESS invariant: decode(encode(text)) must equal the
+      // whitespace-normalized text for every document — the merge
+      // table itself is pinned by BpeSpec's hand-computed example.
+      val docs = t(s, d, "documents")
+      val model = graft.text.Bpe.trainOn(docs, "text",
+        maxWords = 4096, numMerges = 300)
+      val enc = graft.text.Bpe.encode(docs, "doc_id", "text", model)
+      graft.text.Bpe.decode(enc, "doc_id", "tokens", model)
+        .orderBy("doc_id")
+    }),
     "q_lm_perplexity" -> ((s, d) => {
       // CCNet-style LM quality gate: top-512 unigram LM learned on the
       // corpus itself, every doc scored in one shuffle-free scan
@@ -1768,6 +1782,11 @@ object SparkEntry {
         |  (pr.pri + COALESCE(ds.s, 0)) > 0 AS nb_pos
         |FROM documents d CROSS JOIN pr LEFT JOIN ds USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  array_to_string(list_filter(string_split_regex(text, '\s+'),
+        |    x -> x <> ''), ' ') AS text_rt
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lm_perplexity" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') ws
