@@ -500,6 +500,26 @@ object SparkEntry {
       graft.text.NbQuality.score(docs, "doc_id", "text", model, hexChars = 2)
         .orderBy("doc_id")
     }),
+    "q_html_extract" -> ((s, d) => {
+      // HTML text extraction: synthesize a page per document IN THE
+      // QUERY (escaped text body between boilerplate constructs the
+      // parser must handle: title/style blocks, entities, comments, a
+      // script whose body contains a fake close tag), extract visible
+      // blocks, return the joined text. The oracle computes the
+      // expected visible text directly from the raw column.
+      val docs = t(s, d, "documents")
+      val esc = regexp_replace(
+        regexp_replace(col("text"), "&", "&amp;"), "<", "&lt;")
+      val html = concat(
+        lit("<html><head><title>T</title><style>p{x:1}</style></head>" +
+          "<body><h1>Head &amp; ing</h1><!-- note --><p>"),
+        esc,
+        lit("</p><div>tail &lt;ok&gt;</div><script>var x = \"</div>\";" +
+          "</script></body></html>"))
+      docs.select(col("doc_id"),
+          graft.functions.HtmlExtract.extractText(html).as("text_ex"))
+        .orderBy("doc_id")
+    }),
     "q_bpe_roundtrip" -> ((s, d) => {
       // BPE subword tokenizer trained on the corpus itself (top-4096
       // word histogram, 300 merges, full-corpus alphabet), every doc
@@ -1782,6 +1802,16 @@ object SparkEntry {
         |  (pr.pri + COALESCE(ds.s, 0)) > 0 AS nb_pos
         |FROM documents d CROSS JOIN pr LEFT JOIN ds USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_html_extract" ->
+      """WITH nrm AS (SELECT doc_id,
+        |  array_to_string(list_filter(string_split_regex(text, '\s+'),
+        |    x -> x <> ''), ' ') t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'T' || chr(10) || 'Head & ing' || chr(10) ||
+        |  CASE WHEN t <> '' THEN t || chr(10) ELSE '' END ||
+        |  'tail <ok>' AS text_ex
+        |FROM nrm ORDER BY doc_id""".stripMargin,
     "q_bpe_roundtrip" ->
       """SELECT doc_id,
         |  array_to_string(list_filter(string_split_regex(text, '\s+'),
