@@ -731,6 +731,23 @@ object SparkEntry {
         "annlsh_scan")
       Similarity.bruteTopK(scanned, "embedding", "vec_id", q, 10)
     }),
+    "q_ann_pq" -> ((s, d) => {
+      // product quantization, production shape: ADC over 8-byte codes
+      // (m=8 subspaces x 16 centroids; 32x smaller than the float
+      // column) keeps a top-64 shortlist, then EXACT cosine top-k over
+      // it. The shortlist dumps to the side channel and the oracle
+      // brute-forces top-k over exactly that subset — scoring and
+      // ordering verify deterministically, leaving only shortlist
+      // membership approximate (planted-structure recall in PqSpec)
+      val emb = t(s, d, "embeddings")
+      val q = queryVec(s, d)
+      val idx = graft.sim.Pq.train(emb, "embedding", m = 8, ksub = 16)
+      val coded = graft.sim.Pq.encode(emb, "embedding", idx)
+      val short = dumpSide(
+        graft.sim.Pq.shortlist(coded, "pq_code", "vec_id", q, idx, 64)
+          .select("vec_id", "embedding"), "annpq_scan")
+      Similarity.bruteTopK(short, "embedding", "vec_id", q, 10)
+    }),
     "q_semantic_dedup" -> ((s, d) => {
       // SemDeDup (embedding-level near-dup pruning): the deterministic
       // IVF cell assignment dumps to the side channel; the oracle
@@ -1130,6 +1147,13 @@ object SparkEntry {
         val emb = t(s, d, "embeddings")
         val q = queryVec(s, d)
         Similarity.annTopK(emb, "embedding", "vec_id", q, 10)
+      }),
+      "q_ann_pq" -> ((s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = queryVec(s, d)
+        val idx = graft.sim.Pq.train(emb, "embedding", m = 8, ksub = 16)
+        graft.sim.Pq.searchRerank(graft.sim.Pq.encode(emb, "embedding", idx),
+          "embedding", "pq_code", "vec_id", idx, q, 10, shortlistSize = 64)
       }),
       "q_ann_ivf" -> ((s, d) => {
         val emb = t(s, d, "embeddings")
@@ -2145,6 +2169,17 @@ object SparkEntry {
     "q_ann_lsh" ->
       """WITH s AS (SELECT vec_id, embedding
         |  FROM read_parquet('/tmp/graft_oracle_side/annlsh_scan/*.parquet')),
+        |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) qe
+        |      FROM embeddings WHERE vec_id = 0)
+        |SELECT s.vec_id, round(
+        |  list_dot_product(list_transform(s.embedding, x -> CAST(x AS DOUBLE)), q.qe)
+        |  / (sqrt(list_dot_product(list_transform(s.embedding, x -> CAST(x AS DOUBLE)),
+        |                           list_transform(s.embedding, x -> CAST(x AS DOUBLE))))
+        |     * sqrt(list_dot_product(q.qe, q.qe))), 3) AS sim
+        |FROM s, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_pq" ->
+      """WITH s AS (SELECT vec_id, embedding
+        |  FROM read_parquet('/tmp/graft_oracle_side/annpq_scan/*.parquet')),
         |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) qe
         |      FROM embeddings WHERE vec_id = 0)
         |SELECT s.vec_id, round(

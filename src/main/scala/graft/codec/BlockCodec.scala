@@ -16,7 +16,7 @@ import graft.model.ColumnStats
   *    narrow relative to magnitude, FSST when 4-gram repetition is
   *    high (both new here; the reference has no sub-file codecs)
   *
-  * Selection computes cheap stats, narrows to <=4 candidate codecs,
+  * Selection computes cheap stats, narrows to <=5 candidate codecs,
   * encodes each, and keeps the smallest — deterministic and
   * near-optimal; encode kernels are fast enough that trying 2-3
   * candidates costs less than a mis-pick at scale.
@@ -31,7 +31,8 @@ object BlockCodec {
     CodecIds.For -> ForCodec,
     CodecIds.Fsst -> FsstCodec,
     CodecIds.DeltaFor -> DeltaForCodec,
-    CodecIds.MiniPack -> MiniPackCodec
+    CodecIds.MiniPack -> MiniPackCodec,
+    CodecIds.Pfor -> PforCodec
   )
 
   private val CardCap = 1 << 16
@@ -132,7 +133,14 @@ object BlockCodec {
     val wRaw = if (s.min >= 0) Bits.widthInt(s.max) else 33
     // sampled p90 width well under width(max): mixed-regime docs or a
     // lone outlier — the per-miniblock pack pays the local width
-    if (s.min >= 0 && s.sampleW90 + 2 < wRaw) out += CodecIds.MiniPack
+    // p90 width well under width(max): the same long-tail signal
+    // feeds both miniblock-local widths (MiniPack, position-clustered
+    // regimes) and patched global width (Pfor, scattered outliers) —
+    // the trial encode picks whichever the outlier LAYOUT favors
+    if (s.min >= 0 && s.sampleW90 + 2 < wRaw) {
+      out += CodecIds.MiniPack
+      out += CodecIds.Pfor
+    }
     if (s.repeat4Share > 0.25 && s.min >= 0) out += CodecIds.Fsst
     // sorted / smoothly-varying streams: sampled deltas far narrower
     // than both the raw and FOR widths
@@ -143,7 +151,7 @@ object BlockCodec {
     // over Plain, which zstd cannot match
     if (s.min >= 0) out += CodecIds.BitPack
     if (out.isEmpty || s.min < 0) out += CodecIds.Plain
-    out.distinct.take(4).toSeq
+    out.distinct.take(5).toSeq
   }
 
   final case class BlockEncoded(

@@ -33,10 +33,11 @@ object CodecIds {
   val Fsst = 5
   val DeltaFor = 6
   val MiniPack = 7
+  val Pfor = 8
   val names: Map[Int, String] = Map(
     Plain -> "plain", Dict -> "dict", Rle -> "rle", BitPack -> "bitpack",
     For -> "for", Fsst -> "fsst", DeltaFor -> "deltafor",
-    MiniPack -> "minipack")
+    MiniPack -> "minipack", Pfor -> "pfor")
 }
 
 /** Raw 4-byte little-endian values — the universal fallback. */
@@ -296,6 +297,104 @@ object DictCodec extends IntCodec {
     val out = new Array[Int](n)
     i = 0
     while (i < n) { out(i) = dict(longs(i).toInt); i += 1 }
+    out
+  }
+}
+
+/** Patched frame-of-reference (PFOR): pack EVERY value at a base
+  * width chosen to cover most of the stream, and patch the few wider
+  * "exception" values from a separate (position-delta varint, high
+  * bits varint) list. The classic lightweight-codec answer to the
+  * long-tail token distribution: a Zipf vocabulary puts 90-99% of
+  * token ids under a narrow width with rare large ids that would
+  * force BitPack to width(max) for every token and that MiniPack can
+  * only contain to their 128-value miniblock. Base width is chosen
+  * EXACTLY from the full width histogram by minimizing
+  * body+exception bytes (O(32) after one O(n) pass, with the
+  * position-delta bytes estimated from the exception density).
+  * Requires non-negative input (null otherwise, like BitPack).
+  */
+object PforCodec extends IntCodec {
+  val id = CodecIds.Pfor
+  val name = "pfor"
+
+  private def varintBytes(v: Long): Int =
+    if (v == 0L) 1 else (63 - java.lang.Long.numberOfLeadingZeros(v)) / 7 + 1
+
+  def encode(values: Array[Int], n: Int): Encoded = {
+    if (n == 0) return Encoded(Array[Byte](0), Array.emptyByteArray)
+    val whist = new Array[Long](33)
+    var i = 0
+    while (i < n) {
+      val v = values(i)
+      if (v < 0) return null
+      whist(Bits.widthInt(v)) += 1
+      i += 1
+    }
+    var maxW = 32
+    while (maxW > 0 && whist(maxW) == 0) maxW -= 1
+    // pick the base width minimizing body + exception bytes
+    var bestW = maxW
+    var bestSize = Long.MaxValue
+    var w = 0
+    while (w <= maxW) {
+      var exc = 0L
+      var excBytes = 0L
+      var b = w + 1
+      while (b <= maxW) {
+        exc += whist(b)
+        // high bits have width b-w -> ceil((b-w)/7) varint bytes
+        excBytes += whist(b) * ((b - w + 6) / 7)
+        b += 1
+      }
+      val posBytes =
+        if (exc == 0) 0L
+        else exc * varintBytes(n.toLong / exc) // avg position gap
+      val size = (n.toLong * w + 7) / 8 + posBytes + excBytes + 4
+      if (size < bestSize) { bestSize = size; bestW = w }
+      w += 1
+    }
+    val bw = bestW
+    val mask = if (bw == 0) 0L else (1L << bw) - 1L
+    val longs = new Array[Long](n)
+    i = 0
+    while (i < n) { longs(i) = values(i).toLong & mask; i += 1 }
+    val out = new ByteBuf((n.toLong * bw / 8 + 16).toInt)
+    Bits.pack(longs, n, bw, out)
+    // exception section: count, then (position delta, high bits) pairs
+    var exc = 0
+    i = 0
+    while (i < n) { if (Bits.widthInt(values(i)) > bw) exc += 1; i += 1 }
+    out.writeVarInt(exc)
+    var prev = 0
+    i = 0
+    while (i < n) {
+      if (Bits.widthInt(values(i)) > bw) {
+        out.writeVarInt(i - prev)
+        out.writeVarInt(values(i) >>> bw)
+        prev = i
+      }
+      i += 1
+    }
+    Encoded(Array(bw.toByte), out.toArray)
+  }
+
+  def decode(symtab: Array[Byte], payload: Array[Byte], n: Int): Array[Int] = {
+    if (n == 0) return Array.emptyIntArray // n==0 encode wrote no bytes
+    val bw = symtab(0) & 0xFF
+    val r = new ByteReader(payload)
+    val longs = Bits.unpack(r, n, bw)
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) { out(i) = longs(i).toInt; i += 1 }
+    val exc = r.readVarInt()
+    var pos = 0
+    i = 0
+    while (i < exc) {
+      pos += r.readVarInt()
+      out(pos) |= r.readVarInt() << bw
+      i += 1
+    }
     out
   }
 }

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Product-quantization index: columnar encode vs local kernel, ADC
+  * score = LUT-sum = dot(query, reconstruction) identities, save/load
+  * round trip, and planted-structure recall of the shortlist+rerank
+  * search (the production shape behind q_ann_pq).
+  */
+class PqSpec extends SparkSpecBase {
+  import graft.sim.{Pq, Recall, Similarity}
+
+  private val dim = 64
+
+  private def unit(v: Array[Float]): Array[Float] = {
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+    v.map(_ / n)
+  }
+
+  private def randVec(rng: scala.util.Random): Array[Float] =
+    unit(Array.fill(dim)(rng.nextGaussian().toFloat))
+
+  test("columnar encode matches the local kernel; ADC = dot(q, reconstruction)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 300).map(i => (i.toLong, randVec(rng).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val idx = Pq.train(df, "embedding", m = 8, ksub = 16)
+    assert(idx.m == 8 && idx.ksub == 16 && idx.dim == dim)
+
+    val coded = Pq.encode(df, "embedding", idx)
+      .select("vec_id", "pq_code").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    rows.foreach { case (id, v) =>
+      assert(java.util.Arrays.equals(coded(id), Pq.encodeLocal(v.toArray, idx)),
+        s"vec $id")
+    }
+
+    val q = rows(0)._2.toArray
+    val lut = Pq.lutOf(q, idx)
+    val adc = Pq.adcScore(Pq.encode(df, "embedding", idx), "pq_code", q, idx)
+      .select("vec_id", "adc").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.take(50).foreach { case (id, _) =>
+      val code = coded(id)
+      // identity 1: columnar ADC == driver LUT fold (same order)
+      val local = code.indices.foldLeft(0.0)((s2, m) => s2 + lut(m)(code(m) & 0xff))
+      assert(math.abs(adc(id) - local) < 1e-9, s"vec $id lut")
+      // identity 2: ADC == exact dot against the reconstruction —
+      // float LUT entries vs double dot, so tolerance is float-level
+      val rec = Pq.reconstructLocal(code, idx)
+      val dot = rec.indices.foldLeft(0.0)((s2, j) => s2 + q(j).toDouble * rec(j))
+      assert(math.abs(adc(id) - dot) < 1e-4, s"vec $id recon")
+    }
+  }
+
+  test("save/load round trip reproduces identical codes") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(8)
+    val rows = (0 until 200).map(i => (i.toLong, randVec(rng).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val idx = Pq.train(df, "embedding", m = 8, ksub = 16)
+    val dir = tmpDir("pq-idx")
+    Pq.save(idx, s, s"$dir/pq")
+    val back = Pq.load(s, s"$dir/pq")
+    assert(back.m == idx.m && back.ksub == idx.ksub && back.dsub == idx.dsub)
+    rows.take(40).foreach { case (_, v) =>
+      assert(java.util.Arrays.equals(
+        Pq.encodeLocal(v.toArray, idx), Pq.encodeLocal(v.toArray, back)))
+    }
+  }
+
+  test("shortlist+rerank recall@10 >= 0.9 on planted near-dup clusters") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(42)
+    val bases = (0 until 60).map(_ => randVec(rng))
+    val rows = for {
+      b <- bases.indices
+      c <- 0 until 10
+    } yield {
+      val noisy = bases(b).map(x => x + (rng.nextGaussian() * 0.02).toFloat)
+      ((b * 10 + c).toLong, unit(noisy).toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .cache()
+    val queries = bases.take(16).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val truth = Recall.truthAtK(corpus, "embedding", "vec_id", queries, 10)
+    val idx = Pq.train(corpus, "embedding", m = 8, ksub = 16)
+    val coded = Pq.encode(corpus, "embedding", idx).cache()
+    val got = queries.map { case (qid, qv) =>
+      qid -> Pq.searchRerank(coded, "embedding", "pq_code", "vec_id",
+          idx, qv, 10, shortlistSize = 64)
+        .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+    }.toMap
+    val recall = Recall.recallOf(truth, got)
+    assert(recall >= 0.9, s"PQ recall@10 = $recall at defaults")
+
+    // rerank exactness: the returned rows equal brute-force top-k over
+    // the shortlist subset (the q_ann_pq oracle contract)
+    val (qid0, qv0) = queries.head
+    val shortIds = Pq.shortlist(coded, "pq_code", "vec_id", qv0, idx, 64)
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+    val brute = Similarity.bruteTopK(
+        corpus.where(col("vec_id").isInCollection(shortIds.map(Long.box))),
+        "embedding", "vec_id", qv0, 10)
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSeq
+    val rerank = Pq.searchRerank(coded, "embedding", "pq_code", "vec_id",
+        idx, qv0, 10, shortlistSize = 64)
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSeq
+    assert(rerank == brute, s"q$qid0 rerank/brute divergence")
+    coded.unpersist(); corpus.unpersist()
+  }
+}
