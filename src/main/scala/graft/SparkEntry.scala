@@ -811,6 +811,23 @@ object SparkEntry {
           "embedding", "vec_id", qs, topK = 5)
         .orderBy("qid", "vec_id")
     }),
+    "q_ann_pq_batch" -> ((s, d) => {
+      // batched PQ: 5 queries, ONE scan of the 8-byte code column, all
+      // ADC lookup tables in the scoring closure. The per-query
+      // shortlists dump as (qid, vec_id) and the oracle brute-forces
+      // per-query top-k over exactly that subset; final scoring reuses
+      // the SAME Ivf.scoreBatch definition as q_ann_ivf_batch
+      val emb = t(s, d, "embeddings")
+      val qs = queryVecs(s, d)
+      val idx = graft.sim.Pq.train(emb, "embedding", m = 8, ksub = 16)
+      val coded = graft.sim.Pq.encode(emb, "embedding", idx)
+      val scan = dumpSide(
+        graft.sim.Pq.shortlistBatch(coded, "pq_code", "vec_id", qs, idx, 64)
+          .select("qid", "vec_id"), "annpqb_scan")
+      graft.sim.Ivf.scoreBatch(emb.join(scan, Seq("vec_id")),
+          "embedding", "vec_id", qs, topK = 5)
+        .orderBy("qid", "vec_id")
+    }),
     "q_window_hourly" -> ((s, d) =>
       // event-time tumbling window as a batch query (EventStream runs
       // the same plan under Structured Streaming with a watermark)
@@ -1154,6 +1171,14 @@ object SparkEntry {
         val idx = graft.sim.Pq.train(emb, "embedding", m = 8, ksub = 16)
         graft.sim.Pq.searchRerank(graft.sim.Pq.encode(emb, "embedding", idx),
           "embedding", "pq_code", "vec_id", idx, q, 10, shortlistSize = 64)
+      }),
+      "q_ann_pq_batch" -> ((s, d) => {
+        val emb = t(s, d, "embeddings")
+        val qs = queryVecs(s, d)
+        val idx = graft.sim.Pq.train(emb, "embedding", m = 8, ksub = 16)
+        graft.sim.Pq.searchBatchRerank(graft.sim.Pq.encode(emb, "embedding", idx),
+          "embedding", "pq_code", "vec_id", idx, qs, topK = 5, shortlistSize = 64)
+          .orderBy("qid", "vec_id")
       }),
       "q_ann_ivf" -> ((s, d) => {
         val emb = t(s, d, "embeddings")
@@ -2202,6 +2227,22 @@ object SparkEntry {
     "q_ann_ivf_batch" ->
       """WITH s AS (SELECT qid, vec_id
         |  FROM read_parquet('/tmp/graft_oracle_side/annivfb_scan/*.parquet')),
+        |q AS (SELECT vec_id qid,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) qe
+        |  FROM embeddings WHERE vec_id < 5),
+        |j AS (SELECT s.qid, s.vec_id, round(
+        |  list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)), q.qe)
+        |  / (sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+        |                           list_transform(b.embedding, x -> CAST(x AS DOUBLE))))
+        |     * sqrt(list_dot_product(q.qe, q.qe))), 3) AS sim
+        |  FROM s JOIN embeddings b ON b.vec_id = s.vec_id
+        |  JOIN q ON q.qid = s.qid),
+        |r AS (SELECT qid, vec_id, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn FROM j)
+        |SELECT qid, vec_id, sim FROM r WHERE rn <= 5 ORDER BY qid, vec_id""".stripMargin,
+    "q_ann_pq_batch" ->
+      """WITH s AS (SELECT qid, vec_id
+        |  FROM read_parquet('/tmp/graft_oracle_side/annpqb_scan/*.parquet')),
         |q AS (SELECT vec_id qid,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) qe
         |  FROM embeddings WHERE vec_id < 5),

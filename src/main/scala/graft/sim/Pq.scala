@@ -218,4 +218,53 @@ object Pq {
     Similarity.bruteTopK(
       shortlist(encoded, codeCol, idCol, query, idx, shortlistSize),
       vecCol, idCol, query, topK)
+
+  /** Batched ADC shortlists: Q queries, ONE scan of the code column
+    * (the Ivf.probeBatch shape). All Q lookup tables resolve
+    * driver-side (Q x m x ksub floats — KBs) and ship in the scoring
+    * closure; each code row is scored once per query via a broadcast
+    * qid cross join, and the per-qid top-C survives a
+    * WindowGroupLimit (limit pushed below the exchange, so the
+    * shuffle carries O(partitions x Q x C) scalars, not Q x n).
+    * Returns (qid, corpus columns...).
+    */
+  def shortlistBatch(encoded: DataFrame, codeCol: String, idCol: String,
+                     queries: Seq[(Long, Array[Float])], idx: PqIndex,
+                     c: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val luts: Map[Long, Array[Array[Float]]] =
+      queries.map { case (qid, qv) => qid -> lutOf(qv, idx) }.toMap
+    val score = udf { (code: Array[Byte], qid: Long) =>
+      if (code == null) null
+      else {
+        val lut = luts(qid)
+        var s = 0.0
+        var sub = 0
+        while (sub < lut.length) { s += lut(sub)(code(sub) & 0xff); sub += 1 }
+        java.lang.Double.valueOf(s)
+      }
+    }
+    val qids = broadcast(queries.map(_._1).toDF("qid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("__adc").desc, col(idCol))
+    encoded.crossJoin(qids)
+      .withColumn("__adc", score(col(codeCol), col("qid")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= c)
+      .drop("__adc", "__rn")
+  }
+
+  /** Batched PQ search: ADC shortlists for all Q queries off one code
+    * scan, then the SAME exact scoring definition as batched IVF
+    * (Ivf.scoreBatch) over the union of shortlists — verified and
+    * production forms cannot diverge.
+    */
+  def searchBatchRerank(encoded: DataFrame, vecCol: String, codeCol: String,
+                        idCol: String, idx: PqIndex,
+                        queries: Seq[(Long, Array[Float])], topK: Int,
+                        shortlistSize: Int = 100): DataFrame =
+    Ivf.scoreBatch(
+      shortlistBatch(encoded, codeCol, idCol, queries, idx, shortlistSize),
+      vecCol, idCol, queries, topK)
 }

@@ -115,6 +115,21 @@ class PqSpec extends SparkSpecBase {
         idx, qv0, 10, shortlistSize = 64)
       .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSeq
     assert(rerank == brute, s"q$qid0 rerank/brute divergence")
+
+    // batch == per-query: one code scan for all queries must return
+    // exactly what Q independent searches return
+    val batch = Pq.searchBatchRerank(coded, "embedding", "pq_code", "vec_id",
+        idx, queries, 10, shortlistSize = 64)
+      .select(col("qid"), col("vec_id").cast("long").as("id"), col("sim"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q2, rs) => q2 -> rs.map(r => (r.getLong(1), r.getDouble(2))).toSet }
+    queries.foreach { case (qid, qv) =>
+      val single = Pq.searchRerank(coded, "embedding", "pq_code", "vec_id",
+          idx, qv, 10, shortlistSize = 64)
+        .select(col("vec_id").cast("long"), col("sim"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch(qid) == single, s"q$qid batch/single divergence")
+    }
     coded.unpersist(); corpus.unpersist()
   }
 }
