@@ -957,6 +957,35 @@ object SparkEntry {
           max("c_name").as("max_name"))
         .orderBy("c_nationkey")
     }),
+    "q_warc_roundtrip" -> ((s, d) => {
+      // WARC/WET source+sink (from-scratch ISO 28500 wire — the
+      // CommonCrawl WET container a web-scale pipeline ingests; no
+      // notion of it in the tabular reference, so this is extension
+      // surface like streaming/dedup): documents written as
+      // per-partition .warc.gz conversion records (per-record gzip
+      // members, the CC layout), read back distributed (one task per
+      // file), and the READ-BACK text aggregated against the oracle's
+      // aggregate over the original parquet — md5 per doc makes the
+      // compare byte-exact, not just length-exact.
+      val docs = t(s, d, "documents")
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-qwarc-" +
+        java.lang.Integer.toHexString(d.hashCode)
+      graft.sources.WarcLocal.write(
+        docs.select(
+          concat(lit("http://example.org/doc/"), col("doc_id")).as("target_uri"),
+          lit("2024-01-01T00:00:00Z").as("warc_date"), col("text")),
+        dir)
+      val back = graft.sources.WarcLocal.read(s, s"$dir/*.warc.gz")
+      back.select(
+          regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("text"))
+        .groupBy((col("doc_id") % 7).as("grp"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(length(col("text"))).cast("long").as("sum_len"),
+          max(md5(col("text"))).as("max_md5"))
+        .orderBy("grp")
+    }),
     "q_bson_roundtrip" -> ((s, d) => {
       // BSON source+sink (from-scratch bsonspec.org wire format —
       // reference: bson.decode_file_iter / BSON.encode per record,
@@ -2331,6 +2360,12 @@ object SparkEntry {
         |CAST(count(*) AS BIGINT) AS n, CAST(sum(c_custkey) AS BIGINT) AS s,
         |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
         |max(c_name) AS max_name FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_warc_roundtrip" ->
+      """SELECT CAST(doc_id % 7 AS BIGINT) AS grp,
+        |CAST(count(*) AS BIGINT) AS n,
+        |CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |max(md5(text)) AS max_md5
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bson_roundtrip" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
         |CAST(count(*) AS BIGINT) AS n, CAST(sum(n_nationkey) AS BIGINT) AS s,

@@ -118,6 +118,12 @@ object Converter {
         DocxTables.read(spark, singleLocalFile(path, ".docx"),
           tableIndex = if (o.tagname.forall(_.isDigit) && o.tagname.nonEmpty)
             o.tagname.toInt else 0)
+      case "warc" | "wet" =>
+        // tagname doubles as a WARC-Type filter (comma-separated);
+        // empty keeps the read() default (conversion + response)
+        WarcLocal.read(spark, path,
+          warcTypes = if (o.tagname.nonEmpty) o.tagname.split(",").map(_.trim).toSet
+            else Set("conversion", "response"))
       case f => throw new IllegalArgumentException(s"unsupported source format: $f")
     }
 
@@ -209,6 +215,9 @@ object Converter {
       case "xls" =>
         new java.io.File(path).mkdirs()
         XlsLocal.write(df, s"$path/part-00000.xls")
+      case "warc" | "wet" =>
+        // distributed per-partition .warc.gz (per-record gzip members)
+        WarcLocal.write(df, path)
       case f => throw new IllegalArgumentException(s"unsupported sink format: $f")
     }
   }
