@@ -542,6 +542,20 @@ object SparkEntry {
       graft.text.LmScore.docPerplexityMicro(docs, "doc_id", "text", model, oov)
         .orderBy("doc_id")
     }),
+    "q_kn_perplexity" -> ((s, d) => {
+      // interpolated Kneser-Ney BIGRAM LM (the KenLM model family
+      // CCNet actually filters with; the unigram gate above is the
+      // degenerate case). Model = one distributed bigram agg cut to
+      // the top-4096 pairs (pruned-ARPA shape); scoring = ARPA
+      // backoff arithmetic on the micro-nat lattice. The oracle
+      // recomputes the ENTIRE model in SQL — counts, count-of-counts
+      // discount, continuation stats, interpolation — then replays
+      // every doc's backoff sum exactly
+      val docs = t(s, d, "documents")
+      val model = graft.text.LmScore.knBigramLmMicro(docs, "text", 4096)
+      graft.text.LmScore.docKnPerplexityMicro(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
     "q_substr_dup" -> ((s, d) =>
       // ExactSubstr-style duplicated 8-word-window share per doc
       // (portable md5 keys so DuckDB replays the window hashing; the
@@ -1895,6 +1909,54 @@ object SparkEntry {
         |  array_to_string(list_filter(string_split_regex(text, '\s+'),
         |    x -> x <> ''), ' ') AS text_rt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_kn_perplexity" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') ws
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(ws) AS wd, generate_subscripts(ws, 1) AS i
+        |  FROM w),
+        |b AS (SELECT a.doc_id, a.wd AS w1, c.wd AS w2
+        |  FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.i = a.i + 1),
+        |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) c FROM b GROUP BY 1, 2),
+        |top AS (SELECT w1, w2, c FROM pc ORDER BY c DESC, w1, w2 LIMIT 4096),
+        |ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) cw1,
+        |  CAST(count(*) AS BIGINT) n1p FROM top GROUP BY 1),
+        |cont AS (SELECT w2, CAST(count(*) AS BIGINT) nc FROM top GROUP BY 1),
+        |tots AS (SELECT CAST(count(*) AS BIGINT) np,
+        |  CAST(count(DISTINCT w2) AS BIGINT) vc FROM top),
+        |cc AS (SELECT CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) n1,
+        |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) n2 FROM top),
+        |dd AS (SELECT CASE WHEN n1 = 0 THEN 0.5
+        |  ELSE CAST(n1 AS DOUBLE) / (n1 + 2 * n2) END AS d FROM cc),
+        |pm AS (SELECT t.w1, t.w2, CAST(floor(-ln(
+        |    (CAST(t.c AS DOUBLE) - dd.d) / ctx.cw1
+        |    + ((dd.d * ctx.n1p) / ctx.cw1)
+        |      * ((CAST(cont.nc AS DOUBLE) + 1) / (tots.np + tots.vc + 1))
+        |  ) * 1e6 + 0.5) AS BIGINT) m
+        |  FROM top t JOIN ctx ON ctx.w1 = t.w1 JOIN cont ON cont.w2 = t.w2
+        |  CROSS JOIN dd CROSS JOIN tots),
+        |lm AS (SELECT w1, CAST(floor(-ln((dd.d * n1p) / cw1) * 1e6 + 0.5)
+        |  AS BIGINT) m FROM ctx CROSS JOIN dd),
+        |cm AS (SELECT w2, CAST(floor(-ln((CAST(nc AS DOUBLE) + 1)
+        |  / (tots.np + tots.vc + 1)) * 1e6 + 0.5) AS BIGINT) m
+        |  FROM cont CROSS JOIN tots),
+        |ov AS (SELECT CAST(floor(-ln(CAST(1 AS DOUBLE) / (np + vc + 1)) * 1e6
+        |  + 0.5) AS BIGINT) m FROM tots),
+        |sc AS (SELECT b.doc_id,
+        |  CAST(sum(COALESCE(pm.m,
+        |    COALESCE(lm.m, 0) + COALESCE(cm.m, ov.m))) AS BIGINT) s,
+        |  CAST(count(*) AS BIGINT) n
+        |  FROM b LEFT JOIN pm ON pm.w1 = b.w1 AND pm.w2 = b.w2
+        |  LEFT JOIN lm ON lm.w1 = b.w1
+        |  LEFT JOIN cm ON cm.w2 = b.w2
+        |  CROSS JOIN ov GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(sc.n, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(sc.s, 0) AS BIGINT) AS nll_micro,
+        |  CAST(CASE WHEN sc.n IS NULL THEN 0
+        |    ELSE floor(CAST(sc.s AS DOUBLE) / sc.n + 0.5) END AS BIGINT)
+        |    AS ppl_micro
+        |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_lm_perplexity" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') ws

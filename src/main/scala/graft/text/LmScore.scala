@@ -42,6 +42,112 @@ object LmScore {
     (counts.map { case (w, c) => w -> nll(c) }.toMap, nll(0L))
   }
 
+  /** Interpolated Kneser-Ney bigram LM (Chen & Goodman 1998's
+    * recommended smoothing; the model family behind KenLM's ARPA
+    * files, which is what CCNet actually scores with). Everything
+    * derives from ONE distributed bigram-count aggregation cut to the
+    * top-`maxPairs` pairs (count desc, pair asc — deterministic), the
+    * pruned-ARPA shape: discounts, context and continuation statistics
+    * are computed over the KEPT pair table, so the model is
+    * self-consistent by construction and its driver-side footprint is
+    * bounded at any corpus size.
+    *
+    *  - p(w2|w1)   = (c(w1,w2) - D)/c(w1) + lambda(w1) * pcont'(w2)
+    *  - lambda(w1) = D * N1+(w1*) / c(w1)        (backoff mass)
+    *  - pcont'(w2) = (N1+(*w2) + 1)/(P + V + 1)  (add-one continuation)
+    *  - D          = n1/(n1 + 2*n2)              (count-of-counts)
+    *
+    * Scoring is ARPA backoff arithmetic on the micro-nat lattice:
+    * a SEEN pair costs its own micro-nat entry; an unseen pair costs
+    * lambdaMicro(w1) + contMicro(w2) (0 / oovContMicro when the
+    * context / word is unknown) — pure BIGINT sums, so the DuckDB
+    * oracle reproduces every doc score exactly after recomputing the
+    * identical model in SQL.
+    */
+  final case class KnBigramModel(
+      pairMicro: Map[(String, String), Long],
+      lambdaMicro: Map[String, Long],
+      contMicro: Map[String, Long],
+      oovContMicro: Long)
+
+  def knBigramLmMicro(docs: DataFrame, textCol: String,
+      maxPairs: Int): KnBigramModel = {
+    val ws = filter(split(lower(col(textCol)), "\\s+"), w => w =!= lit(""))
+    val pairs = docs
+      .select(ws.as("__ws"))
+      // filter BEFORE building the index sequence: sequence(0, -1)
+      // would DESCEND for 1-word docs and index element 0
+      .where(size(col("__ws")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("__ws")) - 2),
+        i => struct(element_at(col("__ws"), i + 1).as("w1"),
+          element_at(col("__ws"), i + 2).as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("c"))
+      .orderBy(col("c").desc, col("w1"), col("w2")).limit(maxPairs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    if (pairs.isEmpty) return KnBigramModel(Map.empty, Map.empty, Map.empty, 0L)
+    val ctx = pairs.groupBy(_._1).map { case (w1, ps) =>
+      w1 -> (ps.map(_._3).sum, ps.length.toLong) // (c(w1), N1+(w1*))
+    }
+    val cont = pairs.groupBy(_._2).map { case (w2, ps) =>
+      w2 -> ps.length.toLong // N1+(*w2)
+    }
+    val nPairs = pairs.length.toLong
+    val vCont = cont.size.toLong
+    val n1 = pairs.count(_._3 == 1L).toLong
+    val n2 = pairs.count(_._3 == 2L).toLong
+    // degenerate corpora (no singletons) fall back to the textbook 0.5
+    val d = if (n1 == 0) 0.5 else n1.toDouble / (n1 + 2 * n2)
+    def micro(p: Double): Long = math.floor(-math.log(p) * 1e6 + 0.5).toLong
+    // formula order mirrors the oracle SQL term-for-term so the
+    // double arithmetic is bit-identical
+    val pairMicro = pairs.map { case (w1, w2, c) =>
+      val (cw1, n1p) = ctx(w1)
+      val p = (c.toDouble - d) / cw1 +
+        ((d * n1p) / cw1) * ((cont(w2).toDouble + 1) / (nPairs + vCont + 1))
+      (w1, w2) -> micro(p)
+    }.toMap
+    val lambdaMicro = ctx.map { case (w1, (cw1, n1p)) =>
+      w1 -> micro((d * n1p) / cw1)
+    }
+    val contMicro = cont.map { case (w2, nc) =>
+      w2 -> micro((nc.toDouble + 1) / (nPairs + vCont + 1))
+    }
+    KnBigramModel(pairMicro, lambdaMicro, contMicro,
+      micro(1.0 / (nPairs + vCont + 1)))
+  }
+
+  /** Per-document KN-bigram score: one shuffle-free scan, model
+    * broadcast once. `n_bigrams` = word count - 1; docs with fewer
+    * than 2 words score 0 (no transitions to evaluate).
+    */
+  def docKnPerplexityMicro(docs: DataFrame, idCol: String, textCol: String,
+      model: KnBigramModel): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    val sumNll = udf { ws: Seq[String] =>
+      val m = bc.value
+      var s = 0L
+      var i = 1
+      while (i < ws.length) {
+        val w1 = ws(i - 1); val w2 = ws(i)
+        s += m.pairMicro.getOrElse((w1, w2),
+          m.lambdaMicro.getOrElse(w1, 0L) +
+            m.contMicro.getOrElse(w2, m.oovContMicro))
+        i += 1
+      }
+      s
+    }
+    val ws = filter(split(lower(col(textCol)), "\\s+"), w => w =!= lit(""))
+    docs
+      .select(col(idCol),
+        greatest(size(ws).cast("long") - 1, lit(0L)).as("n_bigrams"),
+        sumNll(ws).as("nll_micro"))
+      .withColumn("ppl_micro",
+        when(col("n_bigrams") === 0, lit(0L))
+          .otherwise(floor(col("nll_micro").cast("double") / col("n_bigrams")
+            + 0.5).cast("long")))
+  }
+
   /** Per-document LM score: total and mean negative log-likelihood in
     * micro-nats (mean NLL is log-perplexity — filter on `ppl_micro`
     * exactly as CCNet buckets head/middle/tail). Empty docs score 0.
