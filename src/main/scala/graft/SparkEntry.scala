@@ -762,6 +762,25 @@ object SparkEntry {
           .select("vec_id", "embedding"), "annpq_scan")
       Similarity.bruteTopK(short, "embedding", "vec_id", q, 10)
     }),
+    "q_ann_ivfpq" -> ((s, d) => {
+      // IVF+PQ (FAISS IndexIVFPQ, the 10^12-vector production index):
+      // nprobe cells prune the scan, 8-byte codes make it 32x
+      // narrower, ADC keeps a top-64 shortlist, exact rerank orders
+      // it. The shortlist dumps to the side channel; oracle contract
+      // identical to q_ann_pq/q_ann_lsh (exact over the scanned set)
+      val emb = t(s, d, "embeddings")
+      val q = queryVec(s, d)
+      val ivf = graft.sim.Ivf.train(emb, "embedding", k = 8)
+      val pq = graft.sim.Pq.train(emb, "embedding", m = 8, ksub = 16)
+      val rows = graft.sim.Pq.encode(
+        graft.sim.Ivf.assign(emb, "embedding", ivf), "embedding", pq)
+      val short = dumpSide(
+        graft.sim.Pq.shortlist(
+          graft.sim.Ivf.probe(rows, ivf, q, nprobe = 3),
+          "pq_code", "vec_id", q, pq, 64)
+          .select("vec_id", "embedding"), "annivfpq_scan")
+      Similarity.bruteTopK(short, "embedding", "vec_id", q, 10)
+    }),
     "q_semantic_dedup" -> ((s, d) => {
       // SemDeDup (embedding-level near-dup pruning): the deterministic
       // IVF cell assignment dumps to the side channel; the oracle
@@ -1222,6 +1241,17 @@ object SparkEntry {
         graft.sim.Pq.searchBatchRerank(graft.sim.Pq.encode(emb, "embedding", idx),
           "embedding", "pq_code", "vec_id", idx, qs, topK = 5, shortlistSize = 64)
           .orderBy("qid", "vec_id")
+      }),
+      "q_ann_ivfpq" -> ((s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = queryVec(s, d)
+        val ivf = graft.sim.Ivf.train(emb, "embedding", k = 8)
+        val pq = graft.sim.Pq.train(emb, "embedding", m = 8, ksub = 16)
+        graft.sim.Pq.searchIvfPq(
+          graft.sim.Pq.encode(graft.sim.Ivf.assign(emb, "embedding", ivf),
+            "embedding", pq),
+          "embedding", "pq_code", "vec_id", ivf, pq, q, 10,
+          nprobe = 3, shortlistSize = 64)
       }),
       "q_ann_ivf" -> ((s, d) => {
         val emb = t(s, d, "embeddings")
@@ -2285,6 +2315,17 @@ object SparkEntry {
     "q_ann_lsh" ->
       """WITH s AS (SELECT vec_id, embedding
         |  FROM read_parquet('/tmp/graft_oracle_side/annlsh_scan/*.parquet')),
+        |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) qe
+        |      FROM embeddings WHERE vec_id = 0)
+        |SELECT s.vec_id, round(
+        |  list_dot_product(list_transform(s.embedding, x -> CAST(x AS DOUBLE)), q.qe)
+        |  / (sqrt(list_dot_product(list_transform(s.embedding, x -> CAST(x AS DOUBLE)),
+        |                           list_transform(s.embedding, x -> CAST(x AS DOUBLE))))
+        |     * sqrt(list_dot_product(q.qe, q.qe))), 3) AS sim
+        |FROM s, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_ivfpq" ->
+      """WITH s AS (SELECT vec_id, embedding
+        |  FROM read_parquet('/tmp/graft_oracle_side/annivfpq_scan/*.parquet')),
         |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) qe
         |      FROM embeddings WHERE vec_id = 0)
         |SELECT s.vec_id, round(

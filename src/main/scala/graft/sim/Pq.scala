@@ -267,4 +267,20 @@ object Pq {
     Ivf.scoreBatch(
       shortlistBatch(encoded, codeCol, idCol, queries, idx, shortlistSize),
       vecCol, idCol, queries, topK)
+
+  /** IVF+PQ — the standard FAISS composition (IndexIVFPQ) and the
+    * actual 10^12-vector production index: IVF cells prune the scan to
+    * `nprobe` cells, PQ codes make the surviving scan 32x narrower,
+    * ADC keeps a shortlist, exact rerank orders it. Composes the two
+    * trained indexes as-is: rows need `ivf_cell` (Ivf.assign) and a
+    * code column (Pq.encode). The scanned set (probed cells) and the
+    * shortlist stay exposed through the same seams as the parts, so
+    * the verification story carries over unchanged.
+    */
+  def searchIvfPq(assignedCoded: DataFrame, vecCol: String, codeCol: String,
+                  idCol: String, ivf: Ivf.IvfIndex, pq: PqIndex,
+                  query: Array[Float], topK: Int, nprobe: Int = 2,
+                  shortlistSize: Int = 100): DataFrame =
+    searchRerank(Ivf.probe(assignedCoded, ivf, query, nprobe),
+      vecCol, codeCol, idCol, pq, query, topK, shortlistSize)
 }

@@ -132,4 +132,39 @@ class PqSpec extends SparkSpecBase {
     }
     coded.unpersist(); corpus.unpersist()
   }
+
+  test("IVF+PQ: equals PQ-rerank restricted to the probed cells; planted recall holds") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(21)
+    val bases = (0 until 40).map(_ => randVec(rng))
+    val rows = for { b <- bases.indices; c <- 0 until 10 } yield {
+      val noisy = bases(b).map(x => x + (rng.nextGaussian() * 0.02).toFloat)
+      ((b * 10 + c).toLong, unit(noisy).toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .cache()
+    val ivf = graft.sim.Ivf.train(corpus, "embedding", k = 8)
+    val pq = Pq.train(corpus, "embedding", m = 8, ksub = 16)
+    val coded = Pq.encode(
+      graft.sim.Ivf.assign(corpus, "embedding", ivf), "embedding", pq).cache()
+    val queries = bases.take(8).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val truth = Recall.truthAtK(corpus, "embedding", "vec_id", queries, 10)
+    val got = queries.map { case (qid, qv) =>
+      val res = Pq.searchIvfPq(coded, "embedding", "pq_code", "vec_id",
+          ivf, pq, qv, 10, nprobe = 3, shortlistSize = 64)
+        .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSeq
+      // identity: IVF+PQ == plain PQ rerank over the probed subset
+      val manual = Pq.searchRerank(
+          graft.sim.Ivf.probe(coded, ivf, qv, nprobe = 3),
+          "embedding", "pq_code", "vec_id", pq, qv, 10, shortlistSize = 64)
+        .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSeq
+      assert(res == manual, s"q$qid composition identity")
+      qid -> res.toSet
+    }.toMap
+    val recall = Recall.recallOf(truth, got)
+    assert(recall >= 0.85, s"IVF+PQ recall@10 = $recall")
+    coded.unpersist(); corpus.unpersist()
+  }
 }
