@@ -1,0 +1,186 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analyzer, UndatumOps}
+import graft.sources.Converter
+
+/** The reference's command-line surface mapped 1:1 onto this library
+  * (undatum/core.py:33-345 — typer commands convert/uniq/headers/
+  * stats/flatten/frequency/select/split/validate/scheme/analyze/
+  * query), so a reference user can run the commands they run today
+  * against the Spark engine:
+  *
+  * {{{
+  *   sbt "runMain graft.tools.UndatumCli convert in.csv --output out.jsonl"
+  *   sbt "runMain graft.tools.UndatumCli uniq in.jsonl --fields source"
+  *   sbt "runMain graft.tools.UndatumCli frequency in.csv --fields lang"
+  *   sbt "runMain graft.tools.UndatumCli select in.csv --fields a,b --filter \"`x` == 1\""
+  *   sbt "runMain graft.tools.UndatumCli stats in.csv"
+  *   sbt "runMain graft.tools.UndatumCli split in.csv --fields lang --output dir"
+  *   sbt "runMain graft.tools.UndatumCli validate in.csv --fields email --rule email --mode stats"
+  *   sbt "runMain graft.tools.UndatumCli query in.csv --query \"SELECT a, count(*) FROM data GROUP BY 1\""
+  * }}}
+  *
+  * Flag names follow the reference (`--fields`, `--filter dictquery`,
+  * `--format-in/--format-out`, `--delimiter`, `--encoding`,
+  * `--tagname`, `--output`, `--dictshare`, `--chunksize`, `--rule`,
+  * `--mode`, `--limit`). Formats are inferred from the file extension
+  * when not forced, through the same dispatch `analyze` uses. Results
+  * print to stdout, or write through the format matrix when
+  * `--output` is given. `ingest` (network sink) and autodoc (external
+  * AI service) are the documented out-of-scope commands.
+  */
+object UndatumCli {
+
+  private def usage(): Nothing = {
+    System.err.println(
+      """usage: UndatumCli <command> <input> [--flag value ...]
+        |commands: convert headers stats uniq frequency select flatten
+        |          split validate scheme analyze query
+        |flags:    --output --fields --filter --query --format-in
+        |          --format-out --delimiter --encoding --tagname
+        |          --dictshare --chunksize --rule --mode --limit""".stripMargin)
+    sys.exit(2)
+  }
+
+  private def parseFlags(args: Seq[String]): Map[String, String] = {
+    val m = scala.collection.mutable.Map[String, String]()
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (!a.startsWith("--")) usage()
+      if (i + 1 >= args.length) usage()
+      m(a.drop(2)) = args(i + 1)
+      i += 2
+    }
+    m.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) usage()
+    val cmd = args(0)
+    val input = args(1)
+    val flags = parseFlags(args.drop(2).toIndexedSeq)
+    val spark = Sessions.create("graft-undatum-cli")
+    try {
+      val out = run(spark, cmd, input, flags)
+      out match {
+        case Some(df) =>
+          flags.get("output") match {
+            case Some(path) =>
+              Converter.write(df, path,
+                flags.getOrElse("format-out", formatOfPath(path)))
+              println(s"written: $path")
+            case None =>
+              df.show(flags.getOrElse("limit", "50").toInt, truncate = false)
+          }
+        case None => () // command wrote its own output (split)
+      }
+    } finally spark.stop()
+  }
+
+  private def formatOfPath(p: String): String = {
+    val n = p.toLowerCase.replaceAll("\\.(gz|bz2|xz)$", "")
+    Seq("csv", "jsonl", "json", "xml", "parquet", "orc", "avro", "bson",
+      "pickle", "xlsx", "xls", "warc", "wet")
+      .find(f => n.endsWith("." + f))
+      .orElse(if (n.endsWith(".ndjson")) Some("jsonl") else None)
+      .getOrElse("jsonl")
+  }
+
+  private def readInput(spark: SparkSession, input: String,
+                        flags: Map[String, String]): DataFrame = {
+    val fmt = flags.getOrElse("format-in", "")
+    if (fmt.isEmpty)
+      // analyze's dispatch: container unpack + extension + sniff
+      Analyzer.analyzeFile(spark, input).df
+    else
+      Converter.read(spark, input, Converter.ReadOptions(fmt,
+        delimiter = flags.getOrElse("delimiter", ","),
+        encoding = flags.getOrElse("encoding", "UTF-8"),
+        tagname = flags.getOrElse("tagname", "")))
+  }
+
+  private def fieldsOf(flags: Map[String, String]): Seq[String] =
+    flags.get("fields").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+
+  private def withFilter(df: DataFrame, flags: Map[String, String]): DataFrame =
+    flags.get("filter").map(UndatumOps.filterDsl(df, _)).getOrElse(df)
+
+  /** Dispatch one command; Some(result frame) or None when the command
+    * produced its own side output. Exposed for the spec.
+    */
+  def run(spark: SparkSession, cmd: String, input: String,
+          flags: Map[String, String]): Option[DataFrame] = cmd match {
+    case "convert" =>
+      // result frame = the converted table (written by main via
+      // --output, exactly the reference's convert IN OUT)
+      Some(withFilter(readInput(spark, input, flags), flags))
+    case "headers" =>
+      Some(UndatumOps.headers(readInput(spark, input, flags)))
+    case "stats" =>
+      val df = readInput(spark, input, flags)
+      val fs = fieldsOf(flags) match {
+        case Nil => df.columns.toSeq
+        case some => some
+      }
+      Some(UndatumOps.fieldStats(df, fs,
+        flags.getOrElse("dictshare", "70").toDouble))
+    case "uniq" =>
+      Some(UndatumOps.uniq(withFilter(readInput(spark, input, flags), flags),
+        fieldsOf(flags)))
+    case "frequency" =>
+      Some(UndatumOps.frequency(
+        withFilter(readInput(spark, input, flags), flags), fieldsOf(flags)))
+    case "select" =>
+      Some(UndatumOps.select(
+        withFilter(readInput(spark, input, flags), flags), fieldsOf(flags)))
+    case "flatten" =>
+      Some(UndatumOps.flattenCounts(readInput(spark, input, flags)))
+    case "split" =>
+      val df = withFilter(readInput(spark, input, flags), flags)
+      val dir = flags.getOrElse("output", usage())
+      fieldsOf(flags) match {
+        case Seq(f) => UndatumOps.splitByField(df, f, dir)
+        case Nil => UndatumOps.splitByChunk(df,
+          flags.getOrElse("chunksize", "10000").toInt, dir)
+        case _ => usage()
+      }
+      println(s"split written: $dir")
+      None
+    case "validate" =>
+      val df = readInput(spark, input, flags)
+      val f = fieldsOf(flags) match {
+        case Seq(one) => one
+        case _ => usage()
+      }
+      val rule = flags.getOrElse("rule", "email") match {
+        case "email" => graft.functions.Validators.isEmailCol(col(f))
+        case "url" => graft.functions.Validators.isUrlCol(col(f))
+        case "inn" => graft.functions.Validators.innUdf(col(f))
+        case "ogrn" => graft.functions.Validators.ogrnUdf(col(f))
+        case r => throw new IllegalArgumentException(s"unknown rule: $r")
+      }
+      Some(flags.getOrElse("mode", "invalid") match {
+        case "stats" => UndatumOps.validateStats(df, rule)
+        case _ => UndatumOps.validateInvalid(df, rule)
+      })
+    case "scheme" =>
+      Some(Analyzer.scheme(readInput(spark, input, flags)))
+    case "analyze" =>
+      val fa = Analyzer.analyzeFile(spark, input,
+        flags.getOrElse("format-in", ""))
+      println(s"container=${fa.container} format=${fa.format} " +
+        s"encoding=${fa.encoding} delimiter='${fa.delimiter}'")
+      Some(Analyzer.report(fa.df))
+    case "query" =>
+      // the reference's mistql `query` — subsumed by SQL over the
+      // input registered as table `data`
+      val df = readInput(spark, input, flags)
+      df.createOrReplaceTempView("data")
+      Some(spark.sql(flags.getOrElse("query", usage())))
+    case _ => usage()
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.tools.UndatumCli
+
+/** The undatum-compatible CLI (tools.UndatumCli): every command
+  * dispatched through run() against real files, format inference,
+  * dictquery --filter, split side outputs, validate modes, SQL query.
+  */
+class CliSpec extends SparkSpecBase {
+
+  private def writeCsv(): String = {
+    val dir = tmpDir("cli-in")
+    val p = s"$dir/people.csv"
+    val w = new java.io.PrintWriter(p, "UTF-8")
+    w.println("name,lang,age,email")
+    w.println("ann,en,34,ann@example.org")
+    w.println("bo,de,22,bo@example.org")
+    w.println("cy,en,41,not-an-email")
+    w.close()
+    p
+  }
+
+  test("frequency / uniq / select with dictquery filter and format inference") {
+    val s = spark
+    val p = writeCsv()
+    val freq = UndatumCli.run(s, "frequency", p, Map("fields" -> "lang")).get
+      .orderBy(col("count").desc, col("lang")).collect()
+    assert(freq.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("en", 2L), ("de", 1L)))
+    val uniq = UndatumCli.run(s, "uniq", p, Map("fields" -> "lang")).get
+    assert(uniq.count() == 2)
+    val sel = UndatumCli.run(s, "select", p,
+      Map("fields" -> "name,age", "filter" -> "`lang` == 'en'")).get
+    assert(sel.columns.toSeq == Seq("name", "age") && sel.count() == 2)
+  }
+
+  test("headers / stats / scheme / flatten run over an inferred csv") {
+    val s = spark
+    val p = writeCsv()
+    assert(UndatumCli.run(s, "headers", p, Map.empty).get
+      .collect().map(_.getString(0)).toSet == Set("name", "lang", "age", "email"))
+    val st = UndatumCli.run(s, "stats", p, Map.empty).get
+    assert(st.where(col("field") === "lang").count() == 1)
+    assert(UndatumCli.run(s, "scheme", p, Map.empty).get.count() == 4)
+    assert(UndatumCli.run(s, "flatten", p, Map.empty).get.count() == 4)
+  }
+
+  test("validate email rule: stats and invalid modes agree") {
+    val s = spark
+    val p = writeCsv()
+    val stats = UndatumCli.run(s, "validate", p,
+      Map("fields" -> "email", "rule" -> "email", "mode" -> "stats")).get
+      .collect()(0)
+    assert(stats.getLong(0) == 3L && stats.getLong(1) == 1L)
+    val bad = UndatumCli.run(s, "validate", p,
+      Map("fields" -> "email", "rule" -> "email")).get.collect()
+    assert(bad.length == 1 && bad(0).getAs[String]("name") == "cy")
+  }
+
+  test("split by field writes one directory per value") {
+    val s = spark
+    val p = writeCsv()
+    val out = tmpDir("cli-split") + "/parts"
+    assert(UndatumCli.run(s, "split", p,
+      Map("fields" -> "lang", "output" -> out)).isEmpty)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs.exists(_.contains("en")) && dirs.exists(_.contains("de")), dirs)
+  }
+
+  test("query runs SQL over the input as table `data`; convert honors format-out") {
+    val s = spark
+    val p = writeCsv()
+    val q = UndatumCli.run(s, "query", p,
+      Map("query" -> "SELECT lang, count(*) AS n FROM data GROUP BY 1")).get
+      .orderBy("lang").collect()
+    assert(q.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("de", 1L), ("en", 2L)))
+    // convert: returned frame is the converted table; write as jsonl
+    val conv = UndatumCli.run(s, "convert", p, Map.empty).get
+    val out = tmpDir("cli-conv") + "/out.jsonl"
+    graft.sources.Converter.write(conv, out, "jsonl")
+    val back = s.read.json(out)
+    assert(back.count() == 3)
+  }
+}
