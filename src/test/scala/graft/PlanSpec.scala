@@ -120,4 +120,23 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("*(1) Project [simhash64expr"), p.take(500))
     assert(df.limit(5).collect().forall(_.getLong(0) != Long.MinValue))
   }
+
+  test("q_ann_pq shortlist is a per-partition top-C merge, never a full sort") {
+    // bench form (no oracle dump) — the plan the production search runs
+    val df = SparkEntry.benchQueries("q_ann_pq")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // orderBy(adc).limit(C) must compile to TakeOrderedAndProject:
+    // per-partition C-sized heaps + driver merge, O(C) memory
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("GlobalSort"), p.take(800))
+  }
+
+  test("q_ann_pq_batch pushes the per-qid top-C below the exchange (WindowGroupLimit)") {
+    val df = SparkEntry.benchQueries("q_ann_pq_batch")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the row_number<=C filter must become a WindowGroupLimit on BOTH
+    // sides of the shuffle, so the exchange carries O(parts x Q x C)
+    // scalars instead of Q x n scored rows
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
 }

@@ -116,6 +116,83 @@ class WarcSpec extends SparkSpecBase {
     assert(members >= 40, s"expected ~50 members, found $members") // 200/4 records
   }
 
+  test("streaming source ingests dropped shards once each, no re-reads on restart-equivalents") {
+    val s = spark
+    import s.implicits._
+    val drop = tmpDir("warc-stream") + "/drop"
+    new java.io.File(drop).mkdirs()
+    def writeShard(n: Int, ids: Range): Unit = {
+      val docs = ids.map(i =>
+        (s"http://example.org/doc/$i", "2024-01-01T00:00:00Z", s"doc $i body"))
+        .toDF("target_uri", "warc_date", "text").coalesce(1)
+      val tmp = tmpDir(s"warc-shard$n") + "/w"
+      WarcLocal.write(docs, tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).head
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(drop, f"shard-$n%03d.warc.gz").toPath)
+      ()
+    }
+    writeShard(1, 0 until 5)
+    val q = WarcLocal.readStream(s, drop)
+      .writeStream.format("memory").queryName("warcstream")
+      .option("checkpointLocation", tmpDir("warc-ckpt"))
+      .start()
+    def n(): Long =
+      s.sql("SELECT count(*) FROM warcstream").collect()(0).getLong(0)
+    try {
+      q.processAllAvailable()
+      assert(n() == 5)
+      writeShard(2, 5 until 12) // a later crawl drop
+      q.processAllAvailable()
+      assert(n() == 12)
+      q.processAllAvailable() // no new files -> no duplicates
+      assert(n() == 12)
+      val uris = s.sql("SELECT target_uri FROM warcstream")
+        .collect().map(_.getString(0)).toSet
+      assert(uris.size == 12 && uris.contains("http://example.org/doc/11"))
+    } finally q.stop()
+  }
+
+  test("WET drop dir -> gate -> tokenize -> exactly-once columnar encode, decoded equal") {
+    // the full crawl-ingest composition: a crawler drops .warc.gz
+    // shards; the stream parses records, quality-gates, tokenizes
+    // against a fixed vocab and lands in the encoded store through
+    // the commit-marker exactly-once path
+    val s = spark
+    import s.implicits._
+    val drop = tmpDir("wet-ingest") + "/drop"
+    new java.io.File(drop).mkdirs()
+    val texts = (0 until 20).map(i => s"alpha beta doc$i gamma alpha")
+    val docs = texts.zipWithIndex.map { case (t2, i) =>
+      (s"http://example.org/doc/$i", "2024-01-01T00:00:00Z", t2)
+    }.toDF("target_uri", "warc_date", "text")
+    WarcLocal.write(docs.coalesce(1), drop) // one shard file
+    val vocab = graft.text.TextOps.buildVocab(
+      texts.zipWithIndex.map { case (t2, i) => (i.toLong, t2, "wet") }
+        .toDF("doc_id", "text", "source"), "text", 8)
+    val outDir = tmpDir("wet-ingest-out")
+    val stream = WarcLocal.readStream(s, drop)
+      .select(regexp_extract(col("target_uri"), "doc/(\\d+)$", 1).as("doc_id"),
+        col("text"), lit("wet").as("source"))
+    val q = graft.streaming.EncodeStream.streamingTextIngest(
+      stream, vocab, outDir, oovId = 8, minQualityBp = 0L,
+      graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 8))
+    try q.processAllAvailable() finally q.stop()
+    val back = graft.streaming.EncodeStream.readAll(s, outDir,
+        verifyChecksums = true)
+      .collect().map(r => r.doc_id -> r.tokens.toSeq).toMap
+    assert(back.size == 20)
+    // batch-side tokenize over the SAME vocab is the expected value
+    val expect = graft.text.TextOps.tokenize(
+        texts.zipWithIndex.map { case (t2, i) => (i.toLong, t2, "wet") }
+          .toDF("doc_id", "text", "source"),
+        "doc_id", "text", "source", vocab, 8)
+      .collect().map(r => r.getAs[String]("doc_id") ->
+        r.getAs[Seq[Int]]("tokens")).toMap
+    assert(back == expect)
+  }
+
   test("Converter dispatch: wet sink + source with warc-type filter") {
     val s = spark
     import s.implicits._
