@@ -262,12 +262,16 @@ object WarcLocal {
                 if (row.isNullAt(0)) "" else row.getString(0),
                 if (row.isNullAt(1)) "" else row.getString(1),
                 if (row.isNullAt(2)) "" else row.getString(2))
-              // one gzip member per record: finish() flushes the
-              // member; the next record starts a fresh one
+              // one gzip member per record; close() (not finish())
+              // ends the member AND releases the native Deflater —
+              // finish() leaves one native object per record alive
+              // until GC, a real leak on million-record shards. The
+              // NonClosingStream wrapper keeps the file open across
+              // members.
               val gz = new java.util.zip.GZIPOutputStream(
                 new NonClosingStream(raw), 1 << 16)
               gz.write(rec, 0, rec.length)
-              gz.finish()
+              gz.close()
             }
           } finally raw.close()
         }
