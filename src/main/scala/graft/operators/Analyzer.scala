@@ -221,25 +221,9 @@ object Analyzer {
     val dataPath = if (container == "none") path else Converter.unpackToTemp(path)
     val fmt =
       if (format.nonEmpty) format
-      else {
-        // Hadoop-codec suffixes are transparent to the Spark read —
-        // dispatch on the INNER extension ("docs.jsonl.gz" is jsonl)
-        val n = dataPath.toLowerCase
-          .replaceAll("\\.(gz|bz2|xz)$", "")
-        if (n.endsWith(".csv") || n.endsWith(".tsv")) "csv"
-        else if (n.endsWith(".jsonl") || n.endsWith(".ndjson")) "jsonl"
-        else if (n.endsWith(".json")) "json"
-        else if (n.endsWith(".xml")) "xml"
-        else if (n.endsWith(".parquet")) "parquet"
-        else if (n.endsWith(".orc")) "orc"
-        else if (n.endsWith(".avro")) "avro"
-        else if (n.endsWith(".bson")) "bson"
-        else if (n.endsWith(".pickle") || n.endsWith(".pkl")) "pickle"
-        else if (n.endsWith(".xlsx")) "xlsx"
-        else if (n.endsWith(".xls")) "xls"
-        else if (n.endsWith(".docx")) "docx"
-        else "csv"
-      }
+      // ONE shared extension table (Converter.formatOfExtension) —
+      // the CLI's output inference reads the same dispatch
+      else Converter.formatOfExtension(dataPath, "csv")
     val (enc, delim) =
       if (fmt == "csv") Sniff.sniffFile(dataPath)
       else ("UTF-8", "")

@@ -202,10 +202,12 @@ object Pq {
     */
   def shortlist(encoded: DataFrame, codeCol: String, idCol: String,
                 query: Array[Float], idx: PqIndex, c: Int): DataFrame =
-    adcScore(encoded, codeCol, query, idx)
-      .orderBy(col("adc").desc, col(idCol))
+    // score under a reserved name: a corpus column literally called
+    // "adc" must survive the shortlist untouched
+    adcScore(encoded, codeCol, query, idx, scoreCol = "__adc")
+      .orderBy(col("__adc").desc, col(idCol))
       .limit(c)
-      .drop("adc")
+      .drop("__adc")
 
   /** PQ search, production shape: ADC shortlist of `shortlistSize`
     * candidates, then EXACT cosine top-k over the shortlist. The

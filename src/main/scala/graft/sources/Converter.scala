@@ -127,6 +127,29 @@ object Converter {
       case f => throw new IllegalArgumentException(s"unsupported source format: $f")
     }
 
+  /** Extension -> format dispatch, the ONE table shared by
+    * Analyzer.analyzeFile and the CLI (sink side defaults differ, so
+    * the default is the caller's). Hadoop-codec suffixes (gz/bz2/xz)
+    * are transparent to the Spark read and stripped first.
+    */
+  def formatOfExtension(path: String, default: String): String = {
+    val n = path.toLowerCase.replaceAll("\\.(gz|bz2|xz)$", "")
+    if (n.endsWith(".csv") || n.endsWith(".tsv")) "csv"
+    else if (n.endsWith(".jsonl") || n.endsWith(".ndjson")) "jsonl"
+    else if (n.endsWith(".json")) "json"
+    else if (n.endsWith(".xml")) "xml"
+    else if (n.endsWith(".parquet")) "parquet"
+    else if (n.endsWith(".orc")) "orc"
+    else if (n.endsWith(".avro")) "avro"
+    else if (n.endsWith(".bson")) "bson"
+    else if (n.endsWith(".pickle") || n.endsWith(".pkl")) "pickle"
+    else if (n.endsWith(".xlsx")) "xlsx"
+    else if (n.endsWith(".xls")) "xls"
+    else if (n.endsWith(".docx")) "docx"
+    else if (n.endsWith(".warc") || n.endsWith(".wet")) "warc"
+    else default
+  }
+
   /** The zip-container local readers need one FILE; accept the
     * directory our own sinks write and pick its single part file.
     */

@@ -98,8 +98,11 @@ object WarcLocal {
         }
         val len = headers.get("content-length") match {
           case Some(v) =>
-            try java.lang.Long.parseLong(v)
-            catch { case _: NumberFormatException => fail(s"bad Content-Length '$v'") }
+            val n2 =
+              try java.lang.Long.parseLong(v)
+              catch { case _: NumberFormatException => fail(s"bad Content-Length '$v'") }
+            if (n2 < 0) fail(s"negative Content-Length '$v'")
+            n2
           case None => fail("missing Content-Length")
         }
         if (pos + len > bytes.length) fail(
@@ -212,6 +215,13 @@ object WarcLocal {
     * reproducible — the spec only asks for global uniqueness.
     */
   def encodeRecord(uri: String, date: String, text: String): Array[Byte] = {
+    // header VALUES must not contain CR/LF or other control bytes — a
+    // crafted uri like "http://x/\r\nWARC-Type: evil" would inject a
+    // header line and desynchronize Content-Length. Payload needs no
+    // escaping (length-delimited).
+    def hdr(v: String): String = v.map(c => if (c < ' ') ' ' else c)
+    val u = hdr(uri)
+    val dt = hdr(date)
     val payload = text.getBytes(UTF_8)
     val idSrc = java.security.MessageDigest.getInstance("MD5")
       .digest((uri + " " + date + " " + text).getBytes(UTF_8))
@@ -220,8 +230,8 @@ object WarcLocal {
       "WARC/1.0\r\n" +
         "WARC-Type: conversion\r\n" +
         s"WARC-Record-ID: <urn:md5:$hex>\r\n" +
-        s"WARC-Date: $date\r\n" +
-        s"WARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: $dt\r\n" +
+        s"WARC-Target-URI: $u\r\n" +
         "Content-Type: text/plain\r\n" +
         s"Content-Length: ${payload.length}\r\n" +
         "\r\n"
@@ -252,10 +262,17 @@ object WarcLocal {
         col(textCol).cast("string"))
       .rdd.foreachPartition { it =>
         if (it.hasNext) {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
+          // task-commit protocol: write to an attempt-unique dotfile,
+          // rename into place on success. Retried/speculative attempts
+          // never interleave bytes in the final name; the rename loser
+          // (a zombie attempt racing a committed one) deletes its temp.
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
           val p = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.warc.gz")
+          val tmp = new org.apache.hadoop.fs.Path(dir,
+            f".part-$pid%05d-attempt-${tc.taskAttemptId()}.warc.gz.tmp")
           val fs = p.getFileSystem(conf.value)
-          val raw = fs.create(p, true)
+          val raw = fs.create(tmp, true)
           try {
             it.foreach { row =>
               val rec = encodeRecord(
@@ -274,6 +291,13 @@ object WarcLocal {
               gz.close()
             }
           } finally raw.close()
+          // commit: first attempt to rename wins; HDFS rename refuses
+          // to overwrite, so a loser cleans up its temp and moves on
+          if (!fs.rename(tmp, p)) {
+            fs.delete(tmp, false)
+            if (!fs.exists(p))
+              throw new java.io.IOException(s"warc sink: commit failed for $p")
+          }
         }
       }
   }

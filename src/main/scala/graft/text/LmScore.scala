@@ -128,7 +128,8 @@ object LmScore {
       val m = bc.value
       var s = 0L
       var i = 1
-      while (i < ws.length) {
+      // null text -> null word array -> score 0, like an empty doc
+      while (ws != null && i < ws.length) {
         val w1 = ws(i - 1); val w2 = ws(i)
         s += m.pairMicro.getOrElse((w1, w2),
           m.lambdaMicro.getOrElse(w1, 0L) +
@@ -159,8 +160,12 @@ object LmScore {
       model: Map[String, Long], oovMicro: Long): DataFrame = {
     val bc = docs.sparkSession.sparkContext.broadcast(model)
     val sumNll = udf { ws: Seq[String] =>
-      var s = 0L; val it = ws.iterator
-      while (it.hasNext) s += bc.value.getOrElse(it.next(), oovMicro)
+      var s = 0L
+      // null text -> null word array -> score 0, like an empty doc
+      if (ws != null) {
+        val it = ws.iterator
+        while (it.hasNext) s += bc.value.getOrElse(it.next(), oovMicro)
+      }
       s
     }
     val ws = filter(split(lower(col(textCol)), "\\s+"), w => w =!= lit(""))

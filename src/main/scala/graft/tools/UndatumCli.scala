@@ -81,18 +81,20 @@ object UndatumCli {
     } finally spark.stop()
   }
 
-  private def formatOfPath(p: String): String = {
-    val n = p.toLowerCase.replaceAll("\\.(gz|bz2|xz)$", "")
-    Seq("csv", "jsonl", "json", "xml", "parquet", "orc", "avro", "bson",
-      "pickle", "xlsx", "xls", "warc", "wet")
-      .find(f => n.endsWith("." + f))
-      .orElse(if (n.endsWith(".ndjson")) Some("jsonl") else None)
-      .getOrElse("jsonl")
-  }
+  private def formatOfPath(p: String): String =
+    // the ONE extension table analyzeFile also uses; sinks default
+    // to jsonl (the reference's favorite interchange)
+    Converter.formatOfExtension(p, "jsonl")
 
   private def readInput(spark: SparkSession, input: String,
                         flags: Map[String, String]): DataFrame = {
-    val fmt = flags.getOrElse("format-in", "")
+    // an explicit read option forces the explicit-read path even when
+    // --format-in is absent (otherwise analyzeFile would sniff its own
+    // encoding/delimiter and silently override the user's flags)
+    val explicitOpts =
+      Seq("delimiter", "encoding", "tagname").exists(flags.contains)
+    val fmt = flags.getOrElse("format-in",
+      if (explicitOpts) Converter.formatOfExtension(input, "csv") else "")
     if (fmt.isEmpty)
       // analyze's dispatch: container unpack + extension + sniff
       Analyzer.analyzeFile(spark, input).df
@@ -129,14 +131,24 @@ object UndatumCli {
       Some(UndatumOps.fieldStats(df, fs,
         flags.getOrElse("dictshare", "70").toDouble))
     case "uniq" =>
-      Some(UndatumOps.uniq(withFilter(readInput(spark, input, flags), flags),
-        fieldsOf(flags)))
+      val df = withFilter(readInput(spark, input, flags), flags)
+      // no --fields = whole-record dedup (the reference's default)
+      Some(UndatumOps.uniq(df, fieldsOf(flags) match {
+        case Nil => df.columns.toSeq
+        case some => some
+      }))
     case "frequency" =>
-      Some(UndatumOps.frequency(
-        withFilter(readInput(spark, input, flags), flags), fieldsOf(flags)))
+      fieldsOf(flags) match {
+        case Nil => usage() // a frequency table needs its key fields
+        case fs => Some(UndatumOps.frequency(
+          withFilter(readInput(spark, input, flags), flags), fs))
+      }
     case "select" =>
-      Some(UndatumOps.select(
-        withFilter(readInput(spark, input, flags), flags), fieldsOf(flags)))
+      val df = withFilter(readInput(spark, input, flags), flags)
+      Some(fieldsOf(flags) match {
+        case Nil => df // no --fields = all columns (filter-only select)
+        case fs => UndatumOps.select(df, fs)
+      })
     case "flatten" =>
       Some(UndatumOps.flattenCounts(readInput(spark, input, flags)))
     case "split" =>

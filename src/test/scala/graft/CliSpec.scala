@@ -70,6 +70,26 @@ class CliSpec extends SparkSpecBase {
     assert(dirs.exists(_.contains("en")) && dirs.exists(_.contains("de")), dirs)
   }
 
+  test("review regressions: no --fields defaults, explicit flags honored without --format-in") {
+    val s = spark
+    val dir = tmpDir("cli-rr")
+    val p = s"$dir/dup.csv"
+    val w = new java.io.PrintWriter(p, "UTF-8")
+    w.println("a,b"); w.println("1,x"); w.println("1,x"); w.println("2,y")
+    w.close()
+    // uniq without --fields = whole-record dedup, not a zero-column frame
+    val u = UndatumCli.run(s, "uniq", p, Map.empty).get
+    assert(u.columns.toSeq == Seq("a", "b") && u.count() == 2)
+    // select without --fields = all columns (filter-only select)
+    val sel = UndatumCli.run(s, "select", p, Map("filter" -> "`b` == 'y'")).get
+    assert(sel.columns.toSeq == Seq("a", "b") && sel.count() == 1)
+    // an explicit --delimiter must be honored even without --format-in
+    // (the sniff would have detected ','; the flag forces ';' -> the
+    // whole header lands in ONE column)
+    val one = UndatumCli.run(s, "headers", p, Map("delimiter" -> ";")).get
+    assert(one.count() == 1, one.collect().mkString(","))
+  }
+
   test("query runs SQL over the input as table `data`; convert honors format-out") {
     val s = spark
     val p = writeCsv()

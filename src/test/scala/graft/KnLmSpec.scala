@@ -75,6 +75,12 @@ class KnLmSpec extends SparkSpecBase {
     assert(got(0) == ((0L, 4L, d0, math.floor(d0.toDouble / 4 + 0.5).toLong)))
     assert(got(2) == ((2L, 0L, 0L, 0L))) // 1 word: no transitions
     assert(got(3) == ((3L, 0L, 0L, 0L))) // empty
+    // null text scores 0 like an empty doc (no NPE in the scoring udf)
+    val withNull = docsDf(Seq("alpha beta")).unionByName(
+      spark.sql("SELECT CAST(9 AS BIGINT) doc_id, CAST(NULL AS STRING) text"))
+    val nr = LmScore.docKnPerplexityMicro(withNull, "doc_id", "text", m)
+      .where(col("doc_id") === 9).collect()(0)
+    assert(nr.getLong(1) == 0L && nr.getLong(2) == 0L && nr.getLong(3) == 0L)
     // a never-seen bigram of a known context and known continuation
     // costs lambda + cont exactly
     assert(!m.pairMicro.contains(("gamma", "beta")))

@@ -70,6 +70,25 @@ class WarcSpec extends SparkSpecBase {
     assert(r.text == "x")
   }
 
+  test("negative Content-Length fails with the parser diagnostic, not a raw slice error") {
+    val neg = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "Content-Length: -5\r\n\r\nxxxxx\r\n\r\n").getBytes(UTF_8)
+    val e = intercept[IllegalArgumentException] {
+      WarcLocal.parseFile("neg.warc", neg).toList
+    }
+    assert(e.getMessage.contains("negative Content-Length"))
+  }
+
+  test("header values with CR/LF are sanitized on write — no record injection") {
+    val rec2 = WarcLocal.encodeRecord(
+      "http://x/\r\nWARC-Type: evil", "2024-01-01T00:00:00Z", "payload")
+    val rows = WarcLocal.parseFile("inj.warc", rec2).toList
+    assert(rows.length == 1)
+    assert(rows.head.warc_type == "conversion") // not "evil"
+    assert(rows.head.target_uri == "http://x/  WARC-Type: evil")
+    assert(rows.head.text == "payload")
+  }
+
   test("truncated payload and missing Content-Length fail with file context") {
     val trunc = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
       "Content-Length: 999\r\n\r\nshort").getBytes(UTF_8)
@@ -95,6 +114,8 @@ class WarcSpec extends SparkSpecBase {
     WarcLocal.write(docs, dir)
     val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.gz"))
     assert(files.length == 4, s"expected 4 part files, got ${files.length}")
+    // the task-commit protocol leaves no attempt temps behind
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".tmp")))
     val back = WarcLocal.read(s, s"$dir/*.warc.gz")
     assert(back.count() == 200)
     val got = back.select("target_uri", "text").collect()
