@@ -644,6 +644,20 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_tok"))
         .orderBy("doc_id")
     }),
+    "q_mix_temperature" -> ((s, d) => {
+      // temperature-scaled mixing (mT5/Gopher/PaLM): budget share ∝
+      // (natural token share)^0.5, upweighting low-resource sources.
+      // Shares quantize onto an integer micro-weight lattice and the
+      // budgets are BIGINT arithmetic, so the oracle recomputes the
+      // WHOLE derivation — counts, power, lattice, integer budgets,
+      // md5-order selection — independently in SQL
+      val docs = t(s, d, "documents")
+        .withColumn("n_tok", TextOps.tokenCount(col("text")))
+      UndatumOps.mixSampleTemperature(docs, "doc_id", "n_tok", "source",
+          alpha = 0.5, 2048L)
+        .select(col("doc_id"), col("source"), col("n_tok"))
+        .orderBy("doc_id")
+    }),
     "q_mix_bucketed" -> ((s, d) => {
       // the 256-bucket scale form of the same mixing — identical
       // selections by construction, proven here against the SAME
@@ -2098,6 +2112,26 @@ object SparkEntry {
         |    ORDER BY md5(CAST(tc.doc_id AS VARCHAR)), tc.doc_id
         |    ROWS UNBOUNDED PRECEDING) cum
         |  FROM tc JOIN wt USING (source))
+        |SELECT doc_id, source, n_tok FROM c
+        |WHERE cum - n_tok < b ORDER BY doc_id""".stripMargin,
+    "q_mix_temperature" ->
+      """WITH tc AS (SELECT doc_id, source,
+        |  CAST(len(list_filter(string_split_regex(text,'\s+'), x -> x <> '')) AS BIGINT) n_tok
+        |  FROM documents),
+        |tot AS (SELECT source, CAST(sum(n_tok) AS BIGINT) t FROM tc GROUP BY 1),
+        |g AS (SELECT CAST(sum(t) AS BIGINT) gt FROM tot),
+        |mw AS (SELECT source,
+        |  CAST(floor(power(CAST(t AS DOUBLE) / gt, 0.5) * 1e9 + 0.5) AS BIGINT) m
+        |  FROM tot CROSS JOIN g),
+        |ms AS (SELECT CAST(sum(m) AS BIGINT) s FROM mw),
+        |b AS (SELECT source,
+        |  CAST(CAST(m AS HUGEINT) * 2048 / ms.s AS BIGINT) b
+        |  FROM mw CROSS JOIN ms),
+        |c AS (SELECT tc.doc_id, tc.source, tc.n_tok, b.b,
+        |  sum(tc.n_tok) OVER (PARTITION BY tc.source
+        |    ORDER BY md5(CAST(tc.doc_id AS VARCHAR)), tc.doc_id
+        |    ROWS UNBOUNDED PRECEDING) cum
+        |  FROM tc JOIN b USING (source))
         |SELECT doc_id, source, n_tok FROM c
         |WHERE cum - n_tok < b ORDER BY doc_id""".stripMargin,
     "q_mix_bucketed" ->

@@ -398,11 +398,21 @@ object UndatumOps {
                 totalTokenBudget: Long): DataFrame = {
     val wsum = weights.values.sum
     require(wsum > 0, "weights must have positive mass")
+    mixSampleBudgets(df, idCol, tokCol, srcCol,
+      weights.map { case (s, w) =>
+        s -> math.floor(w / wsum * totalTokenBudget).toLong
+      })
+  }
+
+  /** The shared selection rule behind [[mixSample]] and
+    * [[mixSampleTemperature]]: per-source md5(id)-order token cumsum,
+    * keep while under the source's explicit integer budget.
+    */
+  def mixSampleBudgets(df: DataFrame, idCol: String, tokCol: String,
+                       srcCol: String, budgetBySource: Map[String, Long]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val budgets = weights.toSeq
-      .map { case (s, w) => (s, math.floor(w / wsum * totalTokenBudget).toLong) }
-      .toDF(srcCol, "__budget")
+    val budgets = budgetBySource.toSeq.toDF(srcCol, "__budget")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(srcCol).orderBy(md5(col(idCol).cast(StringType)), col(idCol))
     val kept = df.select(col(srcCol), col(idCol), col(tokCol))
@@ -411,6 +421,36 @@ object UndatumOps {
       .where(col("__cum") - col(tokCol) < col("__budget"))
       .select(col(idCol))
     df.join(kept, Seq(idCol), "left_semi")
+  }
+
+  /** Temperature-scaled source quotas (the mT5/Gopher/PaLM
+    * multi-source sampling knob): a source's budget share is
+    * proportional to (its natural token share)^alpha — alpha=1 keeps
+    * natural proportions, alpha -> 0 approaches uniform, upweighting
+    * low-resource sources. ONE count aggregation derives the shares;
+    * they quantize onto an integer micro-weight lattice
+    * (floor(share^alpha * 1e9 + 0.5)) and the budgets are then pure
+    * BIGINT arithmetic (m * budget / sum(m), BigInt-safe), so the SQL
+    * oracle reproduces every budget exactly with no float-summation-
+    * order sensitivity. Selection rides [[mixSampleBudgets]].
+    */
+  def mixSampleTemperature(df: DataFrame, idCol: String, tokCol: String,
+                           srcCol: String, alpha: Double,
+                           totalTokenBudget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    val rows = df.groupBy(col(srcCol))
+      .agg(sum(col(tokCol)).cast(LongType).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val total = rows.map(_._2).sum
+    require(total > 0, "corpus has no tokens")
+    val micro = rows.map { case (s, t) =>
+      s -> math.floor(math.pow(t.toDouble / total, alpha) * 1e9 + 0.5).toLong
+    }
+    val msum = micro.map(_._2).sum
+    mixSampleBudgets(df, idCol, tokCol, srcCol,
+      micro.map { case (s, m) =>
+        s -> (BigInt(m) * totalTokenBudget / msum).toLong
+      }.toMap)
   }
 
   /** Scale form of [[mixSample]], identical results: the per-source

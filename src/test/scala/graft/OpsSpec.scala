@@ -342,4 +342,33 @@ class OpsSpec extends SparkSpecBase {
     val bps = df.select(TextOps.qualityScoreBp(col("text"))).collect().map(_.getLong(0))
     assert(bps.forall(b => b >= 0 && b <= 10000))
   }
+
+  test("temperature mixing upweights low-resource sources; alpha=1 is natural") {
+    val s = spark
+    import s.implicits._
+    // big: 90 docs x 10 tokens; rare: 10 docs x 10 tokens
+    val docs = ((0 until 90).map(i => (i.toLong, "big", 10L)) ++
+      (90 until 100).map(i => (i.toLong, "rare", 10L)))
+      .toDF("doc_id", "source", "n_tok")
+    def keptShare(alpha: Double): Double = {
+      val kept = graft.operators.UndatumOps.mixSampleTemperature(
+        docs, "doc_id", "n_tok", "source", alpha, 300L)
+      val bySrc = kept.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      bySrc.getOrElse("rare", 0L).toDouble / math.max(1L, bySrc.values.sum)
+    }
+    // natural share of rare = 10%; alpha=1 keeps it, alpha=0.25 lifts it
+    val natural = keptShare(1.0)
+    val heated = keptShare(0.25)
+    assert(math.abs(natural - 0.10) < 0.05, s"natural $natural")
+    assert(heated > natural + 0.1, s"heated $heated vs natural $natural")
+    // determinism
+    val a = graft.operators.UndatumOps.mixSampleTemperature(
+      docs, "doc_id", "n_tok", "source", 0.5, 300L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = graft.operators.UndatumOps.mixSampleTemperature(
+      docs, "doc_id", "n_tok", "source", 0.5, 300L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
