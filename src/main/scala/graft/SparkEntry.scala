@@ -795,6 +795,25 @@ object SparkEntry {
           .select("vec_id", "embedding"), "annivfpq_scan")
       Similarity.bruteTopK(short, "embedding", "vec_id", q, 10)
     }),
+    "q_ann_ivfpq_batch" -> ((s, d) => {
+      // batched IVF+PQ: 5 queries, ONE cell-restricted code scan. The
+      // per-query shortlists dump as (qid, vec_id); oracle identical
+      // in form to q_ann_pq_batch over the new side dir
+      val emb = t(s, d, "embeddings")
+      val qs = queryVecs(s, d)
+      val ivf = graft.sim.Ivf.train(emb, "embedding", k = 8)
+      val pq = graft.sim.Pq.train(emb, "embedding", m = 8, ksub = 16)
+      val rows = graft.sim.Pq.encode(
+        graft.sim.Ivf.assign(emb, "embedding", ivf), "embedding", pq)
+      val scan = dumpSide(
+        graft.sim.Pq.shortlistScored(
+          graft.sim.Ivf.probeBatch(rows, ivf, qs, nprobe = 3),
+          "pq_code", "vec_id", qs, pq, 64)
+          .select("qid", "vec_id"), "annivfpqb_scan")
+      graft.sim.Ivf.scoreBatch(emb.join(scan, Seq("vec_id")),
+          "embedding", "vec_id", qs, topK = 5)
+        .orderBy("qid", "vec_id")
+    }),
     "q_semantic_dedup" -> ((s, d) => {
       // SemDeDup (embedding-level near-dup pruning): the deterministic
       // IVF cell assignment dumps to the side channel; the oracle
@@ -1254,6 +1273,18 @@ object SparkEntry {
         val idx = graft.sim.Pq.train(emb, "embedding", m = 8, ksub = 16)
         graft.sim.Pq.searchBatchRerank(graft.sim.Pq.encode(emb, "embedding", idx),
           "embedding", "pq_code", "vec_id", idx, qs, topK = 5, shortlistSize = 64)
+          .orderBy("qid", "vec_id")
+      }),
+      "q_ann_ivfpq_batch" -> ((s, d) => {
+        val emb = t(s, d, "embeddings")
+        val qs = queryVecs(s, d)
+        val ivf = graft.sim.Ivf.train(emb, "embedding", k = 8)
+        val pq = graft.sim.Pq.train(emb, "embedding", m = 8, ksub = 16)
+        graft.sim.Pq.searchBatchIvfPq(
+          graft.sim.Pq.encode(graft.sim.Ivf.assign(emb, "embedding", ivf),
+            "embedding", pq),
+          "embedding", "pq_code", "vec_id", ivf, pq, qs, topK = 5,
+          nprobe = 3, shortlistSize = 64)
           .orderBy("qid", "vec_id")
       }),
       "q_ann_ivfpq" -> ((s, d) => {
@@ -2393,6 +2424,22 @@ object SparkEntry {
     "q_ann_ivf_batch" ->
       """WITH s AS (SELECT qid, vec_id
         |  FROM read_parquet('/tmp/graft_oracle_side/annivfb_scan/*.parquet')),
+        |q AS (SELECT vec_id qid,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) qe
+        |  FROM embeddings WHERE vec_id < 5),
+        |j AS (SELECT s.qid, s.vec_id, round(
+        |  list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)), q.qe)
+        |  / (sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+        |                           list_transform(b.embedding, x -> CAST(x AS DOUBLE))))
+        |     * sqrt(list_dot_product(q.qe, q.qe))), 3) AS sim
+        |  FROM s JOIN embeddings b ON b.vec_id = s.vec_id
+        |  JOIN q ON q.qid = s.qid),
+        |r AS (SELECT qid, vec_id, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) rn FROM j)
+        |SELECT qid, vec_id, sim FROM r WHERE rn <= 5 ORDER BY qid, vec_id""".stripMargin,
+    "q_ann_ivfpq_batch" ->
+      """WITH s AS (SELECT qid, vec_id
+        |  FROM read_parquet('/tmp/graft_oracle_side/annivfpqb_scan/*.parquet')),
         |q AS (SELECT vec_id qid,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) qe
         |  FROM embeddings WHERE vec_id < 5),

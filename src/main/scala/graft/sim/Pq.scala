@@ -270,6 +270,50 @@ object Pq {
       shortlistBatch(encoded, codeCol, idCol, queries, idx, shortlistSize),
       vecCol, idCol, queries, topK)
 
+  /** Per-qid ADC shortlists over rows that ALREADY carry a `qid`
+    * column (e.g. Ivf.probeBatch output) — [[shortlistBatch]] minus
+    * the cross join: each probed (row, qid) pair scores once against
+    * its query's LUT, per-qid top-C via the same WindowGroupLimit.
+    */
+  def shortlistScored(restricted: DataFrame, codeCol: String, idCol: String,
+                      queries: Seq[(Long, Array[Float])], idx: PqIndex,
+                      c: Int): DataFrame = {
+    val luts: Map[Long, Array[Array[Float]]] =
+      queries.map { case (qid, qv) => qid -> lutOf(qv, idx) }.toMap
+    val score = udf { (code: Array[Byte], qid: Long) =>
+      if (code == null) null
+      else {
+        val lut = luts(qid)
+        var s = 0.0
+        var sub = 0
+        while (sub < lut.length) { s += lut(sub)(code(sub) & 0xff); sub += 1 }
+        java.lang.Double.valueOf(s)
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("__adc").desc, col(idCol))
+    restricted
+      .withColumn("__adc", score(col(codeCol), col("qid")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= c)
+      .drop("__adc", "__rn")
+  }
+
+  /** Batched IVF+PQ: Q queries, ONE cell-restricted scan of the code
+    * column (Ivf.probeBatch resolves each query's nprobe cells
+    * driver-side into a broadcast probe table), per-qid ADC
+    * shortlists, exact rerank through the shared Ivf.scoreBatch.
+    */
+  def searchBatchIvfPq(assignedCoded: DataFrame, vecCol: String,
+                       codeCol: String, idCol: String, ivf: Ivf.IvfIndex,
+                       pq: PqIndex, queries: Seq[(Long, Array[Float])],
+                       topK: Int, nprobe: Int = 2,
+                       shortlistSize: Int = 100): DataFrame =
+    Ivf.scoreBatch(
+      shortlistScored(Ivf.probeBatch(assignedCoded, ivf, queries, nprobe),
+        codeCol, idCol, queries, pq, shortlistSize),
+      vecCol, idCol, queries, topK)
+
   /** IVF+PQ — the standard FAISS composition (IndexIVFPQ) and the
     * actual 10^12-vector production index: IVF cells prune the scan to
     * `nprobe` cells, PQ codes make the surviving scan 32x narrower,

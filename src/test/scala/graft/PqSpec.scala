@@ -165,6 +165,19 @@ class PqSpec extends SparkSpecBase {
     }.toMap
     val recall = Recall.recallOf(truth, got)
     assert(recall >= 0.85, s"IVF+PQ recall@10 = $recall")
+
+    // batched IVF+PQ == per-query IVF+PQ (one cell-restricted scan)
+    val batch = Pq.searchBatchIvfPq(coded, "embedding", "pq_code", "vec_id",
+        ivf, pq, queries, 10, nprobe = 3, shortlistSize = 64)
+      .select(col("qid"), col("vec_id").cast("long").as("id"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q2, rs) => q2 -> rs.map(_.getLong(1)).toSet }
+    queries.foreach { case (qid, qv) =>
+      val single = Pq.searchIvfPq(coded, "embedding", "pq_code", "vec_id",
+          ivf, pq, qv, 10, nprobe = 3, shortlistSize = 64)
+        .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+      assert(batch(qid) == single, s"q$qid ivfpq batch/single divergence")
+    }
     coded.unpersist(); corpus.unpersist()
   }
 }
