@@ -61,6 +61,26 @@ object SparkEntry {
     df.sparkSession.read.parquet(p)
   }
 
+  /** Encoded-store staging for the compressed-search queries: the
+    * synthetic token table (side-dumped for the oracle) encodes ONCE
+    * into a fixed per-(runner, input) dir — TokenEncoder.run's resume
+    * protocol makes every repeat call a cheap committed-markers no-op,
+    * so the two q_encoded_* queries and bench reps share one store.
+    * The `z1` tag versions the block schema (zone-map columns): an
+    * older round's store in /tmp must not satisfy the resume check.
+    */
+  private def encodedStore(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val ds = dumpSide(graft.synth.TokenSynth.dataset(s, 3000).toDF(),
+      "encsearch_tokens").as[graft.model.TokenRow]
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-qencstore-z1-" +
+      java.lang.Integer.toHexString(sideDir.hashCode ^ d.hashCode)
+    graft.encode.TokenEncoder.run(ds, dir,
+      graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 1000,
+        inputFile = "token_synth"))
+    dir
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_agg_pricing")(spark, "/root/testdata/sf0.001")
@@ -1225,7 +1245,23 @@ object SparkEntry {
       val b = back.toDF()
       val bad = a.exceptAll(b).count() + b.exceptAll(a).count()
       Seq(bad).toDF("n_mismatch")
-    })
+    }),
+    "q_encoded_search" -> ((s, d) => {
+      // predicate over the ENCODED store: which docs contain a token in
+      // [100, 116]? Zone maps prune non-intersecting blocks at the
+      // parquet scan, dict symtabs reject without the payload, hit
+      // blocks decode once and walk rows via the encoded lengths. The
+      // oracle recomputes from the side-dumped raw token table.
+      graft.encode.CompressedSearch
+        .searchDocs(s, encodedStore(s, d), 100, 116)
+        .orderBy("doc_id")
+    }),
+    "q_encoded_count" -> ((s, d) =>
+      // same predicate as a pure aggregate: counts come from dict code
+      // spans and RLE run lengths where those codecs won the block —
+      // no row is ever materialized (see CompressedSearch tier docs)
+      graft.encode.CompressedSearch
+        .countTokens(s, encodedStore(s, d), 100, 116))
   )
 
   /** Bench-mode variants: identical engine plans MINUS the oracle
@@ -2583,6 +2619,17 @@ object SparkEntry {
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q_codec_roundtrip" -> "SELECT CAST(0 AS BIGINT) AS n_mismatch",
     "q_encode_roundtrip" -> "SELECT CAST(0 AS BIGINT) AS n_mismatch",
-    "q_encode_documents" -> "SELECT CAST(0 AS BIGINT) AS n_mismatch"
+    "q_encode_documents" -> "SELECT CAST(0 AS BIGINT) AS n_mismatch",
+    "q_encoded_search" ->
+      """WITH t AS (SELECT doc_id, source, unnest(tokens) AS tok
+        |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet'))
+        |SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM t WHERE tok BETWEEN 100 AND 116
+        |GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
+    "q_encoded_count" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_in_range
+        |FROM (SELECT unnest(tokens) AS tok
+        |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet'))
+        |WHERE tok BETWEEN 100 AND 116""".stripMargin
   )
 }

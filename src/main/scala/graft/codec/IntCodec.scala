@@ -281,9 +281,14 @@ object DictCodec extends IntCodec {
     Encoded(head.toArray, out.toArray)
   }
 
-  def decode(symtab: Array[Byte], payload: Array[Byte], n: Int): Array[Int] = {
+  /** Sorted distinct values from a Dict block's symbol table — a few
+    * KB at most (card <= 1<<16), decoded WITHOUT touching the payload.
+    * Compressed-domain membership tests (graft.encode.CompressedSearch)
+    * use this to reject whole blocks from the symtab alone.
+    */
+  def readDict(symtab: Array[Byte]): Array[Int] = {
     val r = new ByteReader(symtab)
-    val w = r.readByte()
+    r.readByte() // index bit width
     val k = r.readVarInt()
     val dict = new Array[Int](k)
     var i = 0
@@ -293,9 +298,17 @@ object DictCodec extends IntCodec {
       else { prev += r.readVarLong(); dict(i) = prev.toInt }
       i += 1
     }
-    val longs = Bits.unpack(new ByteReader(payload), n, w)
+    dict
+  }
+
+  /** The payload's per-index bit width (symtab header byte). */
+  def indexWidth(symtab: Array[Byte]): Int = symtab(0) & 0xFF
+
+  def decode(symtab: Array[Byte], payload: Array[Byte], n: Int): Array[Int] = {
+    val dict = readDict(symtab)
+    val longs = Bits.unpack(new ByteReader(payload), n, indexWidth(symtab))
     val out = new Array[Int](n)
-    i = 0
+    var i = 0
     while (i < n) { out(i) = dict(longs(i).toInt); i += 1 }
     out
   }

@@ -1,0 +1,196 @@
+package graft.encode
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.codec.{Bits, BlockCodec, ByteReader, CodecIds, DictCodec}
+
+/** Predicate evaluation over the ENCODED token store — the classic
+  * "query execution on compressed data" win (Abadi et al., SIGMOD'06
+  * "Integrating Compression and Execution in Column-Oriented Database
+  * Systems"), applied to our own block format. The reference engine
+  * has no sub-file codecs, so this whole layer is an extension; its
+  * closest ancestor is undatum's frequency/stats scans over raw
+  * streams (undatum/cmds/statistics.py), here answered without
+  * reconstructing the rows.
+  *
+  * Three pruning tiers, cheapest first:
+  *
+  *  1. ZONE MAPS — every block row carries (minTok, maxTok) sealed
+  *     from the codec-selection stats pass. The intersects-[lo,hi]
+  *     predicate is an ordinary parquet filter on tiny int columns,
+  *     so it reaches the scan as a pushed filter: non-intersecting
+  *     blocks' payload bytes (~95% of the store) are never read.
+  *     At 10^12 sequences the store is partId-clustered and each
+  *     source is one value regime (TokenSynth mirrors this), so a
+  *     selective token range prunes most blocks at the metadata tier.
+  *  2. SYMBOL TABLES — a Dict block's sorted dictionary (<= 2^16
+  *     entries, a few KB) decides membership without touching the
+  *     payload: no dict value in [lo,hi] => whole block rejected
+  *     after reading only the symtab column.
+  *  3. COMPRESSED-DOMAIN COUNTING — Dict blocks count index codes
+  *     against the dictionary's [lo,hi] index span (sorted dict =>
+  *     contiguous code range, one unsigned compare per token); RLE
+  *     blocks walk (value, run) pairs, so a length-r run costs O(1).
+  *     Other codecs decode their value stream and scan — still no
+  *     row materialization (doc ids, sources and lengths stay
+  *     encoded; no TokenRow allocation).
+  *
+  * Everything is embarrassingly parallel per block — no shuffle until
+  * the final (tiny) aggregate over matches.
+  */
+object CompressedSearch {
+
+  private def rawPayload(postCodec: Int, payload: Array[Byte]): Array[Byte] =
+    if (postCodec == 1) {
+      val size = com.github.luben.zstd.Zstd.getFrameContentSize(payload)
+      com.github.luben.zstd.Zstd.decompress(payload, size.toInt)
+    } else payload
+
+  /** First index with dict(i) >= v (sorted input). */
+  private def lowerBound(dict: Array[Int], v: Int): Int = {
+    var lo = 0
+    var hi = dict.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (dict(mid) < v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** Dict-coded block whose dictionary has NO value in [lo, hi] —
+    * decided from the symtab alone; the payload is never touched
+    * (callers may pass payload = null for such blocks).
+    */
+  /** Exclusive upper index of [lo, hi] in a sorted dict; hi+1 would
+    * overflow at Int.MaxValue, where the span runs to dict.length.
+    */
+  private def upperIndex(dict: Array[Int], hi: Int): Int =
+    if (hi == Int.MaxValue) dict.length else lowerBound(dict, hi + 1)
+
+  def dictRejects(codecId: Int, symtab: Array[Byte], lo: Int, hi: Int): Boolean =
+    codecId == CodecIds.Dict && {
+      val dict = DictCodec.readDict(symtab)
+      lowerBound(dict, lo) >= upperIndex(dict, hi)
+    }
+
+  /** Count tokens with value in [lo, hi] in one encoded block,
+    * compressed-domain where the codec allows (see object doc).
+    */
+  def countInRange(codecId: Int, postCodec: Int, symtab: Array[Byte],
+                   payload: Array[Byte], n: Int, lo: Int, hi: Int): Long = {
+    if (n == 0 || lo > hi) return 0L
+    codecId match {
+      case CodecIds.Dict =>
+        val dict = DictCodec.readDict(symtab)
+        val iLo = lowerBound(dict, lo)
+        val iHi = upperIndex(dict, hi)
+        if (iLo >= iHi) return 0L // symtab-only rejection: payload untouched
+        val codes = Bits.unpack(
+          new ByteReader(rawPayload(postCodec, payload)), n,
+          DictCodec.indexWidth(symtab))
+        var c = 0L
+        var i = 0
+        while (i < n) {
+          val x = codes(i)
+          if (x >= iLo && x < iHi) c += 1
+          i += 1
+        }
+        c
+      case CodecIds.Rle =>
+        val r = new ByteReader(rawPayload(postCodec, payload))
+        var c = 0L
+        var i = 0
+        while (i < n) {
+          val v = r.readZigZag()
+          val run = r.readVarInt()
+          if (v >= lo && v <= hi) c += run
+          i += run
+        }
+        c
+      case _ =>
+        val vals = BlockCodec.decode(codecId, postCodec, symtab, payload, n)
+        var c = 0L
+        var i = 0
+        while (i < n) {
+          val v = vals(i)
+          if (v >= lo && v <= hi) c += 1
+          i += 1
+        }
+        c
+    }
+  }
+
+  /** The zone-map predicate every store-level scan shares: block token
+    * range intersects [lo, hi]. On new stores minTok/maxTok are real
+    * parquet columns, so this prunes at the scan (PushedFilters);
+    * empty blocks carry (MaxValue, MinValue) and never intersect.
+    */
+  private def zone(lo: Int, hi: Int) =
+    col("minTok") <= hi && col("maxTok") >= lo
+
+  /** Total number of tokens with value in [lo, hi] across the store —
+    * one row (n_in_range). No row materialization anywhere: zone maps
+    * prune blocks at the parquet scan, dict symtabs reject without the
+    * payload, dict/RLE blocks count in the compressed domain.
+    */
+  def countTokens(spark: SparkSession, outDir: String,
+                  lo: Int, hi: Int): DataFrame = {
+    import spark.implicits._
+    TokenDecoder.committedBlocks(spark, outDir, None)
+      .where(zone(lo, hi))
+      .select("codecId", "postCodec", "symtab", "payload", "totalTokens")
+      .as[(Int, Int, Array[Byte], Array[Byte], Long)]
+      .map { case (cid, post, st, pay, nTok) =>
+        countInRange(cid, post, st, pay, nTok.toInt, lo, hi)
+      }
+      .toDF("c")
+      .agg(coalesce(sum("c"), lit(0L)).as("n_in_range"))
+  }
+
+  /** Documents containing a token in [lo, hi], with per-document hit
+    * counts: (doc_id, source, n_hits), only matches emitted. Block
+    * scan is zone-map pruned and dict-rejected first; surviving blocks
+    * decode once and walk rows via the encoded lengths. The final
+    * aggregate shuffles ONLY the matching docs (a selective predicate
+    * at 10^12 rows shuffles a sliver of the corpus).
+    */
+  def searchDocs(spark: SparkSession, outDir: String,
+                 lo: Int, hi: Int): DataFrame = {
+    import spark.implicits._
+    TokenDecoder.committedBlocks(spark, outDir, None)
+      .where(zone(lo, hi))
+      .select("codecId", "postCodec", "symtab", "payload", "lengthsEnc",
+        "docIdsEnc", "sourcesEnc", "blockRows", "totalTokens")
+      .as[(Int, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte],
+        Array[Byte], Int, Long)]
+      .flatMap { case (cid, post, st, pay, lensEnc, dEnc, sEnc, nRows, nTok) =>
+        if (dictRejects(cid, st, lo, hi)) Iterator.empty
+        else {
+          val tokens = BlockCodec.decode(cid, post, st, pay, nTok.toInt)
+          val docIds = graft.codec.StringCols.decodeDocIds(dEnc, nRows)
+          val sources = graft.codec.StringCols.decodeSources(sEnc, nRows)
+          val lens = new ByteReader(lensEnc)
+          var off = 0
+          (0 until nRows).iterator.flatMap { i =>
+            val n = lens.readVarInt()
+            var c = 0L
+            var k = off
+            while (k < off + n) {
+              val v = tokens(k)
+              if (v >= lo && v <= hi) c += 1
+              k += 1
+            }
+            off += n
+            if (c > 0) Iterator.single((docIds(i), sources(i), c))
+            else Iterator.empty
+          }
+        }
+      }
+      .toDF("doc_id", "source", "n_hits")
+      // blocks never split a row, but a doc_id is not REQUIRED to be
+      // unique across rows — aggregate for exact semantics either way
+      // (partial aggregation keeps this map-side for the common case)
+      .groupBy("doc_id", "source")
+      .agg(sum("n_hits").as("n_hits"))
+  }
+}

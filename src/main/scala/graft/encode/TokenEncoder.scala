@@ -300,6 +300,10 @@ object TokenEncoder {
       sourcesEnc = srcsEnc,
       blockRows = nRows,
       totalTokens = nTok.toLong,
+      // zone map straight from the selection stats pass (no extra scan);
+      // ColumnStats.empty already carries the prune-always sentinels
+      minTok = be.stats.min,
+      maxTok = be.stats.max,
       rawBytes = 4L * nTok,
       encodedBytes = be.encodedBytes + lensEnc.length,
       metaBytes = idsEnc.length.toLong + srcsEnc.length,
@@ -614,7 +618,7 @@ object TokenDecoder {
     */
   private[encode] def committedBlocks(spark: SparkSession, outDir: String,
                               partIds: Option[Set[Int]]): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
     // fail LOUDLY on a store whose lineage exists but whose commit
     // markers don't fit the (partId, runId) protocol — silently
     // decoding such a store as zero rows would read as data loss (and
@@ -641,7 +645,15 @@ object TokenDecoder {
           "zero rows for real data.")
       case _ => ()
     }
-    val all = spark.read.parquet(s"$outDir/blocks")
+    val all0 = spark.read.parquet(s"$outDir/blocks")
+    // pre-zone-map stores lack minTok/maxTok: backfill the no-pruning
+    // sentinels so every intersects-[lo,hi] predicate keeps the block
+    // (correct, just unpruned). New stores get these as real parquet
+    // columns, so the same predicates reach the scan as pushed filters.
+    val all =
+      if (all0.columns.contains("minTok")) all0
+      else all0.withColumn("minTok", lit(Int.MinValue))
+        .withColumn("maxTok", lit(Int.MaxValue))
     val pruned = partIds.fold(all)(ids =>
       all.where(col("partId").isInCollection(ids.map(Int.box))))
     val committed = spark.read.parquet(s"$outDir/lineage")

@@ -87,6 +87,11 @@ final case class EncodedBlock(
     sourcesEnc: Array[Byte], // varint dict count + dict strings + varint ids
     blockRows: Int,
     totalTokens: Long,
+    minTok: Int,          // zone map: min/max token value in the block.
+    maxTok: Int,          // Empty block => (Int.MaxValue, Int.MinValue),
+                          // so any intersects-[lo,hi] predicate prunes it.
+                          // Readers of pre-zone-map stores backfill the
+                          // no-pruning sentinels (MinValue, MaxValue).
     rawBytes: Long,       // 4 * totalTokens
     encodedBytes: Long,   // symtab + payload + lengthsEnc
     metaBytes: Long,      // docIdsEnc + sourcesEnc

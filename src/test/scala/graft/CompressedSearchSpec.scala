@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.codec.{BlockCodec, CodecIds}
+import graft.encode.{CompressedSearch, TokenEncoder}
+import graft.model.TokenRow
+
+/** Compressed-domain predicate evaluation: per-codec kernel parity,
+  * symtab-only dict rejection, zone-map columns + pushed pruning, and
+  * store-level equality against a brute-force scan of the raw rows.
+  */
+class CompressedSearchSpec extends SparkSpecBase {
+
+  private def brute(vals: Array[Int], lo: Int, hi: Int): Long =
+    vals.count(v => v >= lo && v <= hi).toLong
+
+  /** One array per codec regime, engineered so each codec CAN encode it. */
+  private val regimes: Seq[(String, Array[Int])] = Seq(
+    "runs" -> (Array.fill(2000)(7) ++ Array.fill(500)(113) ++ Array.fill(100)(99999)),
+    "lowcard" -> Array.tabulate(3000)(i => Array(3, 113, 42, 7)(i % 4)),
+    "narrow" -> Array.tabulate(3000)(i => 100 + (i * 31 % 40)),
+    "smooth" -> Array.tabulate(3000)(i => i * 2 + (i % 3)),
+    "random" -> {
+      val r = new scala.util.Random(7)
+      Array.fill(3000)(r.nextInt(1 << 20))
+    },
+    "outliers" -> Array.tabulate(3000)(i => if (i % 500 == 0) 1 << 28 else i % 64)
+  )
+
+  test("countInRange matches a decoded scan for EVERY codec kernel") {
+    for ((name, vals) <- regimes; (cid, codec) <- BlockCodec.codecs) {
+      val e = codec.encode(vals, vals.length)
+      if (e != null) { // null = codec can't represent this input; fine
+        for ((lo, hi) <- Seq((100, 116), (7, 7), (0, Int.MaxValue),
+          (Int.MinValue, Int.MaxValue), (1 << 27, Int.MaxValue), (200, 100))) {
+          val got = CompressedSearch.countInRange(
+            cid, 0, e.symtab, e.payload, vals.length, lo, hi)
+          val want = if (lo > hi) 0L else brute(vals, lo, hi)
+          assert(got == want, s"$name/${codec.name} [$lo,$hi]: $got != $want")
+        }
+      }
+    }
+  }
+
+  test("countInRange through encodeAuto including the zstd post-pass") {
+    for ((name, vals) <- regimes) {
+      val be = BlockCodec.encodeAuto(vals, vals.length, zstd = true)
+      val got = CompressedSearch.countInRange(be.codecId, be.postCodec,
+        be.symtab, be.payload, vals.length, 100, 116)
+      assert(got == brute(vals, 100, 116), s"$name (codec ${be.codecId})")
+    }
+  }
+
+  test("dict rejection is symtab-only: payload is never touched") {
+    val vals = Array.tabulate(3000)(i => Array(3, 113, 42, 7)(i % 4))
+    val e = codec.DictCodec.encode(vals, vals.length)
+    assert(e != null)
+    // range misses every dict value -> whole-block reject; null payload
+    // PROVES the payload bytes are not read on this path
+    assert(CompressedSearch.dictRejects(CodecIds.Dict, e.symtab, 50, 100))
+    assert(CompressedSearch.countInRange(CodecIds.Dict, 0, e.symtab,
+      null, vals.length, 50, 100) == 0L)
+    // hi = Int.MaxValue must not reject when a dict value is in range
+    assert(!CompressedSearch.dictRejects(CodecIds.Dict, e.symtab,
+      100, Int.MaxValue))
+    assert(CompressedSearch.dictRejects(CodecIds.Dict, e.symtab,
+      114, Int.MaxValue))
+    assert(CompressedSearch.countInRange(CodecIds.Dict, 0, e.symtab,
+      e.payload, vals.length, 100, Int.MaxValue) == brute(vals, 100, Int.MaxValue))
+  }
+
+  test("store: zone-map columns, pushed pruning, search/count vs brute") {
+    import spark.implicits._
+    val ds = graft.synth.TokenSynth.dataset(spark, 600)
+    val dir = tmpDir("graft-csearch")
+    TokenEncoder.run(ds, dir,
+      TokenEncoder.EncodeConfig(targetRowsPerPart = 200))
+
+    // zone maps sealed on every block; empty blocks carry the
+    // prune-always sentinels
+    val blocks = spark.read.parquet(s"$dir/blocks")
+    assert(blocks.columns.contains("minTok") && blocks.columns.contains("maxTok"))
+    val bad = blocks.where(col("totalTokens") > 0 &&
+      (col("minTok") > col("maxTok"))).count()
+    assert(bad == 0L)
+
+    val (lo, hi) = (100, 116)
+    val got = CompressedSearch.searchDocs(spark, dir, lo, hi)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = ds.collect()
+      .map(r => (r.doc_id, r.source) -> brute(r.tokens, lo, hi))
+      .filter(_._2 > 0).toMap
+    assert(got == want)
+
+    val n = CompressedSearch.countTokens(spark, dir, lo, hi)
+      .collect()(0).getLong(0)
+    assert(n == want.values.sum)
+
+    // the zone predicate reaches the parquet scan as a pushed filter
+    val plan = CompressedSearch.searchDocs(spark, dir, lo, hi)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("minTok"),
+      s"zone predicate not pushed:\n$plan")
+
+    // disjoint range: zero rows, zero count
+    assert(CompressedSearch.searchDocs(spark, dir, -10, -2).count() == 0L)
+    assert(CompressedSearch.countTokens(spark, dir, -10, -2)
+      .collect()(0).getLong(0) == 0L)
+  }
+
+  test("pre-zone-map store backfills sentinels (correct, just unpruned)") {
+    import spark.implicits._
+    val ds = graft.synth.TokenSynth.dataset(spark, 300)
+    val dir = tmpDir("graft-csearch-legacy")
+    TokenEncoder.run(ds, dir, TokenEncoder.EncodeConfig(targetRowsPerPart = 200))
+    // strip the zone-map columns, emulating a store written before them
+    val stripped = spark.read.parquet(s"$dir/blocks")
+      .drop("minTok", "maxTok").collect()
+    val schema = spark.read.parquet(s"$dir/blocks").drop("minTok", "maxTok").schema
+    val legacyBlocks = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(stripped: _*)), schema)
+    val tmp = tmpDir("graft-csearch-legacy-blocks")
+    legacyBlocks.write.mode("overwrite")
+      .option("compression", "uncompressed").parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(s"$dir/blocks"))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(s"$dir/blocks"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+
+    // full decode still round-trips, and search still matches brute
+    val back = graft.encode.TokenDecoder.read(spark, dir)
+    assert(ds.toDF().exceptAll(back.toDF()).count() == 0L &&
+      back.toDF().exceptAll(ds.toDF()).count() == 0L)
+    val got = CompressedSearch.searchDocs(spark, dir, 100, 116)
+      .agg(sum("n_hits")).collect()(0).getLong(0)
+    val want = ds.collect().map(r => brute(r.tokens, 100, 116)).sum
+    assert(got == want)
+  }
+}
