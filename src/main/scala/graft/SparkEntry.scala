@@ -1261,7 +1261,15 @@ object SparkEntry {
       // spans and RLE run lengths where those codecs won the block —
       // no row is ever materialized (see CompressedSearch tier docs)
       graft.encode.CompressedSearch
-        .countTokens(s, encodedStore(s, d), 100, 116))
+        .countTokens(s, encodedStore(s, d), 100, 116)),
+    "q_encoded_frequency" -> ((s, d) =>
+      // the reference's `frequency` command over the ENCODED corpus:
+      // per-block compressed-domain histograms (dict codes / RLE runs),
+      // shuffle proportional to vocabulary, never to token count
+      graft.encode.CompressedSearch
+        .tokenFrequency(s, encodedStore(s, d))
+        .orderBy(col("n_occ").desc, col("token"))
+        .limit(30))
   )
 
   /** Bench-mode variants: identical engine plans MINUS the oracle
@@ -2630,6 +2638,11 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_in_range
         |FROM (SELECT unnest(tokens) AS tok
         |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet'))
-        |WHERE tok BETWEEN 100 AND 116""".stripMargin
+        |WHERE tok BETWEEN 100 AND 116""".stripMargin,
+    "q_encoded_frequency" ->
+      """SELECT tok AS token, CAST(count(*) AS BIGINT) AS n_occ
+        |FROM (SELECT unnest(tokens) AS tok
+        |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet'))
+        |GROUP BY tok ORDER BY n_occ DESC, tok LIMIT 30""".stripMargin
   )
 }

@@ -147,6 +147,71 @@ object CompressedSearch {
       .agg(coalesce(sum("c"), lit(0L)).as("n_in_range"))
   }
 
+  /** Per-token occurrence counts over the encoded store — the
+    * reference's `frequency` command (undatum/cmds/selector.py uniq /
+    * frequency surface) re-targeted at the compressed corpus.
+    * Compressed-domain per block: Dict blocks histogram index codes
+    * straight into a dense array over the dictionary (O(n) + O(card)),
+    * RLE blocks read (value, run) pairs so a length-r run costs O(1),
+    * other codecs decode their value stream and histogram locally.
+    * Every block emits PRE-AGGREGATED (token, n_occ) pairs, so the
+    * shuffle carries at most `card` rows per block, never `n` — at
+    * 10^12 tokens the exchange is proportional to vocabulary size,
+    * not corpus size.
+    */
+  def tokenFrequency(spark: SparkSession, outDir: String,
+                     lo: Int = Int.MinValue,
+                     hi: Int = Int.MaxValue): DataFrame = {
+    import spark.implicits._
+    TokenDecoder.committedBlocks(spark, outDir, None)
+      .where(zone(lo, hi))
+      .select("codecId", "postCodec", "symtab", "payload", "totalTokens")
+      .as[(Int, Int, Array[Byte], Array[Byte], Long)]
+      .flatMap { case (cid, post, st, pay, nTokL) =>
+        val n = nTokL.toInt
+        if (n == 0 || dictRejects(cid, st, lo, hi)) Iterator.empty
+        else cid match {
+          case CodecIds.Dict =>
+            val dict = DictCodec.readDict(st)
+            val iLo = lowerBound(dict, lo)
+            val iHi = upperIndex(dict, hi)
+            val codes = Bits.unpack(
+              new ByteReader(rawPayload(post, pay)), n,
+              DictCodec.indexWidth(st))
+            val counts = new Array[Long](dict.length)
+            var i = 0
+            while (i < n) { counts(codes(i).toInt) += 1; i += 1 }
+            (iLo until iHi).iterator
+              .filter(counts(_) > 0L)
+              .map(j => (dict(j), counts(j)))
+          case CodecIds.Rle =>
+            val r = new ByteReader(rawPayload(post, pay))
+            val m = new scala.collection.mutable.LongMap[Long]()
+            var i = 0
+            while (i < n) {
+              val v = r.readZigZag()
+              val run = r.readVarInt()
+              if (v >= lo && v <= hi) m(v.toLong) = m.getOrElse(v.toLong, 0L) + run
+              i += run
+            }
+            m.iterator.map { case (v, c) => (v.toInt, c) }
+          case _ =>
+            val vals = BlockCodec.decode(cid, post, st, pay, n)
+            val m = new scala.collection.mutable.LongMap[Long]()
+            var i = 0
+            while (i < n) {
+              val v = vals(i)
+              if (v >= lo && v <= hi) m(v.toLong) = m.getOrElse(v.toLong, 0L) + 1L
+              i += 1
+            }
+            m.iterator.map { case (v, c) => (v.toInt, c) }
+        }
+      }
+      .toDF("token", "n_occ")
+      .groupBy("token")
+      .agg(sum("n_occ").as("n_occ"))
+  }
+
   /** Documents containing a token in [lo, hi], with per-document hit
     * counts: (doc_id, source, n_hits), only matches emitted. Block
     * scan is zone-map pruned and dict-rejected first; surviving blocks

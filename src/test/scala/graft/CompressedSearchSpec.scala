@@ -106,6 +106,17 @@ class CompressedSearchSpec extends SparkSpecBase {
     assert(CompressedSearch.searchDocs(spark, dir, -10, -2).count() == 0L)
     assert(CompressedSearch.countTokens(spark, dir, -10, -2)
       .collect()(0).getLong(0) == 0L)
+
+    // compressed-domain frequency == brute histogram of the raw rows,
+    // full-vocab and range-restricted
+    val allTokens = ds.collect().flatMap(_.tokens)
+    val wantFreq = allTokens.groupBy(identity).map { case (t, a) => (t, a.length.toLong) }
+    val gotFreq = CompressedSearch.tokenFrequency(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(gotFreq == wantFreq)
+    val gotR = CompressedSearch.tokenFrequency(spark, dir, lo, hi)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(gotR == wantFreq.filter { case (t, _) => t >= lo && t <= hi })
   }
 
   test("pre-zone-map store backfills sentinels (correct, just unpruned)") {
