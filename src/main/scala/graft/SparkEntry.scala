@@ -1269,7 +1269,21 @@ object SparkEntry {
       graft.encode.CompressedSearch
         .tokenFrequency(s, encodedStore(s, d))
         .orderBy(col("n_occ").desc, col("token"))
-        .limit(30))
+        .limit(30)),
+    "q_vector_roundtrip" -> ((s, d) => {
+      // lossless float32 block compression of the embedding column
+      // (byte-plane shuffle / Gorilla-style XOR / plain, auto-picked):
+      // encode -> decode must restore every (vec_id, embedding) pair
+      // bit-exactly; the roundtrip gate is the same exceptAll shape as
+      // q_encode_roundtrip
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val back = graft.encode.VectorBlocks.decode(
+        graft.encode.VectorBlocks.encode(emb, "embedding", "vec_id"))
+      val bad = emb.exceptAll(back).count() + back.exceptAll(emb).count()
+      Seq((bad, emb.count())).toDF("n_mismatch", "n_rows")
+    })
   )
 
   /** Bench-mode variants: identical engine plans MINUS the oracle
@@ -2643,6 +2657,9 @@ object SparkEntry {
       """SELECT tok AS token, CAST(count(*) AS BIGINT) AS n_occ
         |FROM (SELECT unnest(tokens) AS tok
         |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet'))
-        |GROUP BY tok ORDER BY n_occ DESC, tok LIMIT 30""".stripMargin
+        |GROUP BY tok ORDER BY n_occ DESC, tok LIMIT 30""".stripMargin,
+    "q_vector_roundtrip" ->
+      """SELECT CAST(0 AS BIGINT) AS n_mismatch,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_rows""".stripMargin
   )
 }
