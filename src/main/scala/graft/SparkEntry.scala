@@ -73,8 +73,15 @@ object SparkEntry {
     import s.implicits._
     val ds = dumpSide(graft.synth.TokenSynth.dataset(s, 3000).toDF(),
       "encsearch_tokens").as[graft.model.TokenRow]
+    // content fingerprint in the dir key: a /tmp store surviving from
+    // an older tree can only be reused when it encodes EXACTLY this
+    // data — a TokenSynth change can never pair a stale store with a
+    // fresh oracle dump (one tiny agg job over 3000 rows)
+    val fp = ds.toDF()
+      .select(bit_xor(xxhash64(col("doc_id"), col("tokens"), col("source"))))
+      .first().getLong(0)
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-qencstore-z1-" +
-      java.lang.Integer.toHexString(sideDir.hashCode ^ d.hashCode)
+      java.lang.Long.toHexString(fp ^ (sideDir.hashCode.toLong << 32) ^ d.hashCode)
     graft.encode.TokenEncoder.run(ds, dir,
       graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 1000,
         inputFile = "token_synth"))
