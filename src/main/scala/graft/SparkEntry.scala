@@ -76,10 +76,18 @@ object SparkEntry {
     // content fingerprint in the dir key: a /tmp store surviving from
     // an older tree can only be reused when it encodes EXACTLY this
     // data — a TokenSynth change can never pair a stale store with a
-    // fresh oracle dump (one tiny agg job over 3000 rows)
-    val fp = ds.toDF()
-      .select(bit_xor(xxhash64(col("doc_id"), col("tokens"), col("source"))))
-      .first().getLong(0)
+    // fresh oracle dump (one tiny agg job over 3000 rows). The fold is
+    // order-insensitive but NOT duplicate-cancelling: bit_xor alone
+    // would cancel any even multiset of identical rows, so the count
+    // and the two overflow-safe half-sums of the row hashes (each
+    // bounded by 2^32 * rows, far under Long range) fold in too.
+    val h = xxhash64(col("doc_id"), col("tokens"), col("source"))
+    val fpRow = ds.toDF().select(
+      count(lit(1)), bit_xor(h),
+      sum(shiftrightunsigned(h, 32)),
+      sum(h.bitwiseAND(lit(0xFFFFFFFFL)))).first()
+    val fp = graft.encode.TokenEncoder.hash64(
+      s"${fpRow.getLong(0)}:${fpRow.getLong(1)}:${fpRow.getLong(2)}:${fpRow.getLong(3)}")
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-qencstore-z1-" +
       java.lang.Long.toHexString(fp ^ (sideDir.hashCode.toLong << 32) ^ d.hashCode)
     graft.encode.TokenEncoder.run(ds, dir,
@@ -1281,14 +1289,23 @@ object SparkEntry {
       // lossless float32 block compression of the embedding column
       // (byte-plane shuffle / Gorilla-style XOR / plain, auto-picked):
       // encode -> decode must restore every (vec_id, embedding) pair
-      // bit-exactly; the roundtrip gate is the same exceptAll shape as
-      // q_encode_roundtrip
+      // bit-exactly. The compare maps floats to their RAW BIT images
+      // first: a float-typed exceptAll would pass through Spark's
+      // NormalizeFloatingNumbers (-0.0 == 0.0, NaN payloads collapsed)
+      // and could not see a codec that canonicalizes those
       import s.implicits._
+      def asBits(df: DataFrame): DataFrame = df
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .map { case (id, v) => (id, v.map(java.lang.Float.floatToRawIntBits)) }
+        .toDF("vec_id", "bits")
       val emb = t(s, d, "embeddings")
         .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       val back = graft.encode.VectorBlocks.decode(
         graft.encode.VectorBlocks.encode(emb, "embedding", "vec_id"))
-      val bad = emb.exceptAll(back).count() + back.exceptAll(emb).count()
+      val a = asBits(emb)
+      val b = asBits(back)
+      val bad = a.exceptAll(b).count() + b.exceptAll(a).count()
       Seq((bad, emb.count())).toDF("n_mismatch", "n_rows")
     })
   )
@@ -1302,8 +1319,37 @@ object SparkEntry {
     * Verify keeps using `queries`, so correctness coverage is
     * unchanged.
     */
+  /** Bench form of [[encodedStore]]: same store content and encode
+    * config, minus the oracle-dump parquet write and the fingerprint
+    * job — both pure verification I/O per the bench contract above.
+    * Fixed dir; TokenEncoder.run's resume makes every rep after the
+    * first a metadata no-op. (Bench-only: a stale /tmp dir after a
+    * TokenSynth change could at worst skew a timing, never a verdict —
+    * Verify's fingerprinted dir is the correctness path.)
+    */
+  private def encodedStoreBench(s: SparkSession): String = {
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft-qencstore-z1-bench"
+    graft.encode.TokenEncoder.run(graft.synth.TokenSynth.dataset(s, 3000),
+      dir, graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 1000,
+        inputFile = "token_synth"))
+    dir
+  }
+
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries ++ Map[String, (SparkSession, String) => DataFrame](
+      "q_encoded_search" -> ((s, d) =>
+        graft.encode.CompressedSearch
+          .searchDocs(s, encodedStoreBench(s), 100, 116)
+          .orderBy("doc_id")),
+      "q_encoded_count" -> ((s, d) =>
+        graft.encode.CompressedSearch
+          .countTokens(s, encodedStoreBench(s), 100, 116)),
+      "q_encoded_frequency" -> ((s, d) =>
+        graft.encode.CompressedSearch
+          .tokenFrequency(s, encodedStoreBench(s))
+          .orderBy(col("n_occ").desc, col("token"))
+          .limit(30)),
       "q_minhash_pairs" -> ((s, d) => {
         val staged = Dedup.stageSignatures(t(s, d, "documents"),
           "doc_id", "text", 2, s"$sideDir/minhash_stage")

@@ -239,13 +239,18 @@ object BlockCodec {
     BlockEncoded(finalId, finalPost, finalSym, finalPay, s)
   }
 
+  /** Inverse of the zstd post-pass — the ONE frame unwrap shared by
+    * every decode path (int blocks, compressed-domain search, float
+    * blocks).
+    */
+  def unzstd(payload: Array[Byte]): Array[Byte] = {
+    val size = com.github.luben.zstd.Zstd.getFrameContentSize(payload)
+    com.github.luben.zstd.Zstd.decompress(payload, size.toInt)
+  }
+
   def decode(codecId: Int, postCodec: Int, symtab: Array[Byte],
              payload: Array[Byte], n: Int): Array[Int] = {
-    val raw =
-      if (postCodec == 1) {
-        val size = com.github.luben.zstd.Zstd.getFrameContentSize(payload)
-        com.github.luben.zstd.Zstd.decompress(payload, size.toInt)
-      } else payload
+    val raw = if (postCodec == 1) unzstd(payload) else payload
     codecs(codecId).decode(symtab, raw, n)
   }
 

@@ -225,11 +225,7 @@ object FloatCodec {
     val flag = r.readByte()
     val n = r.readVarInt()
     val body = java.util.Arrays.copyOfRange(block, r.pos, block.length)
-    val payload =
-      if (flag == 1) {
-        val size = com.github.luben.zstd.Zstd.getFrameContentSize(body)
-        com.github.luben.zstd.Zstd.decompress(body, size.toInt)
-      } else body
+    val payload = if (flag == 1) BlockCodec.unzstd(body) else body
     cid match {
       case Plain => unplain(payload, n)
       case Shuffle => unshuffle(payload, n)

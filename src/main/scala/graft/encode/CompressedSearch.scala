@@ -41,10 +41,7 @@ import graft.codec.{Bits, BlockCodec, ByteReader, CodecIds, DictCodec}
 object CompressedSearch {
 
   private def rawPayload(postCodec: Int, payload: Array[Byte]): Array[Byte] =
-    if (postCodec == 1) {
-      val size = com.github.luben.zstd.Zstd.getFrameContentSize(payload)
-      com.github.luben.zstd.Zstd.decompress(payload, size.toInt)
-    } else payload
+    if (postCodec == 1) BlockCodec.unzstd(payload) else payload
 
   /** First index with dict(i) >= v (sorted input). */
   private def lowerBound(dict: Array[Int], v: Int): Int = {
@@ -123,10 +120,14 @@ object CompressedSearch {
   /** The zone-map predicate every store-level scan shares: block token
     * range intersects [lo, hi]. On new stores minTok/maxTok are real
     * parquet columns, so this prunes at the scan (PushedFilters);
-    * empty blocks carry (MaxValue, MinValue) and never intersect.
+    * empty blocks carry (MaxValue, MinValue) and never intersect. The
+    * isNull arms keep the legacy rows of a mixed (resumed
+    * pre-zone-map) store — Or(IsNull, Le) is still parquet-pushable,
+    * and row groups without nulls prune exactly as before.
     */
   private def zone(lo: Int, hi: Int) =
-    col("minTok") <= hi && col("maxTok") >= lo
+    (col("minTok").isNull || col("minTok") <= hi) &&
+      (col("maxTok").isNull || col("maxTok") >= lo)
 
   /** Total number of tokens with value in [lo, hi] across the store —
     * one row (n_in_range). No row materialization anywhere: zone maps

@@ -645,11 +645,23 @@ object TokenDecoder {
           "zero rows for real data.")
       case _ => ()
     }
-    val all0 = spark.read.parquet(s"$outDir/blocks")
-    // pre-zone-map stores lack minTok/maxTok: backfill the no-pruning
-    // sentinels so every intersects-[lo,hi] predicate keeps the block
-    // (correct, just unpruned). New stores get these as real parquet
-    // columns, so the same predicates reach the scan as pushed filters.
+    // mergeSchema: a pre-zone-map store RESUMED by current code is a
+    // MIXED store (legacy files without minTok/maxTok next to new files
+    // with them); without the merge, Spark could infer the schema from
+    // a legacy footer and silently drop the new files' zone columns.
+    val all0 = spark.read.option("mergeSchema", "true")
+      .parquet(s"$outDir/blocks")
+    // Pre-zone-map stores lack minTok/maxTok entirely: backfill the
+    // no-pruning sentinels so every intersects-[lo,hi] predicate keeps
+    // the block (correct, just unpruned). In a MIXED store the merged
+    // schema gives legacy files NULL zone values; they are NOT
+    // coalesced here — that would wrap the columns in coalesce() and
+    // kill filter pushdown for pure-new stores too. Consumers stay
+    // null-safe instead: CompressedSearch's zone predicate keeps null
+    // rows (isNull OR compare, still parquet-pushable) and the decode
+    // boundary (readBlocks) coalesces to the sentinels just before
+    // .as[EncodedBlock], whose non-nullable Int fields would otherwise
+    // throw on legacy rows.
     val all =
       if (all0.columns.contains("minTok")) all0
       else all0.withColumn("minTok", lit(Int.MinValue))
@@ -667,7 +679,13 @@ object TokenDecoder {
                          partIds: Option[Set[Int]],
                          verifyChecksums: Boolean): Dataset[TokenRow] = {
     import spark.implicits._
-    val live = committedBlocks(spark, outDir, partIds).as[EncodedBlock]
+    // legacy rows of a mixed (resumed pre-zone-map) store carry null
+    // zone values — coalesce to the no-pruning sentinels here, at the
+    // typed boundary, where EncodedBlock's Int fields cannot hold null
+    val live = committedBlocks(spark, outDir, partIds)
+      .withColumn("minTok", coalesce(col("minTok"), lit(Int.MinValue)))
+      .withColumn("maxTok", coalesce(col("maxTok"), lit(Int.MaxValue)))
+      .as[EncodedBlock]
     if (!verifyChecksums) live.flatMap(decodeBlock)
     else live.flatMap { b =>
       val tokens = BlockCodec.decode(b.codecId, b.postCodec, b.symtab, b.payload,

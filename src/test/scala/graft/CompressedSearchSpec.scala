@@ -151,4 +151,44 @@ class CompressedSearchSpec extends SparkSpecBase {
     val want = ds.collect().map(r => brute(r.tokens, 100, 116)).sum
     assert(got == want)
   }
+
+  test("MIXED store (pre-zone-map files resumed by current code) stays exact") {
+    import spark.implicits._
+    val ds = graft.synth.TokenSynth.dataset(spark, 300)
+    val dir = tmpDir("graft-csearch-mixed")
+    TokenEncoder.run(ds, dir, TokenEncoder.EncodeConfig(targetRowsPerPart = 100))
+    // rewrite the blocks dir as a file-level schema MIX: even partIds
+    // without the zone columns (legacy files), odd partIds with them —
+    // exactly what TokenEncoder.run's append produces when it resumes
+    // a store encoded before the zone-map columns existed
+    val blocks = spark.read.parquet(s"$dir/blocks").cache()
+    val legacy = blocks.where(col("partId") % 2 === 0).drop("minTok", "maxTok")
+    val modern = blocks.where(col("partId") % 2 === 1)
+    assert(legacy.count() > 0 && modern.count() > 0, "need both halves")
+    val tmp = tmpDir("graft-csearch-mixed-blocks")
+    legacy.write.mode("append").option("compression", "uncompressed").parquet(tmp)
+    modern.write.mode("append").option("compression", "uncompressed").parquet(tmp)
+    blocks.unpersist()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(s"$dir/blocks"))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(s"$dir/blocks"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+
+    // decode boundary: legacy rows' null zone values coalesce before
+    // .as[EncodedBlock]; full round trip survives
+    val back = graft.encode.TokenDecoder.read(spark, dir)
+    assert(ds.toDF().exceptAll(back.toDF()).count() == 0L &&
+      back.toDF().exceptAll(ds.toDF()).count() == 0L)
+    // zone predicate: isNull arms keep every legacy block — counts and
+    // search match brute across BOTH halves
+    val want = ds.collect().map(r => brute(r.tokens, 100, 116)).sum
+    assert(CompressedSearch.countTokens(spark, dir, 100, 116)
+      .collect()(0).getLong(0) == want)
+    val gotFreq = CompressedSearch.tokenFrequency(spark, dir)
+      .agg(sum("n_occ")).collect()(0).getLong(0)
+    assert(gotFreq == ds.collect().map(_.tokens.length.toLong).sum)
+  }
 }
