@@ -33,6 +33,7 @@ class BenchJsonSpec extends AnyFunSuite {
     """"decode_scaling_efficiency":0.330,"ann_recall_lsh":0.938,""" +
     """"ann_scanned_lsh":0.038,"ann_recall_ivf":0.972,""" +
     """"ann_scanned_ivf":0.125,"ann_queries":32,"ann_k":10,""" +
+    """"vector_compression_ratio":1.234,"vector_encode_mb_per_sec":1234,""" +
     """"compression_ratio":5.080}"""
   private val sfDir = "/root/testdata/sf0.1"
   private val qFile = "/root/repo/BENCH_QUERIES.json"
