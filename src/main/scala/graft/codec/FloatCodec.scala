@@ -37,40 +37,47 @@ object FloatCodec {
 
   // ---- MSB-first bit IO (XOR kernel needs variable-width fields) ----
 
+  /** Word-based MSB-first writer: fields append into a 64-bit
+    * accumulator and flush whole bytes — an order of magnitude faster
+    * than bit-at-a-time for the XOR kernel's hot loop. Stale bits
+    * above the live `nbits` are masked at every emit, and the byte
+    * layout is identical to a bit-at-a-time MSB-first writer.
+    */
   private final class BitWriter(initial: Int = 256) {
     private val out = new ByteBuf(initial)
-    private var acc = 0
+    private var acc = 0L
     private var nbits = 0
-    def writeBit(b: Int): Unit = {
-      acc = (acc << 1) | (b & 1)
-      nbits += 1
-      if (nbits == 8) { out.writeByte(acc); acc = 0; nbits = 0 }
-    }
+    /** w <= 32; after each flush nbits < 8, so nbits + w <= 39 < 64. */
     def write(v: Long, w: Int): Unit = {
-      var k = w - 1
-      while (k >= 0) { writeBit(((v >>> k) & 1L).toInt); k -= 1 }
+      acc = (acc << w) | (v & (if (w == 0) 0L else (1L << w) - 1))
+      nbits += w
+      while (nbits >= 8) {
+        nbits -= 8
+        out.writeByte(((acc >>> nbits) & 0xFF).toInt)
+      }
     }
+    def writeBit(b: Int): Unit = write(b.toLong, 1)
+    def size: Int = out.size
     def toArray: Array[Byte] = {
-      if (nbits > 0) { out.writeByte(acc << (8 - nbits)); acc = 0; nbits = 0 }
+      if (nbits > 0) {
+        out.writeByte(((acc << (8 - nbits)) & 0xFF).toInt)
+        acc = 0L
+        nbits = 0
+      }
       out.toArray
     }
   }
 
   private final class BitReader(buf: Array[Byte]) {
     private var pos = 0
-    private var acc = 0
+    private var acc = 0L
     private var nbits = 0
-    def readBit(): Int = {
-      if (nbits == 0) { acc = buf(pos) & 0xFF; pos += 1; nbits = 8 }
-      nbits -= 1
-      (acc >>> nbits) & 1
-    }
     def read(w: Int): Long = {
-      var v = 0L
-      var k = 0
-      while (k < w) { v = (v << 1) | readBit(); k += 1 }
-      v
+      while (nbits < w) { acc = (acc << 8) | (buf(pos) & 0xFF); pos += 1; nbits += 8 }
+      nbits -= w
+      (acc >>> nbits) & (if (w == 0) 0L else (1L << w) - 1)
     }
+    def readBit(): Int = read(1).toInt
   }
 
   // ---- kernels (payload only; container added by encodeAuto) ----
@@ -211,11 +218,21 @@ object FloatCodec {
     * smallest FINAL (post-zstd) container. Deterministic.
     */
   def encodeAuto(values: Array[Float], n: Int, zstd: Boolean = true): Array[Byte] = {
-    val cands = Seq(
-      Shuffle -> shuffleBytes(values, n),
-      Xor -> xorBytes(values, n),
-      Plain -> plainBytes(values, n)
-    ).map { case (cid, p) => seal(cid, n, p, zstd) }
+    // sampled gate (the BlockCodec FSST-estimate pattern): XOR on
+    // isotropic noise runs near 32+ bits/value and can never beat the
+    // byte-plane shuffle there — skip its full trial when a prefix
+    // sample already shows it uncompetitive. The sample is an exact
+    // XOR encode of the prefix, so smooth/quantized regimes (where XOR
+    // wins) always pass the gate.
+    val tryXor = n <= 4096 || {
+      val s = 4096
+      xorBytes(values, s).length.toDouble / s < 3.5 // < 28 bits/value
+    }
+    val cands =
+      (Seq(Shuffle -> shuffleBytes(values, n)) ++
+        (if (tryXor) Seq(Xor -> xorBytes(values, n)) else Nil) ++
+        Seq(Plain -> plainBytes(values, n)))
+        .map { case (cid, p) => seal(cid, n, p, zstd) }
     cands.minBy(_.length)
   }
 
