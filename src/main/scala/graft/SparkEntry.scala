@@ -1285,6 +1285,13 @@ object SparkEntry {
         .tokenFrequency(s, encodedStore(s, d))
         .orderBy(col("n_occ").desc, col("token"))
         .limit(30)),
+    "q_encoded_search_src" -> ((s, d) =>
+      // both metadata prunes composed: the pinned plan's partId band
+      // drops every other source's blocks at the scan, zone maps prune
+      // the surviving band by token range — O(source's hit blocks)
+      graft.encode.CompressedSearch
+        .searchDocsInSource(s, encodedStore(s, d), "web", 100, 300)
+        .orderBy("doc_id")),
     "q_vector_roundtrip" -> ((s, d) => {
       // lossless float32 block compression of the embedding column
       // (byte-plane shuffle / Gorilla-style XOR / plain, auto-picked):
@@ -1345,6 +1352,10 @@ object SparkEntry {
       "q_encoded_count" -> ((s, d) =>
         graft.encode.CompressedSearch
           .countTokens(s, encodedStoreBench(s), 100, 116)),
+      "q_encoded_search_src" -> ((s, d) =>
+        graft.encode.CompressedSearch
+          .searchDocsInSource(s, encodedStoreBench(s), "web", 100, 300)
+          .orderBy("doc_id")),
       "q_encoded_frequency" -> ((s, d) =>
         graft.encode.CompressedSearch
           .tokenFrequency(s, encodedStoreBench(s))
@@ -2711,6 +2722,13 @@ object SparkEntry {
         |FROM (SELECT unnest(tokens) AS tok
         |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet'))
         |GROUP BY tok ORDER BY n_occ DESC, tok LIMIT 30""".stripMargin,
+    "q_encoded_search_src" ->
+      """WITH t AS (SELECT doc_id, source, unnest(tokens) AS tok
+        |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')
+        |  WHERE source = 'web')
+        |SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM t WHERE tok BETWEEN 100 AND 300
+        |GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
     "q_vector_roundtrip" ->
       """SELECT CAST(0 AS BIGINT) AS n_mismatch,
         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_rows""".stripMargin

@@ -221,9 +221,35 @@ object CompressedSearch {
     * at 10^12 rows shuffles a sliver of the corpus).
     */
   def searchDocs(spark: SparkSession, outDir: String,
-                 lo: Int, hi: Int): DataFrame = {
+                 lo: Int, hi: Int): DataFrame =
+    searchBlocks(spark, outDir, None, lo, hi)
+
+  /** Source-restricted search: composes BOTH metadata prunes — the
+    * pinned partition plan maps the source to its contiguous partId
+    * band (TokenDecoder.readSource's prune: every other source's
+    * blocks drop at the scan), and the zone maps prune the surviving
+    * band by token range. The overflow band can hold several rare
+    * sources, so a residual source filter on the emitted rows keeps
+    * exactness — cost is O(that source's matching blocks), not
+    * O(table).
+    */
+  def searchDocsInSource(spark: SparkSession, outDir: String, source: String,
+                         lo: Int, hi: Int): DataFrame = {
+    val plan = TokenEncoder.loadPlan(outDir)
+      .getOrElse(throw new IllegalArgumentException(s"no plan.json in $outDir"))
+    val ids: Set[Int] = plan.get(source) match {
+      case Some((base, salts)) => (base until (base + salts)).toSet
+      case None => Set(TokenEncoder.overflowSlotOf(plan, source))
+    }
+    searchBlocks(spark, outDir, Some(ids), lo, hi)
+      .where(col("source") === source)
+  }
+
+  private def searchBlocks(spark: SparkSession, outDir: String,
+                           partIds: Option[Set[Int]],
+                           lo: Int, hi: Int): DataFrame = {
     import spark.implicits._
-    TokenDecoder.committedBlocks(spark, outDir, None)
+    TokenDecoder.committedBlocks(spark, outDir, partIds)
       .where(zone(lo, hi))
       .select("codecId", "postCodec", "symtab", "payload", "lengthsEnc",
         "docIdsEnc", "sourcesEnc", "blockRows", "totalTokens")

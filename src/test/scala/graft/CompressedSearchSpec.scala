@@ -107,6 +107,18 @@ class CompressedSearchSpec extends SparkSpecBase {
     assert(CompressedSearch.countTokens(spark, dir, -10, -2)
       .collect()(0).getLong(0) == 0L)
 
+    // source-restricted search (partId band + zone maps composed) ==
+    // brute per source, for EVERY source — rare sources the sampled
+    // plan missed exercise the overflow-band residual-filter path
+    for (src <- graft.synth.TokenSynth.sources.map(_._1)) {
+      val gotS = CompressedSearch.searchDocsInSource(spark, dir, src, lo, hi)
+        .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      val wantS = ds.collect().filter(_.source == src)
+        .map(r => r.doc_id -> brute(r.tokens, lo, hi))
+        .filter(_._2 > 0).toMap
+      assert(gotS == wantS, s"source $src")
+    }
+
     // compressed-domain frequency == brute histogram of the raw rows,
     // full-vocab and range-restricted
     val allTokens = ds.collect().flatMap(_.tokens)
