@@ -353,25 +353,37 @@ object Bench {
     // --- float vector-column compression over the driver embeddings --
     // (round 5: VectorBlocks/FloatCodec — lossless ratio + encode rate;
     // FloatCodecSpec proves the bit-exact round trip, the bench just
-    // measures what the codecs buy on the real isotropic-random table)
-    val (vecRatio, vecMBps) = try {
+    // measures what the codecs buy on the real isotropic-random table).
+    // The driver table is tiny (2000 x 64 floats = 0.5 MB), so a bare
+    // wall measurement is pure job overhead: replicate x32 for the
+    // yardstick and report BOTH the wall rate (job-inclusive) and the
+    // per-core kernel rate (sum raw / sum in-kernel nanos — the same
+    // encodeMillis convention as the token blocks).
+    val (vecRatio, vecMBps, vecKernelMBps) = try {
       import org.apache.spark.sql.functions.{col, sum}
       val emb = sHi2.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("long").as("vec_id"),
           col("embedding").cast("array<float>").as("embedding"))
+        .crossJoin(sHi2.range(32).select(col("id").as("rep")))
+        .select(col("vec_id"), col("embedding"))
+        .repartition(16)
+        .cache()
+      emb.count() // materialize: time the encode, not the replication
       val t0 = System.nanoTime()
       val agg = graft.encode.VectorBlocks.encode(emb, "embedding", "vec_id")
-        .agg(sum("raw_bytes"), sum("enc_bytes")).collect()(0)
+        .agg(sum("raw_bytes"), sum("enc_bytes"), sum("enc_nanos")).collect()(0)
       val secs = (System.nanoTime() - t0) / 1e9
+      emb.unpersist(blocking = false)
       (agg.getLong(0).toDouble / math.max(1L, agg.getLong(1)),
-        agg.getLong(0) / 1048576.0 / secs)
+        agg.getLong(0) / 1048576.0 / secs,
+        agg.getLong(0) / 1048576.0 / (agg.getLong(2) / 1e9))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] vector compression FAILED: ${e.getMessage}")
-      (-1.0, -1.0)
+      (-1.0, -1.0, -1.0)
     }
 
     val encodeJson =
-      f"""{"rows":$benchRows,"tokens":$tokHi,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"tokens_per_sec_lo":${thrLo.toLong},"tokens_per_sec_hi":${thrHi.toLong},"reps":$reps,"inversion_retries":$inversionRetries,"inversion_unresolved":$inversionUnresolved,"pair_scaling_efficiency_best":$pairEffBest%.3f,"decode_retries":$decodeRetries,"scaling_efficiency":$eff%.3f,"tokens_per_sec_c2":${thr2.toLong},"tokens_per_sec_c8":${thr8.toLong},"scaling_efficiency_2_8":$eff28%.3f,"noshuffle_tokens_per_sec_lo":${thrNsLo.toLong},"noshuffle_tokens_per_sec_hi":${thrNsHi.toLong},"kernel_tokens_per_sec_1":${kern1.toLong},"kernel_tokens_per_sec_8":${kern8.toLong},"kernel_scaling_1_8":$kernEff18%.3f,"decode_tokens_per_sec":${thrDec.toLong},"decode_tokens_per_sec_lo":${thrDecLoF.toLong},"decode_scaling_efficiency":$effDec%.3f,"ann_recall_lsh":$recallLsh%.3f,"ann_scanned_lsh":$fracLsh%.3f,"ann_recall_ivf":$recallIvf%.3f,"ann_scanned_ivf":$fracIvf%.3f,"ann_queries":$AnnQueries,"ann_k":$AnnK,"vector_compression_ratio":$vecRatio%.3f,"vector_encode_mb_per_sec":${vecMBps.toLong},"compression_ratio":$ratio%.3f}"""
+      f"""{"rows":$benchRows,"tokens":$tokHi,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"tokens_per_sec_lo":${thrLo.toLong},"tokens_per_sec_hi":${thrHi.toLong},"reps":$reps,"inversion_retries":$inversionRetries,"inversion_unresolved":$inversionUnresolved,"pair_scaling_efficiency_best":$pairEffBest%.3f,"decode_retries":$decodeRetries,"scaling_efficiency":$eff%.3f,"tokens_per_sec_c2":${thr2.toLong},"tokens_per_sec_c8":${thr8.toLong},"scaling_efficiency_2_8":$eff28%.3f,"noshuffle_tokens_per_sec_lo":${thrNsLo.toLong},"noshuffle_tokens_per_sec_hi":${thrNsHi.toLong},"kernel_tokens_per_sec_1":${kern1.toLong},"kernel_tokens_per_sec_8":${kern8.toLong},"kernel_scaling_1_8":$kernEff18%.3f,"decode_tokens_per_sec":${thrDec.toLong},"decode_tokens_per_sec_lo":${thrDecLoF.toLong},"decode_scaling_efficiency":$effDec%.3f,"ann_recall_lsh":$recallLsh%.3f,"ann_scanned_lsh":$fracLsh%.3f,"ann_recall_ivf":$recallIvf%.3f,"ann_scanned_ivf":$fracIvf%.3f,"ann_queries":$AnnQueries,"ann_k":$AnnK,"vector_compression_ratio":$vecRatio%.3f,"vector_encode_mb_per_sec":${vecMBps.toLong},"vector_kernel_mb_per_sec":${vecKernelMBps.toLong},"compression_ratio":$ratio%.3f}"""
 
     // full per-query map -> sibling file; the stdout line stays a
     // compact summary (round 3 lost the bench signal when the 71-query

@@ -41,12 +41,15 @@ object VectorBlocks {
             System.arraycopy(v, 0, all, off, v.length)
             off += v.length
           }
+          val t0 = System.nanoTime()
           val block = FloatCodec.encodeAuto(all, nFloats)
+          val encNanos = System.nanoTime() - t0
           (ids, dims, block, chunk.length, 4L * nFloats,
-            block.length.toLong, FloatCodec.codecOf(block))
+            block.length.toLong, FloatCodec.codecOf(block), encNanos)
         }
       }
-      .toDF("ids", "dims", "block", "n_rows", "raw_bytes", "enc_bytes", "codec")
+      .toDF("ids", "dims", "block", "n_rows", "raw_bytes", "enc_bytes",
+        "codec", "enc_nanos")
   }
 
   def decode(blocks: DataFrame): DataFrame = {
