@@ -1285,6 +1285,14 @@ object SparkEntry {
         .tokenFrequency(s, encodedStore(s, d))
         .orderBy(col("n_occ").desc, col("token"))
         .limit(30)),
+    "q_encoded_read" -> ((s, d) =>
+      // selective decode: full rows for only the docs holding a token
+      // in range — O(hits) decode; the oracle recomputes the matching
+      // (doc_id, n_tok, source) set from the raw side dump
+      graft.encode.CompressedSearch
+        .readDocs(s, encodedStore(s, d), 100, 116)
+        .toDF().select("doc_id", "n_tok", "source")
+        .orderBy("doc_id")),
     "q_encoded_search_src" -> ((s, d) =>
       // both metadata prunes composed: the pinned plan's partId band
       // drops every other source's blocks at the scan, zone maps prune
@@ -1355,6 +1363,11 @@ object SparkEntry {
       "q_encoded_search_src" -> ((s, d) =>
         graft.encode.CompressedSearch
           .searchDocsInSource(s, encodedStoreBench(s), "web", 100, 300)
+          .orderBy("doc_id")),
+      "q_encoded_read" -> ((s, d) =>
+        graft.encode.CompressedSearch
+          .readDocs(s, encodedStoreBench(s), 100, 116)
+          .toDF().select("doc_id", "n_tok", "source")
           .orderBy("doc_id")),
       "q_encoded_frequency" -> ((s, d) =>
         graft.encode.CompressedSearch
@@ -2722,6 +2735,11 @@ object SparkEntry {
         |FROM (SELECT unnest(tokens) AS tok
         |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet'))
         |GROUP BY tok ORDER BY n_occ DESC, tok LIMIT 30""".stripMargin,
+    "q_encoded_read" ->
+      """SELECT doc_id, n_tok, source
+        |FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')
+        |WHERE len(list_filter(tokens, x -> x BETWEEN 100 AND 116)) > 0
+        |ORDER BY doc_id""".stripMargin,
     "q_encoded_search_src" ->
       """WITH t AS (SELECT doc_id, source, unnest(tokens) AS tok
         |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')

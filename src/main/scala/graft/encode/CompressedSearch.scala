@@ -245,6 +245,53 @@ object CompressedSearch {
       .where(col("source") === source)
   }
 
+  /** Selective decode: full TokenRows for ONLY the documents holding a
+    * token in [lo, hi] — the pruned-read family's predicate member
+    * (read / readSource / readMeta / readDocs). Zone maps prune blocks
+    * at the scan, dict symtabs reject without the payload, hit blocks
+    * decode once and emit only matching rows — at a selective
+    * predicate the decode (and everything downstream) is O(hits),
+    * not O(corpus).
+    */
+  def readDocs(spark: SparkSession, outDir: String,
+               lo: Int, hi: Int): org.apache.spark.sql.Dataset[graft.model.TokenRow] = {
+    import spark.implicits._
+    TokenDecoder.committedBlocks(spark, outDir, None)
+      .where(zone(lo, hi))
+      .select("codecId", "postCodec", "symtab", "payload", "lengthsEnc",
+        "docIdsEnc", "sourcesEnc", "blockRows", "totalTokens")
+      .as[(Int, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte],
+        Array[Byte], Int, Long)]
+      .flatMap { case (cid, post, st, pay, lensEnc, dEnc, sEnc, nRows, nTok) =>
+        if (dictRejects(cid, st, lo, hi)) Iterator.empty
+        else {
+          val tokens = BlockCodec.decode(cid, post, st, pay, nTok.toInt)
+          val docIds = graft.codec.StringCols.decodeDocIds(dEnc, nRows)
+          val sources = graft.codec.StringCols.decodeSources(sEnc, nRows)
+          val lens = new ByteReader(lensEnc)
+          var off = 0
+          (0 until nRows).iterator.flatMap { i =>
+            val n = lens.readVarInt()
+            var hit = false
+            var k = off
+            while (!hit && k < off + n) {
+              val v = tokens(k)
+              if (v >= lo && v <= hi) hit = true
+              k += 1
+            }
+            val row =
+              if (hit)
+                Iterator.single(graft.model.TokenRow(docIds(i),
+                  java.util.Arrays.copyOfRange(tokens, off, off + n), n,
+                  sources(i)))
+              else Iterator.empty
+            off += n
+            row
+          }
+        }
+      }
+  }
+
   private def searchBlocks(spark: SparkSession, outDir: String,
                            partIds: Option[Set[Int]],
                            lo: Int, hi: Int): DataFrame = {

@@ -107,6 +107,14 @@ class CompressedSearchSpec extends SparkSpecBase {
     assert(CompressedSearch.countTokens(spark, dir, -10, -2)
       .collect()(0).getLong(0) == 0L)
 
+    // selective decode: exactly the hit rows, tokens intact
+    val gotRead = CompressedSearch.readDocs(spark, dir, lo, hi)
+      .collect().map(r => (r.doc_id, r.source, r.tokens.toSeq)).toSet
+    val wantRead = ds.collect()
+      .filter(r => brute(r.tokens, lo, hi) > 0)
+      .map(r => (r.doc_id, r.source, r.tokens.toSeq)).toSet
+    assert(gotRead == wantRead)
+
     // source-restricted search (partId band + zone maps composed) ==
     // brute per source, for EVERY source — rare sources the sampled
     // plan missed exercise the overflow-band residual-filter path
