@@ -375,15 +375,16 @@ object Bench {
         .select(col("vec_id"), col("embedding"))
         .repartition(16)
         .cache()
-      emb.count() // materialize: time the encode, not the replication
-      val t0 = System.nanoTime()
-      val agg = graft.encode.VectorBlocks.encode(emb, "embedding", "vec_id")
-        .agg(sum("raw_bytes"), sum("enc_nanos")).collect()(0)
-      val secs = (System.nanoTime() - t0) / 1e9
-      emb.unpersist(blocking = false)
-      (ratioV,
-        agg.getLong(0) / 1048576.0 / secs,
-        agg.getLong(0) / 1048576.0 / (agg.getLong(1) / 1e9))
+      try {
+        emb.count() // materialize: time the encode, not the replication
+        val t0 = System.nanoTime()
+        val agg = graft.encode.VectorBlocks.encode(emb, "embedding", "vec_id")
+          .agg(sum("raw_bytes"), sum("enc_nanos")).collect()(0)
+        val secs = (System.nanoTime() - t0) / 1e9
+        (ratioV,
+          agg.getLong(0) / 1048576.0 / secs,
+          agg.getLong(0) / 1048576.0 / (agg.getLong(1) / 1e9))
+      } finally emb.unpersist(blocking = false)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] vector compression FAILED: ${e.getMessage}")
       (-1.0, -1.0, -1.0)

@@ -57,7 +57,6 @@ object FloatCodec {
       }
     }
     def writeBit(b: Int): Unit = write(b.toLong, 1)
-    def size: Int = out.size
     def toArray: Array[Byte] = {
       if (nbits > 0) {
         out.writeByte(((acc << (8 - nbits)) & 0xFF).toInt)
@@ -220,13 +219,21 @@ object FloatCodec {
   def encodeAuto(values: Array[Float], n: Int, zstd: Boolean = true): Array[Byte] = {
     // sampled gate (the BlockCodec FSST-estimate pattern): XOR on
     // isotropic noise runs near 32+ bits/value and can never beat the
-    // byte-plane shuffle there — skip its full trial when a prefix
-    // sample already shows it uncompetitive. The sample is an exact
-    // XOR encode of the prefix, so smooth/quantized regimes (where XOR
-    // wins) always pass the gate.
+    // byte-plane shuffle there — skip its full trial when sampling
+    // shows it uncompetitive. The sample is STRIDED (four 1024-value
+    // windows at 0, n/4, n/2, 3n/4), not a prefix, so a block mixing a
+    // noisy head with a compressible tail still averages under the
+    // threshold when XOR would win overall; each window is an exact
+    // XOR encode, and the mean of window rates estimates the
+    // full-block rate.
     val tryXor = n <= 4096 || {
-      val s = 4096
-      xorBytes(values, s).length.toDouble / s < 3.5 // < 28 bits/value
+      val w = 1024
+      val starts = Seq(0, n / 4, n / 2, 3 * n / 4).map(math.min(_, n - w))
+      val bytes = starts.map { s =>
+        val win = java.util.Arrays.copyOfRange(values, s, s + w)
+        xorBytes(win, w).length
+      }.sum
+      bytes.toDouble / (starts.size * w) < 3.5 // < 28 bits/value
     }
     val cands =
       (Seq(Shuffle -> shuffleBytes(values, n)) ++

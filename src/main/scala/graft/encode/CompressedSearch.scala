@@ -256,45 +256,55 @@ object CompressedSearch {
   def readDocs(spark: SparkSession, outDir: String,
                lo: Int, hi: Int): org.apache.spark.sql.Dataset[graft.model.TokenRow] = {
     import spark.implicits._
-    TokenDecoder.committedBlocks(spark, outDir, None)
-      .where(zone(lo, hi))
-      .select("codecId", "postCodec", "symtab", "payload", "lengthsEnc",
-        "docIdsEnc", "sourcesEnc", "blockRows", "totalTokens")
-      .as[(Int, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte],
-        Array[Byte], Int, Long)]
-      .flatMap { case (cid, post, st, pay, lensEnc, dEnc, sEnc, nRows, nTok) =>
-        if (dictRejects(cid, st, lo, hi)) Iterator.empty
-        else {
-          val tokens = BlockCodec.decode(cid, post, st, pay, nTok.toInt)
-          val docIds = graft.codec.StringCols.decodeDocIds(dEnc, nRows)
-          val sources = graft.codec.StringCols.decodeSources(sEnc, nRows)
-          val lens = new ByteReader(lensEnc)
-          var off = 0
-          (0 until nRows).iterator.flatMap { i =>
-            val n = lens.readVarInt()
-            var hit = false
-            var k = off
-            while (!hit && k < off + n) {
-              val v = tokens(k)
-              if (v >= lo && v <= hi) hit = true
-              k += 1
-            }
-            val row =
-              if (hit)
-                Iterator.single(graft.model.TokenRow(docIds(i),
-                  java.util.Arrays.copyOfRange(tokens, off, off + n), n,
-                  sources(i)))
-              else Iterator.empty
-            off += n
-            row
-          }
-        }
+    scanRows(spark, outDir, None, lo, hi) { (docId, source, tokens, off, n) =>
+      var hit = false
+      var k = off
+      while (!hit && k < off + n) {
+        val v = tokens(k)
+        if (v >= lo && v <= hi) hit = true
+        k += 1
       }
+      if (hit)
+        Iterator.single(graft.model.TokenRow(docId,
+          java.util.Arrays.copyOfRange(tokens, off, off + n), n, source))
+      else Iterator.empty
+    }
   }
 
   private def searchBlocks(spark: SparkSession, outDir: String,
                            partIds: Option[Set[Int]],
                            lo: Int, hi: Int): DataFrame = {
+    import spark.implicits._
+    scanRows(spark, outDir, partIds, lo, hi) { (docId, source, tokens, off, n) =>
+      var c = 0L
+      var k = off
+      while (k < off + n) {
+        val v = tokens(k)
+        if (v >= lo && v <= hi) c += 1
+        k += 1
+      }
+      if (c > 0) Iterator.single((docId, source, c)) else Iterator.empty
+    }
+      .toDF("doc_id", "source", "n_hits")
+      // blocks never split a row, but a doc_id is not REQUIRED to be
+      // unique across rows — aggregate for exact semantics either way
+      // (partial aggregation keeps this map-side for the common case)
+      .groupBy("doc_id", "source")
+      .agg(sum("n_hits").as("n_hits"))
+  }
+
+  /** The ONE zone-pruned, dict-rejected block walk behind every
+    * per-row consumer: hit blocks decode once, then each row is handed
+    * to `row` as (docId, source, blockTokens, off, n) — its tokens are
+    * blockTokens[off until off+n]. Keeping the 9-column select and the
+    * tuple decode in a single place means an EncodedBlock schema
+    * change cannot silently diverge the search and selective-decode
+    * paths.
+    */
+  private def scanRows[T](spark: SparkSession, outDir: String,
+                          partIds: Option[Set[Int]], lo: Int, hi: Int)(
+      row: (String, String, Array[Int], Int, Int) => Iterator[T])(
+      implicit enc: org.apache.spark.sql.Encoder[T]): org.apache.spark.sql.Dataset[T] = {
     import spark.implicits._
     TokenDecoder.committedBlocks(spark, outDir, partIds)
       .where(zone(lo, hi))
@@ -312,24 +322,11 @@ object CompressedSearch {
           var off = 0
           (0 until nRows).iterator.flatMap { i =>
             val n = lens.readVarInt()
-            var c = 0L
-            var k = off
-            while (k < off + n) {
-              val v = tokens(k)
-              if (v >= lo && v <= hi) c += 1
-              k += 1
-            }
+            val out = row(docIds(i), sources(i), tokens, off, n)
             off += n
-            if (c > 0) Iterator.single((docIds(i), sources(i), c))
-            else Iterator.empty
+            out
           }
         }
       }
-      .toDF("doc_id", "source", "n_hits")
-      // blocks never split a row, but a doc_id is not REQUIRED to be
-      // unique across rows — aggregate for exact semantics either way
-      // (partial aggregation keeps this map-side for the common case)
-      .groupBy("doc_id", "source")
-      .agg(sum("n_hits").as("n_hits"))
   }
 }

@@ -73,12 +73,15 @@ class BenchJsonSpec extends AnyFunSuite {
   }
 
   test("bench summary shrinks headline under a tighter budget instead of overflowing") {
-    // 1200 sits just above the zero-query floor (the encode record is
+    // 1110 sits just above the zero-query floor (the encode record is
     // not shrinkable — it IS the driver contract), so this asserts the
-    // headline subset empties before the line overflows
+    // headline subset actually EMPTIES before the line overflows; if
+    // the encode record grows past the budget, fail here consciously
     val line = Bench.renderSummary(98765.432, manyQueries, failures,
-      sfDir, qFile, encodeJson, maxLen = 1200)
-    assert(line.length <= 1200)
+      sfDir, qFile, encodeJson, maxLen = 1110)
+    assert(line.length <= 1110)
+    assert(mapper.readTree(line).get("queries").size() == 0,
+      "expected the headline subset to shrink to empty at this budget")
     assert(mapper.readTree(line).get("queries_count").asInt() == manyQueries.size)
   }
 
