@@ -39,9 +39,16 @@ object UndatumCli {
       """usage: UndatumCli <command> <input> [--flag value ...]
         |commands: convert headers stats uniq frequency select flatten
         |          split validate scheme analyze query
+        |store commands (extensions over the encoded token store):
+        |          encode <tokenrows.parquet> --output <storeDir>
+        |          decode <storeDir> [--output out]
+        |          searchenc <storeDir> --lo N --hi N [--source s]
+        |          countenc <storeDir> --lo N --hi N
+        |          frequencyenc <storeDir> [--lo N --hi N]
         |flags:    --output --fields --filter --query --format-in
         |          --format-out --delimiter --encoding --tagname
-        |          --dictshare --chunksize --rule --mode --limit""".stripMargin)
+        |          --dictshare --chunksize --rule --mode --limit
+        |          --lo --hi --source --rows-per-part""".stripMargin)
     sys.exit(2)
   }
 
@@ -193,6 +200,51 @@ object UndatumCli {
       val df = readInput(spark, input, flags)
       df.createOrReplaceTempView("data")
       Some(spark.sql(flags.getOrElse("query", usage())))
+
+    // ---- encoded-token-store extensions (no reference equivalent:
+    // the reference has no sub-file codecs; these expose the
+    // graft.encode pipeline + compressed-domain search via the same
+    // CLI conventions) ----------------------------------------------
+    case "encode" =>
+      // input: a TokenRow-shaped parquet (doc_id, tokens, n_tok, source)
+      import spark.implicits._
+      val dir = flags.getOrElse("output", usage())
+      val rows = spark.read.parquet(input)
+        .select(col("doc_id").cast("string").as("doc_id"),
+          col("tokens").cast("array<int>").as("tokens"),
+          col("n_tok").cast("int").as("n_tok"),
+          col("source").cast("string").as("source"))
+        .as[graft.model.TokenRow]
+      val lineage = graft.encode.TokenEncoder.run(rows, dir,
+        graft.encode.TokenEncoder.EncodeConfig(
+          targetRowsPerPart = flags.getOrElse("rows-per-part", "50000").toInt,
+          inputFile = input))
+      println(s"encoded: $dir")
+      Some(lineage.toDF()
+        .agg(count(lit(1)).as("blocks"), sum("totalTokens").as("tokens"),
+          sum("rawBytes").as("raw_bytes"), sum("encodedBytes").as("enc_bytes")))
+    case "decode" =>
+      Some(graft.encode.TokenDecoder.read(spark, input).toDF())
+    case "searchenc" =>
+      val (lo, hi) = requiredRange(flags)
+      Some(flags.get("source") match {
+        case Some(src) => graft.encode.CompressedSearch
+          .searchDocsInSource(spark, input, src, lo, hi).orderBy("doc_id")
+        case None => graft.encode.CompressedSearch
+          .searchDocs(spark, input, lo, hi).orderBy("doc_id")
+      })
+    case "countenc" =>
+      val (lo, hi) = requiredRange(flags)
+      Some(graft.encode.CompressedSearch.countTokens(spark, input, lo, hi))
+    case "frequencyenc" =>
+      // range optional: the default is the full-vocabulary histogram
+      Some(graft.encode.CompressedSearch.tokenFrequency(spark, input,
+        flags.get("lo").map(_.toInt).getOrElse(Int.MinValue),
+        flags.get("hi").map(_.toInt).getOrElse(Int.MaxValue))
+        .orderBy(col("n_occ").desc, col("token")))
     case _ => usage()
   }
+
+  private def requiredRange(flags: Map[String, String]): (Int, Int) =
+    (flags.getOrElse("lo", usage()).toInt, flags.getOrElse("hi", usage()).toInt)
 }

@@ -105,4 +105,34 @@ class CliSpec extends SparkSpecBase {
     val back = s.read.json(out)
     assert(back.count() == 3)
   }
+
+  test("store commands: encode / searchenc / countenc / frequencyenc / decode") {
+    val s = spark
+    import s.implicits._
+    val in = tmpDir("cli-store-in")
+    val store = s"${tmpDir("cli-store")}/store"
+    graft.synth.TokenSynth.dataset(s, 400).toDF()
+      .write.mode("overwrite").parquet(s"$in/rows.parquet")
+    val summary = UndatumCli.run(s, "encode", s"$in/rows.parquet",
+      Map("output" -> store, "rows-per-part" -> "100")).get.collect()(0)
+    assert(summary.getLong(0) > 0 && summary.getLong(3) < summary.getLong(2))
+
+    val ds = graft.synth.TokenSynth.dataset(s, 400).collect()
+    def brute(lo: Int, hi: Int) =
+      ds.map(_.tokens.count(v => v >= lo && v <= hi).toLong).sum
+    val n = UndatumCli.run(s, "countenc", store,
+      Map("lo" -> "100", "hi" -> "300")).get.collect()(0).getLong(0)
+    assert(n == brute(100, 300))
+    val hits = UndatumCli.run(s, "searchenc", store,
+      Map("lo" -> "100", "hi" -> "300")).get
+      .agg(org.apache.spark.sql.functions.sum("n_hits"))
+      .collect()(0).getLong(0)
+    assert(hits == brute(100, 300))
+    val freqTotal = UndatumCli.run(s, "frequencyenc", store, Map.empty).get
+      .agg(org.apache.spark.sql.functions.sum("n_occ"))
+      .collect()(0).getLong(0)
+    assert(freqTotal == ds.map(_.tokens.length.toLong).sum)
+    val back = UndatumCli.run(s, "decode", store, Map.empty).get
+    assert(back.count() == 400)
+  }
 }
