@@ -65,6 +65,13 @@ object UndatumCli {
     m.toMap
   }
 
+  /** Flag errors inside run(): a catchable exception, NOT sys.exit —
+    * run() is library-exposed (the spec and sbt-console sessions call
+    * it); killing the host JVM over a missing flag is main()'s job.
+    */
+  private def argError(msg: String): Nothing =
+    throw new IllegalArgumentException(s"$msg (run UndatumCli with no args for usage)")
+
   def main(args: Array[String]): Unit = {
     if (args.length < 2) usage()
     val cmd = args(0)
@@ -72,7 +79,12 @@ object UndatumCli {
     val flags = parseFlags(args.drop(2).toIndexedSeq)
     val spark = Sessions.create("graft-undatum-cli")
     try {
-      val out = run(spark, cmd, input, flags)
+      val out =
+        try run(spark, cmd, input, flags)
+        catch { case e: IllegalArgumentException =>
+          System.err.println(s"error: ${e.getMessage}")
+          usage()
+        }
       out match {
         case Some(df) =>
           flags.get("output") match {
@@ -146,7 +158,7 @@ object UndatumCli {
       }))
     case "frequency" =>
       fieldsOf(flags) match {
-        case Nil => usage() // a frequency table needs its key fields
+        case Nil => argError("frequency needs --fields") // key fields required
         case fs => Some(UndatumOps.frequency(
           withFilter(readInput(spark, input, flags), flags), fs))
       }
@@ -160,12 +172,12 @@ object UndatumCli {
       Some(UndatumOps.flattenCounts(readInput(spark, input, flags)))
     case "split" =>
       val df = withFilter(readInput(spark, input, flags), flags)
-      val dir = flags.getOrElse("output", usage())
+      val dir = flags.getOrElse("output", argError("split needs --output"))
       fieldsOf(flags) match {
         case Seq(f) => UndatumOps.splitByField(df, f, dir)
         case Nil => UndatumOps.splitByChunk(df,
           flags.getOrElse("chunksize", "10000").toInt, dir)
-        case _ => usage()
+        case _ => argError("split takes at most one --fields column")
       }
       println(s"split written: $dir")
       None
@@ -173,7 +185,7 @@ object UndatumCli {
       val df = readInput(spark, input, flags)
       val f = fieldsOf(flags) match {
         case Seq(one) => one
-        case _ => usage()
+        case _ => argError("validate needs exactly one --fields column")
       }
       val rule = flags.getOrElse("rule", "email") match {
         case "email" => graft.functions.Validators.isEmailCol(col(f))
@@ -199,7 +211,7 @@ object UndatumCli {
       // input registered as table `data`
       val df = readInput(spark, input, flags)
       df.createOrReplaceTempView("data")
-      Some(spark.sql(flags.getOrElse("query", usage())))
+      Some(spark.sql(flags.getOrElse("query", argError("query needs --query SQL"))))
 
     // ---- encoded-token-store extensions (no reference equivalent:
     // the reference has no sub-file codecs; these expose the
@@ -208,7 +220,7 @@ object UndatumCli {
     case "encode" =>
       // input: a TokenRow-shaped parquet (doc_id, tokens, n_tok, source)
       import spark.implicits._
-      val dir = flags.getOrElse("output", usage())
+      val dir = flags.getOrElse("output", argError("encode needs --output <storeDir>"))
       val rows = spark.read.parquet(input)
         .select(col("doc_id").cast("string").as("doc_id"),
           col("tokens").cast("array<int>").as("tokens"),
@@ -218,11 +230,22 @@ object UndatumCli {
       val lineage = graft.encode.TokenEncoder.run(rows, dir,
         graft.encode.TokenEncoder.EncodeConfig(
           targetRowsPerPart = flags.getOrElse("rows-per-part", "50000").toInt,
-          inputFile = input))
-      println(s"encoded: $dir")
-      Some(lineage.toDF()
-        .agg(count(lit(1)).as("blocks"), sum("totalTokens").as("tokens"),
-          sum("rawBytes").as("raw_bytes"), sum("encodedBytes").as("enc_bytes")))
+          inputFile = input,
+          // parquet-backed input: a pruned re-scan beats materializing
+          // the whole token table (EncodeConfig doc; every other
+          // parquet-backed caller does the same)
+          cacheInput = false))
+      // prints its own summary and returns None: --output here IS the
+      // store dir, so main()'s generic write-the-result-to---output
+      // epilogue must not fire (it would overwrite the just-encoded
+      // store with the 1-row summary)
+      val sm = lineage.toDF()
+        .agg(count(lit(1)), sum("totalTokens"), sum("rawBytes"),
+          sum("encodedBytes")).collect()(0)
+      println(s"encoded: $dir blocks=${sm.getLong(0)} " +
+        s"tokens=${sm.getLong(1)} raw_bytes=${sm.getLong(2)} " +
+        s"enc_bytes=${sm.getLong(3)}")
+      None
     case "decode" =>
       Some(graft.encode.TokenDecoder.read(spark, input).toDF())
     case "searchenc" =>
@@ -242,9 +265,10 @@ object UndatumCli {
         flags.get("lo").map(_.toInt).getOrElse(Int.MinValue),
         flags.get("hi").map(_.toInt).getOrElse(Int.MaxValue))
         .orderBy(col("n_occ").desc, col("token")))
-    case _ => usage()
+    case _ => argError(s"unknown command: $cmd")
   }
 
   private def requiredRange(flags: Map[String, String]): (Int, Int) =
-    (flags.getOrElse("lo", usage()).toInt, flags.getOrElse("hi", usage()).toInt)
+    (flags.getOrElse("lo", argError("this command needs --lo")).toInt,
+      flags.getOrElse("hi", argError("this command needs --hi")).toInt)
 }

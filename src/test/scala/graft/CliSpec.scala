@@ -113,9 +113,20 @@ class CliSpec extends SparkSpecBase {
     val store = s"${tmpDir("cli-store")}/store"
     graft.synth.TokenSynth.dataset(s, 400).toDF()
       .write.mode("overwrite").parquet(s"$in/rows.parquet")
-    val summary = UndatumCli.run(s, "encode", s"$in/rows.parquet",
-      Map("output" -> store, "rows-per-part" -> "100")).get.collect()(0)
-    assert(summary.getLong(0) > 0 && summary.getLong(3) < summary.getLong(2))
+    // encode prints its own summary and returns None — main()'s
+    // generic --output epilogue must never overwrite the store dir
+    assert(UndatumCli.run(s, "encode", s"$in/rows.parquet",
+      Map("output" -> store, "rows-per-part" -> "100")).isEmpty)
+    val lin = s.read.parquet(s"$store/lineage")
+      .agg(count(lit(1)), sum("rawBytes"), sum("encodedBytes")).collect()(0)
+    assert(lin.getLong(0) > 0 && lin.getLong(2) < lin.getLong(1))
+    // missing required flags throw (catchable), never sys.exit
+    intercept[IllegalArgumentException] {
+      UndatumCli.run(s, "searchenc", store, Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      UndatumCli.run(s, "encode", s"$in/rows.parquet", Map.empty)
+    }
 
     val ds = graft.synth.TokenSynth.dataset(s, 400).collect()
     def brute(lo: Int, hi: Int) =
