@@ -1293,6 +1293,12 @@ object SparkEntry {
         .readDocs(s, encodedStore(s, d), 100, 116)
         .toDF().select("doc_id", "n_tok", "source")
         .orderBy("doc_id")),
+    "q_encoded_vocab" -> ((s, d) =>
+      // exact vocabulary size over the encoded store: dict blocks
+      // contribute symtab values with the payload column UNREAD,
+      // shuffle bounded by per-block cardinality
+      graft.encode.CompressedSearch
+        .distinctTokens(s, encodedStore(s, d))),
     "q_encoded_search_src" -> ((s, d) =>
       // both metadata prunes composed: the pinned plan's partId band
       // drops every other source's blocks at the scan, zone maps prune
@@ -1369,6 +1375,9 @@ object SparkEntry {
           .readDocs(s, encodedStoreBench(s), 100, 116)
           .toDF().select("doc_id", "n_tok", "source")
           .orderBy("doc_id")),
+      "q_encoded_vocab" -> ((s, d) =>
+        graft.encode.CompressedSearch
+          .distinctTokens(s, encodedStoreBench(s))),
       "q_encoded_frequency" -> ((s, d) =>
         graft.encode.CompressedSearch
           .tokenFrequency(s, encodedStoreBench(s))
@@ -2740,6 +2749,10 @@ object SparkEntry {
         |FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')
         |WHERE len(list_filter(tokens, x -> x BETWEEN 100 AND 116)) > 0
         |ORDER BY doc_id""".stripMargin,
+    "q_encoded_vocab" ->
+      """SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+        |FROM (SELECT unnest(tokens) AS tok
+        |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet'))""".stripMargin,
     "q_encoded_search_src" ->
       """WITH t AS (SELECT doc_id, source, unnest(tokens) AS tok
         |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')

@@ -213,6 +213,53 @@ object CompressedSearch {
       .agg(sum("n_occ").as("n_occ"))
   }
 
+  /** Exact distinct-token count (vocabulary size) over the encoded
+    * store. Per-block local distinct first, so the shuffle carries at
+    * most `card` values per block: Dict blocks contribute their SORTED
+    * SYMTAB VALUES — the payload column is never read for them (for a
+    * dict-heavy store the scan is metadata-sized); RLE blocks dedup
+    * run values without expansion; other codecs decode and dedup
+    * locally through the same IntSet the encoder's stats pass uses.
+    */
+  def distinctTokens(spark: SparkSession, outDir: String): DataFrame = {
+    import spark.implicits._
+    TokenDecoder.committedBlocks(spark, outDir, None)
+      .select("codecId", "postCodec", "symtab", "payload", "totalTokens")
+      .as[(Int, Int, Array[Byte], Array[Byte], Long)]
+      .flatMap { case (cid, post, st, pay, nTokL) =>
+        val n = nTokL.toInt
+        if (n == 0) Iterator.empty
+        else cid match {
+          case CodecIds.Dict =>
+            DictCodec.readDict(st).iterator // symtab only; payload unread
+          case CodecIds.Rle =>
+            val r = new ByteReader(rawPayload(post, pay))
+            val seen = new graft.codec.IntSet(1024)
+            val out = new graft.codec.IntBuf(1024)
+            var i = 0
+            while (i < n) {
+              val v = r.readZigZag()
+              val run = r.readVarInt()
+              if (seen.add(v)) out.add(v)
+              i += run
+            }
+            (0 until out.size).iterator.map(out(_))
+          case _ =>
+            val vals = BlockCodec.decode(cid, post, st, pay, n)
+            val seen = new graft.codec.IntSet(4096)
+            val out = new graft.codec.IntBuf(4096)
+            var i = 0
+            while (i < n) {
+              if (seen.add(vals(i))) out.add(vals(i))
+              i += 1
+            }
+            (0 until out.size).iterator.map(out(_))
+        }
+      }
+      .toDF("token")
+      .agg(count_distinct(col("token")).as("n_distinct"))
+  }
+
   /** Documents containing a token in [lo, hi], with per-document hit
     * counts: (doc_id, source, n_hits), only matches emitted. Block
     * scan is zone-map pruned and dict-rejected first; surviving blocks

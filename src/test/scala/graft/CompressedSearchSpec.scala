@@ -107,6 +107,11 @@ class CompressedSearchSpec extends SparkSpecBase {
     assert(CompressedSearch.countTokens(spark, dir, -10, -2)
       .collect()(0).getLong(0) == 0L)
 
+    // exact vocabulary over the store == raw distinct
+    assert(CompressedSearch.distinctTokens(spark, dir)
+      .collect()(0).getLong(0) ==
+      ds.collect().flatMap(_.tokens).distinct.length.toLong)
+
     // selective decode: exactly the hit rows, tokens intact
     val gotRead = CompressedSearch.readDocs(spark, dir, lo, hi)
       .collect().map(r => (r.doc_id, r.source, r.tokens.toSeq)).toSet
