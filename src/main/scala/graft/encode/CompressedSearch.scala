@@ -223,39 +223,41 @@ object CompressedSearch {
     */
   def distinctTokens(spark: SparkSession, outDir: String): DataFrame = {
     import spark.implicits._
-    TokenDecoder.committedBlocks(spark, outDir, None)
+    val blocks = TokenDecoder.committedBlocks(spark, outDir, None)
+    // the payload-unread property must hold at the SCAN, not just in
+    // the JVM: dict blocks get their own payload-FREE projection (the
+    // readMeta pattern — an ignored `pay` argument would still make
+    // the parquet reader decode every payload byte), split from the
+    // payload-bearing scan by a pushed codecId filter
+    val dictVals = blocks
+      .where(col("codecId") === CodecIds.Dict && col("totalTokens") > 0)
+      .select("symtab").as[Array[Byte]]
+      .flatMap(st => DictCodec.readDict(st).iterator)
+    val otherVals = blocks
+      .where(col("codecId") =!= CodecIds.Dict && col("totalTokens") > 0)
       .select("codecId", "postCodec", "symtab", "payload", "totalTokens")
       .as[(Int, Int, Array[Byte], Array[Byte], Long)]
       .flatMap { case (cid, post, st, pay, nTokL) =>
         val n = nTokL.toInt
-        if (n == 0) Iterator.empty
-        else cid match {
-          case CodecIds.Dict =>
-            DictCodec.readDict(st).iterator // symtab only; payload unread
+        val seen = new graft.codec.IntSet(4096)
+        cid match {
           case CodecIds.Rle =>
             val r = new ByteReader(rawPayload(post, pay))
-            val seen = new graft.codec.IntSet(1024)
-            val out = new graft.codec.IntBuf(1024)
             var i = 0
             while (i < n) {
               val v = r.readZigZag()
               val run = r.readVarInt()
-              if (seen.add(v)) out.add(v)
+              seen.add(v)
               i += run
             }
-            (0 until out.size).iterator.map(out(_))
           case _ =>
             val vals = BlockCodec.decode(cid, post, st, pay, n)
-            val seen = new graft.codec.IntSet(4096)
-            val out = new graft.codec.IntBuf(4096)
             var i = 0
-            while (i < n) {
-              if (seen.add(vals(i))) out.add(vals(i))
-              i += 1
-            }
-            (0 until out.size).iterator.map(out(_))
+            while (i < n) { seen.add(vals(i)); i += 1 }
         }
+        seen.toSortedArray.iterator
       }
+    dictVals.union(otherVals)
       .toDF("token")
       .agg(count_distinct(col("token")).as("n_distinct"))
   }

@@ -111,6 +111,13 @@ class CompressedSearchSpec extends SparkSpecBase {
     assert(CompressedSearch.distinctTokens(spark, dir)
       .collect()(0).getLong(0) ==
       ds.collect().flatMap(_.tokens).distinct.length.toLong)
+    // ...and the dict-side scan is genuinely payload-free AT THE SCAN:
+    // one of the plan's parquet reads projects symtab without payload
+    val vplan = CompressedSearch.distinctTokens(spark, dir)
+      .queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<[^>]*".r.findAllIn(vplan).toList
+    assert(schemas.exists(s => s.contains("symtab") && !s.contains("payload")),
+      s"no payload-free dict scan in:\n$vplan")
 
     // selective decode: exactly the hit rows, tokens intact
     val gotRead = CompressedSearch.readDocs(spark, dir, lo, hi)
