@@ -969,33 +969,60 @@ object Dedup {
     * stream (windows are keyed on lowered tokens, so the trim is a
     * token-level operation by construction).
     *
-    * Distributed shape: the O(total tokens) (key, id, pos) stream
-    * ranks within each window key — a hash shuffle on the 8-byte key;
-    * per-key groups are duplicate sets (tiny except boilerplate hot
-    * keys, which AQE splits) — then non-first positions roll up per
-    * doc (sorted, ≤doc-length ints) and one final scan drops covered
-    * tokens with an index-aware HOF. Documents with nothing to trim
-    * never enter the rank shuffle's output and keep their tokens
-    * verbatim.
+    * Distributed shape: the O(total tokens) (key, id, pos) stream is
+    * reduced to one global first occurrence per key with
+    * `groupBy(key).agg(min(struct(id, pos)))` — partial aggregation
+    * absorbs boilerplate hot keys map-side, so a window occurring in
+    * 1% of 10^12 documents costs one combiner cell per input
+    * partition, never a single-task window partition (a
+    * `row_number().over(Window.partitionBy(key))` would funnel every
+    * occurrence of one key into ONE task; AQE splits skewed JOIN
+    * partitions, never window partitions). Keys seen once are dropped
+    * before the rejoin; the rejoin on the 8-byte key is where AQE's
+    * skew-join split legitimately applies. Non-first positions roll
+    * up per doc (sorted, ≤doc-length ints), merge into disjoint
+    * covered spans, and one final scan drops covered tokens with an
+    * index-aware HOF (O(n_tok × n_spans), spans ≤ dups after the
+    * merge). Documents with nothing to trim never enter the rejoin's
+    * output and keep their tokens verbatim.
     */
   def substrDedupTrim(df: DataFrame, idCol: String, textCol: String,
                       k: Int, portable: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ex = df.select(col(idCol),
       posexplode(windowKeys(col(textCol), k, portable))
         .as(Seq("__pos", "__wk")))
-    val dup = ex
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col("__wk")).orderBy(col(idCol), col("__pos"))))
-      .where(col("__rk") >= 2)
+    // global keep-first = min (id, pos) per key; map-side combined
+    val firsts = ex.groupBy(col("__wk"))
+      .agg(min(struct(col(idCol).as("id"), col("__pos").as("p")))
+             .as("__first"),
+           count(lit(1)).as("__n"))
+      .where(col("__n") >= 2) // unique windows trim nothing
+      .select(col("__wk"), col("__first"))
+    val dup = ex.join(firsts, "__wk")
+      .where(!(col(idCol) === col("__first")("id") &&
+               col("__pos") === col("__first")("p")))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__pos"))).as("__dups"))
+    // merge sorted positions (each covering [p, p+k-1]) into disjoint
+    // spans so the per-token HOF scans spans, not raw duplicates
+    val emptySpans = array().cast("array<struct<s:int,e:int>>")
+    def mergedSpans(ps: Column): Column =
+      aggregate(ps, emptySpans, (acc, p) => {
+        val last = element_at(acc, -1)
+        when(size(acc) > 0 && p <= last("e") + 1,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last("s").as("s"),
+              greatest(last("e"), p + lit(k - 1)).as("e")))))
+          .otherwise(concat(acc,
+            array(struct(p.as("s"), (p + lit(k - 1)).as("e")))))
+      })
     val ws = filter(split(lower(col(textCol)), "\\s+"), w => w =!= lit(""))
     df.join(dup, Seq(idCol), "left")
+      .withColumn("__spans",
+        mergedSpans(coalesce(col("__dups"), array().cast("array<int>"))))
       .withColumn("text_dedup", concat_ws(" ",
-        filter(ws, (_, i) => !exists(
-          coalesce(col("__dups"), array().cast("array<int>")),
-          p => i >= p && i <= p + lit(k - 1)))))
-      .drop("__dups")
+        filter(ws, (_, i) => !exists(col("__spans"),
+          sp => i >= sp("s") && i <= sp("e")))))
+      .drop("__dups", "__spans")
   }
 }
