@@ -1157,14 +1157,36 @@ object SparkEntry {
         .orderBy("r_regionkey")
     }),
     "q_multimodal_features" -> ((s, d) => {
-      // stubbed-codec media pipeline: deterministic per-kind profile
+      // REAL image decode (JDK ImageIO): per-image exact RGB byte sum
+      // of the synthesized PNGs — the oracle recomputes every pixel of
+      // the deterministic synth formula in SQL, so a lossy or wrong
+      // decode path cannot pass
       val feats = graft.multimodal.Multimodal.decodeFeatures(
         graft.multimodal.Multimodal.synthMedia(s, 300, parallelism = 4))
-      feats.groupBy("kind").agg(
-        count(lit(1)).cast("long").as("n"),
-        min("decoded_w").as("min_w"),
-        max("decoded_w").as("max_w"))
-        .orderBy("kind")
+      feats.filter(col("kind") === "image")
+        .select(col("media_id"), col("decoded_w"), col("decoded_h"),
+          col("exact_sum").as("pix_sum"))
+        .orderBy("media_id")
+    }),
+    "q_multimodal_audio" -> ((s, d) => {
+      // REAL WAV parse (from-scratch RIFF/WAVE PCM chunk walker):
+      // per-file exact absolute-amplitude sum + sample metadata
+      val feats = graft.multimodal.Multimodal.decodeFeatures(
+        graft.multimodal.Multimodal.synthMedia(s, 300, parallelism = 4))
+      feats.filter(col("kind") === "audio")
+        .select(col("media_id"), col("sample_rate"), col("duration_ms"),
+          col("exact_sum").as("amp_sum"))
+        .orderBy("media_id")
+    }),
+    "q_multimodal_resize" -> ((s, d) => {
+      // REAL nearest-neighbor resample: decode(resize(png)) pixel sums
+      // must equal the synth formula at the floor-mapped coordinates
+      val media = graft.multimodal.Multimodal.synthMedia(s, 300, parallelism = 4)
+      val feats = graft.multimodal.Multimodal.decodeFeatures(
+        graft.multimodal.Multimodal.resize(media, 64, 48))
+      feats.filter(col("kind") === "image")
+        .select(col("media_id"), col("exact_sum").as("pix_sum"))
+        .orderBy("media_id")
     }),
     "q_multimodal_frames" -> ((s, d) => {
       // frame-sampling plumbing: 100 synthetic videos x 4 sampled
@@ -2712,10 +2734,37 @@ object SparkEntry {
       """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
         |FROM region ORDER BY 1""".stripMargin,
     "q_multimodal_features" ->
-      """SELECT kind, CAST(n AS BIGINT) AS n, CAST(min_w AS INT) AS min_w,
-        |CAST(max_w AS INT) AS max_w FROM (VALUES
-        |('audio',100,32,144),('image',100,32,144),('video',100,32,144))
-        |t(kind, n, min_w, max_w) ORDER BY kind""".stripMargin,
+      """WITH m AS (SELECT id, CAST(32 + (id % 8) * 16 AS INT) w,
+        |  CAST(32 + (id % 5) * 16 AS INT) h
+        |  FROM range(0, 300) t(id) WHERE id % 3 = 0),
+        |px AS (SELECT m.id, m.w, m.h, CAST(xx.x AS BIGINT) x,
+        |  CAST(yy.y AS BIGINT) y
+        |  FROM m, unnest(range(0, m.w)) xx(x), unnest(range(0, m.h)) yy(y))
+        |SELECT id AS media_id, w AS decoded_w, h AS decoded_h,
+        |  CAST(sum((x*7 + y*13 + id*31) % 256 + (x*11 + y*3 + id*17) % 256
+        |    + (x*5 + y*19 + id*23) % 256) AS BIGINT) AS pix_sum
+        |FROM px GROUP BY 1,2,3 ORDER BY 1""".stripMargin,
+    "q_multimodal_audio" ->
+      """WITH m AS (SELECT id, CAST(800 + (id % 7) * 160 AS INT) n
+        |  FROM range(0, 300) t(id) WHERE id % 3 = 1),
+        |s AS (SELECT m.id, m.n, CAST(ii.i AS BIGINT) i
+        |  FROM m, unnest(range(0, m.n)) ii(i))
+        |SELECT id AS media_id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(n // 8 AS INT) AS duration_ms,
+        |  CAST(sum(abs((i*i*37 + i*id*11 + id*101) % 32768 - 16384))
+        |    AS BIGINT) AS amp_sum
+        |FROM s GROUP BY 1,2,3 ORDER BY 1""".stripMargin,
+    "q_multimodal_resize" ->
+      """WITH m AS (SELECT id, CAST(32 + (id % 8) * 16 AS INT) sw,
+        |  CAST(32 + (id % 5) * 16 AS INT) sh
+        |  FROM range(0, 300) t(id) WHERE id % 3 = 0),
+        |px AS (SELECT m.id, CAST(xx.x AS BIGINT) x, CAST(yy.y AS BIGINT) y,
+        |  sw, sh FROM m, unnest(range(0, 64)) xx(x), unnest(range(0, 48)) yy(y)),
+        |sp AS (SELECT id, (x * sw) // 64 AS sx, (y * sh) // 48 AS sy FROM px)
+        |SELECT id AS media_id,
+        |  CAST(sum((sx*7 + sy*13 + id*31) % 256 + (sx*11 + sy*3 + id*17) % 256
+        |    + (sx*5 + sy*19 + id*23) % 256) AS BIGINT) AS pix_sum
+        |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_multimodal_frames" ->
       """SELECT frame_idx, CAST(n AS BIGINT) AS n, CAST(min_len AS INT) AS min_len
         |FROM (VALUES (0,100,16),(1,100,16),(2,100,16),(3,100,16))

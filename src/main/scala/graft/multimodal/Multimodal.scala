@@ -6,12 +6,14 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * as opaque `binary` columns with typed metadata, plus batched
   * decode / feature-extract / resize / frame-sample transforms.
   *
-  * The Spark-side plumbing (schema, partitioning, batched iteration
-  * shape — the Scala analog of `mapInPandas` batch processing) is
-  * real and tested. The codec step itself is a STUB: no image/audio
-  * libraries ship in this environment, so `StubCodec` parses a
-  * deterministic fake container format. Swapping in a real decoder
-  * means replacing StubCodec only — every signature stays.
+  * Round 6: the image path is REAL — PNG bytes decoded/encoded through
+  * the JDK's ImageIO ([[ImageCodec]], no external jars) with exact
+  * pixel checksums an SQL oracle reproduces; the audio path is REAL —
+  * from-scratch RIFF/WAVE PCM parsing ([[WavCodec]]). Only video
+  * remains a STUB ([[StubCodec]] fake container): no video codec
+  * exists in this sandbox's JVM, and that is documented honestly. The
+  * batched iteration shape (the Scala analog of `mapInPandas` batch
+  * processing) is the real scale plumbing for all three kinds.
   */
 object Multimodal {
 
@@ -20,14 +22,17 @@ object Multimodal {
                             width: Int, height: Int)
   final case class MediaFeatures(media_id: Long, kind: String,
                                  decoded_w: Int, decoded_h: Int,
-                                 mean_byte: Double, feature: Array[Float],
+                                 sample_rate: Int, duration_ms: Int,
+                                 mean_byte: Double, exact_sum: Long,
+                                 feature: Array[Float],
                                  batch_id: Int, batch_size: Int)
   final case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
-  /** ======== STUB CODEC ========
+  /** ======== VIDEO STUB ========
     * Fake container: "GRFT" magic, kind byte, width/height int32 LE,
-    * then payload bytes. A real implementation would call an image /
-    * audio / video library here — deliberately ??? -free but FAKE.
+    * then payload bytes. Images and audio use the REAL codecs above;
+    * no video decoder ships in this JVM, so video keeps the fake
+    * container — deliberately ??? -free but FAKE, and labeled so.
     */
   object StubCodec {
     val Magic: Array[Byte] = "GRFT".getBytes("UTF-8")
@@ -49,48 +54,58 @@ object Multimodal {
       out.toArray
     }
 
-    /** STUB decode: parse the fake header + payload mean. */
-    def decode(bytes: Array[Byte]): (Int, Int, Double, Array[Float]) = {
+    /** STUB decode: parse the fake header + payload stats. */
+    def decode(bytes: Array[Byte]): (Int, Int, Long, Array[Float]) = {
       require(bytes.length >= 13 && bytes(0) == 'G' && bytes(1) == 'R',
         "not a GRFT container")
       val r = new graft.codec.ByteReader(bytes, 5)
       val w = r.readIntLE()
       val h = r.readIntLE()
       var sum = 0L
-      var i = 13
-      while (i < bytes.length) { sum += (bytes(i) & 0xFF); i += 1 }
-      val n = math.max(1, bytes.length - 13)
-      val mean = sum.toDouble / n
-      // fake 8-dim "embedding": byte histogram octants, L1-normalized
       val hist = new Array[Float](8)
-      i = 13
-      while (i < bytes.length) { hist((bytes(i) & 0xFF) / 32) += 1f; i += 1 }
+      var i = 13
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xFF
+        sum += b
+        hist(b / 32) += 1f
+        i += 1
+      }
+      val n = math.max(1, bytes.length - 13)
       (0 until 8).foreach(j => hist(j) /= n.toFloat)
-      (w, h, mean, hist)
+      (w, h, sum, hist)
     }
   }
 
-  /** Deterministic synthetic media table (parallelism-independent). */
+  /** Deterministic synthetic media table (parallelism-independent):
+    * real PNGs for images, real PCM WAVs for audio (8 kHz mono,
+    * `800 + (id%7)·160` samples), the stub container for video.
+    */
   def synthMedia(spark: SparkSession, n: Long, parallelism: Int = 0): Dataset[MediaRow] = {
     import spark.implicits._
     val p = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
     spark.range(0L, n, 1L, p).map { id =>
-      val kind = (id % 3) match {
-        case 0 => "image"
-        case 1 => "audio"
-        case _ => "video"
-      }
       val w = 32 + (id % 8).toInt * 16
       val h = 32 + (id % 5).toInt * 16
-      MediaRow(id, kind, StubCodec.encodeFake(id, kind, w, h), w, h)
+      (id % 3) match {
+        case 0 => MediaRow(id, "image", ImageCodec.synthPng(id, w, h), w, h)
+        case 1 =>
+          val samples = 800 + (id % 7).toInt * 160
+          MediaRow(id, "audio", WavCodec.synthWav(id, samples, 8000), samples, 1)
+        case _ => MediaRow(id, "video", StubCodec.encodeFake(id, "video", w, h), w, h)
+      }
     }
   }
 
   /** Batched decode + feature extraction: the mapInPandas-shaped
     * partition iterator — pull `batchSize` rows, process the batch as
-    * one unit (a real decoder amortizes model/codec init per batch),
-    * emit one output row per input. batch_id/batch_size are surfaced
-    * so tests can assert the batch shape.
+    * one unit (codec contexts amortize per batch), emit one output row
+    * per input. batch_id/batch_size are surfaced so tests can assert
+    * the batch shape. Per kind:
+    *   - image: real ImageIO decode — exact_sum = Σ RGB bytes,
+    *     mean_byte over channels, feature = 8-bin BT.601 luma hist
+    *   - audio: real WAV parse — exact_sum = Σ |sample|, mean_byte =
+    *     byte-scale mean amplitude, feature = 8-bin amplitude hist
+    *   - video: stub container stats (documented fake)
     */
   def decodeFeatures(ds: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = ds.sparkSession
@@ -98,10 +113,23 @@ object Multimodal {
     ds.mapPartitions { rows =>
       var batchId = 0
       rows.grouped(batchSize).flatMap { batch =>
-        // per-batch init would live here (codec contexts, model state)
         val out = batch.map { r =>
-          val (w, h, mean, feat) = StubCodec.decode(r.bytes)
-          MediaFeatures(r.media_id, r.kind, w, h, mean, feat, batchId, batch.size)
+          r.kind match {
+            case "image" =>
+              val d = ImageCodec.decode(r.bytes)
+              MediaFeatures(r.media_id, r.kind, d.width, d.height, 0, 0,
+                d.meanByte, d.pixSum, d.lumaHist, batchId, batch.size)
+            case "audio" =>
+              val d = WavCodec.decode(r.bytes)
+              MediaFeatures(r.media_id, r.kind, d.nSamples, d.channels,
+                d.sampleRate, d.durationMs, d.ampSum.toDouble / math.max(1, d.nSamples) / 256.0,
+                d.ampSum, d.ampHist, batchId, batch.size)
+            case _ =>
+              val (w, h, sum, hist) = StubCodec.decode(r.bytes)
+              MediaFeatures(r.media_id, r.kind, w, h, 0, 0,
+                sum.toDouble / math.max(1, r.bytes.length - 13), sum, hist,
+                batchId, batch.size)
+          }
         }
         batchId += 1
         out
@@ -109,26 +137,34 @@ object Multimodal {
     }
   }
 
-  /** Resize stub: rewrites the container header to the target size
-    * (a real impl would resample pixels); metadata stays consistent.
+  /** Resize: REAL nearest-neighbor pixel resample for images
+    * (integer-exact floor mapping, so the oracle can reproduce the
+    * resized checksums); pass-through for audio (resampling audio is
+    * out of scope); header rewrite for the video stub.
     */
   def resize(ds: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.map { r =>
-      val payload = java.util.Arrays.copyOfRange(r.bytes, 13, r.bytes.length)
-      val out = new graft.codec.ByteBuf(13 + payload.length)
-      out.writeBytes(StubCodec.Magic)
-      out.writeByte(r.kind.headOption.getOrElse('i').toInt)
-      out.writeIntLE(w)
-      out.writeIntLE(h)
-      out.writeBytes(payload)
-      MediaRow(r.media_id, r.kind, out.toArray, w, h)
+      r.kind match {
+        case "image" => MediaRow(r.media_id, r.kind, ImageCodec.resize(r.bytes, w, h), w, h)
+        case "audio" => r
+        case _ =>
+          val payload = java.util.Arrays.copyOfRange(r.bytes, 13, r.bytes.length)
+          val out = new graft.codec.ByteBuf(13 + payload.length)
+          out.writeBytes(StubCodec.Magic)
+          out.writeByte(r.kind.headOption.getOrElse('i').toInt)
+          out.writeIntLE(w)
+          out.writeIntLE(h)
+          out.writeBytes(payload)
+          MediaRow(r.media_id, r.kind, out.toArray, w, h)
+      }
     }
   }
 
   /** Frame sampling stub for video rows: k deterministic offsets into
-    * the payload become "frames" (a real impl decodes k frames).
+    * the payload become "frames" (a real impl decodes k frames; no
+    * video codec ships in this JVM).
     */
   def frameSample(ds: Dataset[MediaRow], k: Int): Dataset[Frame] = {
     val spark = ds.sparkSession
