@@ -142,6 +142,29 @@ object Ivf {
       .drop("__ivf_d")
   }
 
+  /** Persist an assigned (optionally PQ-coded) corpus PARTITIONED BY
+    * CELL — the storage half of the index build. A post-scan
+    * `where(ivf_cell ...)` filter still reads every file's footer and
+    * row groups; over this layout the same predicate arrives as a
+    * parquet PartitionFilter and the scan opens only the nprobe/k
+    * slice of the corpus — at 10^12 vectors the difference between
+    * scanning 100% and nprobe/k of the code column. Same pattern as
+    * TokenDecoder.readSource's partId bands.
+    */
+  def saveAssigned(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+
+  /** Reload a cell-partitioned corpus; `probe`/`probeBatch` predicates
+    * over it prune at the parquet scan (plan-asserted in PqSpec).
+    */
+  def loadAssigned(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    // partition-column type inference yields int for cell ids, but be
+    // explicit: downstream joins key on ivf_cell
+    df.withColumn("ivf_cell", col("ivf_cell").cast("int"))
+  }
+
   /** The subset of rows an IVF search actually scans: the rows of the
     * `nprobe` cells nearest the query. Exposed separately from
     * `search` so the scanned set can be materialized and verified
@@ -176,11 +199,18 @@ object Ivf {
                  nprobe: Int = 2): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._
-    val probes = queries.flatMap { case (qid, qv) =>
+    val probeSeq = queries.flatMap { case (qid, qv) =>
       idx.centroids.indices.sortBy(c => dist2(qv, idx.centroids(c)))
         .take(nprobe).map(c => (qid, c))
-    }.toDF("qid", "ivf_cell")
-    assigned.join(broadcast(probes), Seq("ivf_cell"))
+    }
+    val probes = probeSeq.toDF("qid", "ivf_cell")
+    // static IN over the UNION of probed cells, known driver-side: on a
+    // cell-partitioned corpus (saveAssigned) it prunes at the parquet
+    // scan (PartitionFilters); elsewhere it still skips row groups via
+    // min/max stats. The broadcast join alone would not prune storage.
+    val union = probeSeq.map(_._2).distinct
+    assigned.where(col("ivf_cell").isInCollection(union.map(Int.box)))
+      .join(broadcast(probes), Seq("ivf_cell"))
   }
 
   /** Score a (qid, vec, id) stream against its matching query vector

@@ -250,7 +250,11 @@ object Pq {
     val qids = broadcast(queries.map(_._1).toDF("qid"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("__adc").desc, col(idCol))
-    encoded.crossJoin(qids)
+    // null-coded rows score null __adc and sort LAST under desc, but a
+    // qid with fewer than c coded rows would still admit them into the
+    // shortlist (and so into the exact rerank) — drop them up front,
+    // matching the single-query shortlist's effective behavior
+    encoded.where(col(codeCol).isNotNull).crossJoin(qids)
       .withColumn("__adc", score(col(codeCol), col("qid")))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= c)
@@ -292,7 +296,8 @@ object Pq {
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("__adc").desc, col(idCol))
-    restricted
+    // same null-code guard as shortlistBatch (see comment there)
+    restricted.where(col(codeCol).isNotNull)
       .withColumn("__adc", score(col(codeCol), col("qid")))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= c)

@@ -180,4 +180,62 @@ class PqSpec extends SparkSpecBase {
     }
     coded.unpersist(); corpus.unpersist()
   }
+
+  test("cell-partitioned store prunes probeBatch at the parquet scan") {
+    val s = spark
+    import s.implicits._
+    import graft.sim.Ivf
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 400).map(i => (i.toLong, randVec(rng).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val ivf = Ivf.train(df, "embedding", 8)
+    val pq = Pq.train(df, "embedding", m = 8, ksub = 16)
+    val dir = tmpDir("ivf-store")
+    Ivf.saveAssigned(Pq.encode(Ivf.assign(df, "embedding", ivf),
+      "embedding", pq), s"$dir/corpus")
+    val loaded = Ivf.loadAssigned(s, s"$dir/corpus")
+    val queries = (0 until 3).map(i => (i.toLong, rows(i * 50)._2.toArray))
+    val probed = Ivf.probeBatch(loaded, ivf, queries, nprobe = 2)
+    // the probed-cell union must arrive as a parquet PartitionFilter,
+    // and the scan must open strictly fewer partitions than exist
+    // (descend through AQE wrappers — their children are hidden from
+    // a plain collect)
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.flatMap {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case _ => Nil
+      }
+    val scans = scansOf(probed.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no parquet scan in the probeBatch plan")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "ivf_cell")),
+      s"no ivf_cell PartitionFilter: ${scan.partitionFilters}")
+    val probedCells = queries.flatMap { case (_, qv) =>
+      ivf.centroids.indices.sortBy(c =>
+        qv.indices.map(j => (qv(j) - ivf.centroids(c)(j)).toDouble)
+          .map(d => d * d).sum).take(2)
+    }.distinct
+    val cellsOnDisk = new java.io.File(s"$dir/corpus").listFiles()
+      .count(_.getName.startsWith("ivf_cell="))
+    assert(probedCells.size < cellsOnDisk,
+      "test needs a probe set smaller than the cell count")
+    assert(scan.selectedPartitions.partitionCount == probedCells.size,
+      s"scan opened ${scan.selectedPartitions.partitionCount} partitions, " +
+        s"expected ${probedCells.size} of $cellsOnDisk")
+    // results off the pruned store equal the in-memory assigned path
+    val direct = Pq.searchBatchIvfPq(
+      Pq.encode(Ivf.assign(df, "embedding", ivf), "embedding", pq),
+      "embedding", "pq_code", "vec_id", ivf, pq, queries, topK = 5)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = Pq.searchBatchIvfPq(loaded, "embedding", "pq_code",
+      "vec_id", ivf, pq, queries, topK = 5)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == direct)
+  }
 }
