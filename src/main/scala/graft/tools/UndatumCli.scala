@@ -38,7 +38,7 @@ object UndatumCli {
     System.err.println(
       """usage: UndatumCli <command> <input> [--flag value ...]
         |commands: convert headers stats uniq frequency select flatten
-        |          split validate scheme analyze query
+        |          split validate scheme schema schema_bulk analyze query
         |store commands (extensions over the encoded token store):
         |          encode <tokenrows.parquet> --output <storeDir>
         |          decode <storeDir> [--output out]
@@ -200,6 +200,52 @@ object UndatumCli {
       })
     case "scheme" =>
       Some(Analyzer.scheme(readInput(spark, input, flags)))
+    case "schema" =>
+      // reference `schema` (core.py:279, schemer.py:188-190): one
+      // file's field layout + its xxhash64 identity key (schemer.py:
+      // 40-41 hashes the '|'-joined sorted names; Spark's xxhash64 is
+      // the engine form — signed long vs the reference's hex digest,
+      // the documented q_schema_fingerprint delta)
+      Some(schemaOf(readInput(spark, input, flags)))
+    case "schema_bulk" =>
+      // reference `schema_bulk` (core.py:293, schemer.py:193-243):
+      // group a directory's data files by schema key. mode=distinct
+      // (default) = one row per distinct schema with its file list;
+      // mode=perfile = one row per file. The reference writes one YAML
+      // per schema; this engine returns the grouping as a frame
+      // (write via --output), same identity semantics.
+      val dirF = new java.io.File(input)
+      if (!dirF.isDirectory) argError("schema_bulk needs a directory input")
+      val recognized = Seq("csv", "json", "jsonl", "parquet")
+      val codecs = Seq("gz", "bz2", "xz", "zst", "zstd")
+      val files = Option(dirF.listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile)
+        .filter { f =>
+          val n = f.getName.toLowerCase
+          recognized.exists(e => n.endsWith(s".$e") ||
+            codecs.exists(c => n.endsWith(s".$e.$c")))
+        }.sortBy(_.getName)
+      val mode = flags.getOrElse("mode", "distinct")
+      println(s"Found ${files.length} files. Processing mode $mode")
+      import spark.implicits._
+      val per = files.toSeq.map { f =>
+        val df = Analyzer.analyzeFile(spark, f.getPath).df
+        val names = UndatumOps.headerPaths(df.schema)
+        (f.getName, names.sorted.mkString("|"), names.length, isFlat(df))
+      }
+      val base = per.toDF("file", "fields", "num_cols", "is_flat")
+        .withColumn("schema_key", xxhash64(col("fields")))
+      Some(mode match {
+        case "perfile" => base
+          .select("file", "schema_key", "num_cols", "is_flat", "fields")
+          .orderBy("file")
+        case "distinct" => base
+          .groupBy("schema_key", "fields", "num_cols", "is_flat")
+          .agg(count(lit(1)).cast("long").as("n_files"),
+            sort_array(collect_list(col("file"))).as("files"))
+          .orderBy("schema_key")
+        case m => argError(s"unknown schema_bulk mode: $m")
+      })
     case "analyze" =>
       val fa = Analyzer.analyzeFile(spark, input,
         flags.getOrElse("format-in", ""))
@@ -266,6 +312,34 @@ object UndatumCli {
         flags.get("hi").map(_.toInt).getOrElse(Int.MaxValue))
         .orderBy(col("n_occ").desc, col("token")))
     case _ => argError(s"unknown command: $cmd")
+  }
+
+  /** flat = no nested/array/map column (schemer.py:171-174 flips
+    * is_flat on STRUCT or array fields).
+    */
+  private def isFlat(df: DataFrame): Boolean =
+    !df.schema.fields.exists(f => f.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.StructType |
+           _: org.apache.spark.sql.types.MapType => true
+      case _ => false
+    })
+
+  /** One file's schema table: a row per top-level field plus the
+    * table-level identity (key over nested dot paths, sorted — the
+    * same definition as Analyzer.schemaFingerprint).
+    */
+  private def schemaOf(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val joined = UndatumOps.headerPaths(df.schema).sorted.mkString("|")
+    df.schema.fields.toSeq
+      .map(f => (f.name, f.dataType.simpleString,
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+      .toDF("field", "ftype", "is_array")
+      .withColumn("schema_key", xxhash64(lit(joined)))
+      .withColumn("num_cols", lit(df.schema.fields.length))
+      .withColumn("is_flat", lit(isFlat(df)))
   }
 
   private def requiredRange(flags: Map[String, String]): (Int, Int) =

@@ -146,4 +146,52 @@ class CliSpec extends SparkSpecBase {
     val back = UndatumCli.run(s, "decode", store, Map.empty).get
     assert(back.count() == 400)
   }
+
+  test("schema: per-field layout plus xxhash64 identity key") {
+    val s = spark
+    val p = writeCsv()
+    val rows = UndatumCli.run(s, "schema", p, Map.empty).get.collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[String]("field")).toSet ==
+      Set("name", "lang", "age", "email"))
+    assert(rows.forall(_.getAs[Boolean]("is_flat")))
+    assert(rows.forall(r => r.getAs[Int]("num_cols") == 4))
+    // the key matches the engine's schema fingerprint definition
+    val expected = graft.operators.Analyzer
+      .schemaFingerprint(s.read.option("header", "true").csv(p))
+      .collect()(0).getAs[Long]("schema_key")
+    assert(rows.forall(_.getAs[Long]("schema_key") == expected))
+  }
+
+  test("schema_bulk groups a mixed-schema directory by fingerprint (distinct + perfile)") {
+    val s = spark
+    val dir = tmpDir("cli-bulk")
+    // two csv files sharing one schema, one jsonl with another, plus a
+    // file of an unrecognized extension that must be skipped
+    def put(name: String, lines: Seq[String]): Unit = {
+      val w = new java.io.PrintWriter(s"$dir/$name", "UTF-8")
+      lines.foreach(w.println); w.close()
+    }
+    put("a.csv", Seq("x,y", "1,2", "3,4"))
+    put("b.csv", Seq("y,x", "5,6", "7,8")) // same fields, other order
+    put("c.jsonl", Seq("""{"x":1,"z":"q"}""", """{"x":2,"z":"r"}"""))
+    put("d.txt", Seq("ignored"))
+    val distinct = UndatumCli.run(s, "schema_bulk", dir, Map.empty).get
+      .orderBy("schema_key").collect()
+    assert(distinct.length == 2)
+    val byFields = distinct.map(r =>
+      r.getAs[String]("fields") ->
+        r.getAs[scala.collection.Seq[String]]("files").toSeq).toMap
+    assert(byFields("x|y") == Seq("a.csv", "b.csv")) // sorted-name key
+    assert(byFields("x|z") == Seq("c.jsonl"))
+    assert(distinct.forall(_.getAs[Long]("n_files") > 0))
+    val perfile = UndatumCli.run(s, "schema_bulk", dir,
+      Map("mode" -> "perfile")).get.collect()
+    assert(perfile.map(_.getAs[String]("file")).toSeq ==
+      Seq("a.csv", "b.csv", "c.jsonl"))
+    // per-file keys agree with the distinct grouping
+    val keyOf = perfile.map(r =>
+      r.getAs[String]("file") -> r.getAs[Long]("schema_key")).toMap
+    assert(keyOf("a.csv") == keyOf("b.csv") && keyOf("a.csv") != keyOf("c.jsonl"))
+  }
 }
