@@ -1286,7 +1286,7 @@ object SparkEntry {
     "q_encoded_search" -> ((s, d) => {
       // predicate over the ENCODED store: which docs contain a token in
       // [100, 116]? Zone maps prune non-intersecting blocks at the
-      // parquet scan, dict symtabs reject without the payload, hit
+      // parquet scan, dict symtabs reject without decoding the payload, hit
       // blocks decode once and walk rows via the encoded lengths. The
       // oracle recomputes from the side-dumped raw token table.
       graft.encode.CompressedSearch
@@ -2711,10 +2711,14 @@ object SparkEntry {
         |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
         |max(c_name) AS max_name FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_warc_roundtrip" ->
+      // COALESCE mirrors WarcLocal.write's null-text coalescion: a
+      // null-text doc round-trips as "" on the Spark side, so the
+      // oracle must score it as "" too (md5(NULL)/length(NULL) would
+      // silently skip the row)
       """SELECT CAST(doc_id % 7 AS BIGINT) AS grp,
         |CAST(count(*) AS BIGINT) AS n,
-        |CAST(sum(length(text)) AS BIGINT) AS sum_len,
-        |max(md5(text)) AS max_md5
+        |CAST(sum(length(COALESCE(text, ''))) AS BIGINT) AS sum_len,
+        |max(md5(COALESCE(text, ''))) AS max_md5
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bson_roundtrip" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,

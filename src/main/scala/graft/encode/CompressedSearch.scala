@@ -24,9 +24,19 @@ import graft.codec.{Bits, BlockCodec, ByteReader, CodecIds, DictCodec}
   *     source is one value regime (TokenSynth mirrors this), so a
   *     selective token range prunes most blocks at the metadata tier.
   *  2. SYMBOL TABLES — a Dict block's sorted dictionary (<= 2^16
-  *     entries, a few KB) decides membership without touching the
-  *     payload: no dict value in [lo,hi] => whole block rejected
-  *     after reading only the symtab column.
+  *     entries, a few KB) decides membership without DECODING the
+  *     payload: no dict value in [lo,hi] => whole block rejected from
+  *     the symtab alone (no bit-unpack, no zstd inflate, no token
+  *     walk). Precision note: in the range-scan paths
+  *     (countTokens / tokenFrequency / searchDocs / readDocs) the
+  *     payload COLUMN is still projected for every zone-surviving
+  *     block, so parquet reads its bytes even when the symtab then
+  *     rejects — restricting the projection itself to surviving dict
+  *     blocks would need a driver-collected blockId list (no pushable
+  *     predicate exists for "symtab has no value in range"), which
+  *     does not scale. [[distinctTokens]] is the one query whose dict
+  *     answer needs ONLY symtabs, and it runs a genuinely payload-FREE
+  *     split scan (plan-asserted in CompressedSearchSpec).
   *  3. COMPRESSED-DOMAIN COUNTING — Dict blocks count index codes
   *     against the dictionary's [lo,hi] index span (sorted dict =>
   *     contiguous code range, one unsigned compare per token); RLE
@@ -81,7 +91,7 @@ object CompressedSearch {
         val dict = DictCodec.readDict(symtab)
         val iLo = lowerBound(dict, lo)
         val iHi = upperIndex(dict, hi)
-        if (iLo >= iHi) return 0L // symtab-only rejection: payload untouched
+        if (iLo >= iHi) return 0L // symtab-only rejection: payload not decoded
         val codes = Bits.unpack(
           new ByteReader(rawPayload(postCodec, payload)), n,
           DictCodec.indexWidth(symtab))
@@ -131,8 +141,10 @@ object CompressedSearch {
 
   /** Total number of tokens with value in [lo, hi] across the store —
     * one row (n_in_range). No row materialization anywhere: zone maps
-    * prune blocks at the parquet scan, dict symtabs reject without the
-    * payload, dict/RLE blocks count in the compressed domain.
+    * prune blocks at the parquet scan, dict symtabs reject without
+    * decoding the payload (see the object doc's precision note on
+    * what parquet still reads), dict/RLE blocks count in the
+    * compressed domain.
     */
   def countTokens(spark: SparkSession, outDir: String,
                   lo: Int, hi: Int): DataFrame = {
@@ -297,7 +309,7 @@ object CompressedSearch {
   /** Selective decode: full TokenRows for ONLY the documents holding a
     * token in [lo, hi] — the pruned-read family's predicate member
     * (read / readSource / readMeta / readDocs). Zone maps prune blocks
-    * at the scan, dict symtabs reject without the payload, hit blocks
+    * at the scan, dict symtabs reject without decoding the payload, hit blocks
     * decode once and emit only matching rows — at a selective
     * predicate the decode (and everything downstream) is O(hits),
     * not O(corpus).

@@ -185,7 +185,14 @@ object WarcLocal {
     */
   def readStream(spark: SparkSession, dir: String,
                  warcTypes: Set[String] = Set("conversion", "response"),
-                 stripHttp: Boolean = true): DataFrame = {
+                 stripHttp: Boolean = true,
+                 // accept BOTH the .warc* and .wet* families by
+                 // default: CC WET shards are routinely named
+                 // *.wet.gz (an extension batch read() and
+                 // Converter.formatOfExtension both recognize), and a
+                 // warc-only glob would stream such a drop dir as
+                 // zero rows with no error
+                 pathGlob: String = "*.{warc,wet}*"): DataFrame = {
     import spark.implicits._
     val keep = warcTypes
     val strip = stripHttp
@@ -195,7 +202,7 @@ object WarcLocal {
       .schema(new org.apache.spark.sql.types.StructType()
         .add("path", "string").add("modificationTime", "timestamp")
         .add("length", "long").add("content", "binary"))
-      .option("pathGlobFilter", "*.warc*")
+      .option("pathGlobFilter", pathGlob)
       .load(dir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]

@@ -142,7 +142,7 @@ class WarcSpec extends SparkSpecBase {
     import s.implicits._
     val drop = tmpDir("warc-stream") + "/drop"
     new java.io.File(drop).mkdirs()
-    def writeShard(n: Int, ids: Range): Unit = {
+    def writeShard(n: Int, ids: Range, ext: String = "warc.gz"): Unit = {
       val docs = ids.map(i =>
         (s"http://example.org/doc/$i", "2024-01-01T00:00:00Z", s"doc $i body"))
         .toDF("target_uri", "warc_date", "text").coalesce(1)
@@ -151,7 +151,7 @@ class WarcSpec extends SparkSpecBase {
       val f = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".warc.gz")).head
       java.nio.file.Files.move(f.toPath,
-        new java.io.File(drop, f"shard-$n%03d.warc.gz").toPath)
+        new java.io.File(drop, f"shard-$n%03d.$ext").toPath)
       ()
     }
     writeShard(1, 0 until 5)
@@ -169,9 +169,16 @@ class WarcSpec extends SparkSpecBase {
       assert(n() == 12)
       q.processAllAvailable() // no new files -> no duplicates
       assert(n() == 12)
+      // CC WET shards are routinely named *.wet.gz — the default glob
+      // must pick them up too (a warc-only glob streamed them as zero
+      // rows with no error)
+      writeShard(3, 12 until 15, ext = "wet.gz")
+      q.processAllAvailable()
+      assert(n() == 15)
       val uris = s.sql("SELECT target_uri FROM warcstream")
         .collect().map(_.getString(0)).toSet
-      assert(uris.size == 12 && uris.contains("http://example.org/doc/11"))
+      assert(uris.size == 15 && uris.contains("http://example.org/doc/11") &&
+        uris.contains("http://example.org/doc/14"))
     } finally q.stop()
   }
 
