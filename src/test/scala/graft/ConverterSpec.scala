@@ -135,6 +135,18 @@ class ConverterSpec extends SparkSpecBase {
       assertSameRows(fixture, Converter.readContainer(spark, p, ReadOptions("csv")))
   }
 
+  test(".br container reads via the from-scratch RFC 7932 decoder (last fixture closed)") {
+    // the one reference fixture no prior round could read: decoded by
+    // graft.codec.BrotliDec and parsed as csv; rows must equal the
+    // plain csv twin (the .br content is CRLF, the twin LF — the csv
+    // parser normalizes both)
+    val br = Converter.readContainer(spark,
+      "/root/reference/tests/fixtures/2cols6rows.csv.br", ReadOptions("csv"))
+    val csv = Converter.read(spark,
+      "/root/reference/tests/fixtures/2cols6rows.csv", ReadOptions("csv"))
+    assertSameRows(csv, br)
+  }
+
   test("json root array + tagname unwrap (2cols6rows_array/_tag)") {
     val dir = tmpDir("conv-json")
     // root array document
