@@ -1140,6 +1140,16 @@ object SparkEntry {
           sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
         .orderBy("c_nationkey")
     }),
+    "q_brotli_fixture" -> ((s, d) =>
+      // the reference's .br fixture read through the from-scratch
+      // RFC 7932 decoder (codec/BrotliDec); the oracle reads the
+      // PLAIN csv twin directly in DuckDB, so the decoder's output is
+      // compared against an independent engine's view of the data
+      graft.sources.Converter.readContainer(s,
+        "/root/reference/tests/fixtures/2cols6rows.csv.br",
+        graft.sources.Converter.ReadOptions("csv"))
+        .select(col("id").cast("long").as("id"), col("name"))
+        .orderBy("id")),
     "q_docx_table" -> ((s, d) => {
       // DOCX table scan (from-scratch WordprocessingML zip; reference:
       // formats/docx.py table extraction): region rows staged INTO a
@@ -2737,6 +2747,10 @@ object SparkEntry {
     "q_docx_table" ->
       """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
         |FROM region ORDER BY 1""".stripMargin,
+    "q_brotli_fixture" ->
+      """SELECT CAST(id AS BIGINT) AS id, name FROM
+        |read_csv_auto('/root/reference/tests/fixtures/2cols6rows.csv')
+        |ORDER BY id""".stripMargin,
     "q_multimodal_features" ->
       """WITH m AS (SELECT id, CAST(32 + (id % 8) * 16 AS INT) w,
         |  CAST(32 + (id % 5) * 16 AS INT) h
