@@ -418,8 +418,7 @@ object BrotliDec {
         }
       }
     val windowSize = (1 << wbits) - 16
-    val out = new java.io.ByteArrayOutputStream()
-    var outArr = new Array[Byte](64 << 10) // mirrored output for copies
+    var outArr = new Array[Byte](64 << 10) // grows; also serves copies
     var outLen = 0
     def append(b: Byte): Unit = {
       if (outLen == outArr.length)
@@ -459,6 +458,8 @@ object BrotliDec {
           }
           if (mskipBytes > 0) skipLen += 1
           r.alignByte()
+          if (r.bytePos + skipLen > input.length)
+            err("metadata skip past end of stream")
           r.skip(skipLen * 8)
         } else {
           var mlen = 0L
@@ -486,8 +487,7 @@ object BrotliDec {
         }
       }
     }
-    out.write(outArr, 0, outLen)
-    out.toByteArray
+    java.util.Arrays.copyOf(outArr, outLen)
   }
 
   /** One compressed meta-block (RFC 7932 §9.3). */

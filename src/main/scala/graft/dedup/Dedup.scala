@@ -969,40 +969,50 @@ object Dedup {
     * stream (windows are keyed on lowered tokens, so the trim is a
     * token-level operation by construction).
     *
-    * Distributed shape: the O(total tokens) (key, id, pos) stream is
-    * reduced to one global first occurrence per key with
-    * `groupBy(key).agg(min(struct(id, pos)))` — partial aggregation
-    * absorbs boilerplate hot keys map-side, so a window occurring in
-    * 1% of 10^12 documents costs one combiner cell per input
-    * partition, never a single-task window partition (a
-    * `row_number().over(Window.partitionBy(key))` would funnel every
-    * occurrence of one key into ONE task; AQE splits skewed JOIN
-    * partitions, never window partitions). Keys seen once are dropped
-    * before the rejoin; the rejoin on the 8-byte key is where AQE's
-    * skew-join split legitimately applies. Non-first positions roll
-    * up per doc (sorted, ≤doc-length ints), merge into disjoint
-    * covered spans, and one final scan drops covered tokens with an
-    * index-aware HOF (O(n_tok × n_spans), spans ≤ dups after the
-    * merge). Documents with nothing to trim never enter the rejoin's
-    * output and keep their tokens verbatim.
+    * Distributed shape, ONE corpus scan and no window: the O(total
+    * tokens) (key, id, pos) stream first rolls up per (key, doc) —
+    * hot boilerplate keys spread across the documents carrying them,
+    * so no single group explodes (a `row_number().over(Window
+    * .partitionBy(key))` would funnel every occurrence of one key
+    * into ONE task; AQE splits skewed JOIN partitions, never window
+    * partitions). The global first occurrence per key then reduces
+    * the per-doc minima (`min(struct(id, minPos))`, map-side
+    * combined), keys seen once are dropped, and the rejoin back onto
+    * the per-doc rows — position LISTS now, not one row per token —
+    * is where AQE's skew-join split legitimately applies. Non-first
+    * positions merge into disjoint covered spans per doc and one
+    * final scan drops covered tokens with an index-aware HOF
+    * (O(n_tok × n_spans), spans ≤ dups after the merge). Documents
+    * with nothing to trim never enter the rejoin's output and keep
+    * their tokens verbatim.
     */
   def substrDedupTrim(df: DataFrame, idCol: String, textCol: String,
                       k: Int, portable: Boolean = false): DataFrame = {
     val ex = df.select(col(idCol),
       posexplode(windowKeys(col(textCol), k, portable))
         .as(Seq("__pos", "__wk")))
-    // global keep-first = min (id, pos) per key; map-side combined
-    val firsts = ex.groupBy(col("__wk"))
-      .agg(min(struct(col(idCol).as("id"), col("__pos").as("p")))
-             .as("__first"),
+    // one scan: per-(key, doc) sorted position lists + per-doc minimum
+    val perDoc = ex.groupBy(col("__wk"), col(idCol))
+      .agg(sort_array(collect_list(col("__pos"))).as("__poss"),
+           min(col("__pos")).as("__minp"),
            count(lit(1)).as("__n"))
-      .where(col("__n") >= 2) // unique windows trim nothing
+    // global keep-first = min (id, minPos) per key; map-side combined
+    val firsts = perDoc.groupBy(col("__wk"))
+      .agg(min(struct(col(idCol).as("id"), col("__minp").as("p")))
+             .as("__first"),
+           sum(col("__n")).as("__tot"))
+      .where(col("__tot") >= 2) // unique windows trim nothing
       .select(col("__wk"), col("__first"))
-    val dup = ex.join(firsts, "__wk")
-      .where(!(col(idCol) === col("__first")("id") &&
-               col("__pos") === col("__first")("p")))
+    val dup = perDoc.join(firsts, "__wk")
+      // the first doc sheds exactly its first position (positions are
+      // unique within a doc); every other doc keeps its whole list
+      .select(col(idCol),
+        when(col(idCol) === col("__first")("id"),
+          filter(col("__poss"), p => p =!= col("__first")("p")))
+          .otherwise(col("__poss")).as("__dupp"))
+      .where(size(col("__dupp")) > 0)
       .groupBy(col(idCol))
-      .agg(sort_array(collect_list(col("__pos"))).as("__dups"))
+      .agg(sort_array(flatten(collect_list(col("__dupp")))).as("__dups"))
     // merge sorted positions (each covering [p, p+k-1]) into disjoint
     // spans so the per-token HOF scans spans, not raw duplicates
     val emptySpans = array().cast("array<struct<s:int,e:int>>")

@@ -165,6 +165,9 @@ object WavCodec {
       val cid = new String(bytes, pos, 4, "US-ASCII")
       val r = new graft.codec.ByteReader(bytes, pos + 4)
       val len = r.readIntLE()
+      // a hostile/corrupt size field must fail, not stall the walk:
+      // len = -8 would otherwise re-read the same chunk forever
+      require(len >= 0, s"negative RIFF chunk length $len in '$cid'")
       val body = pos + 8
       cid match {
         case "fmt " =>

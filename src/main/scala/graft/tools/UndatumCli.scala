@@ -240,8 +240,13 @@ object UndatumCli {
           .select("file", "schema_key", "num_cols", "is_flat", "fields")
           .orderBy("file")
         case "distinct" => base
-          .groupBy("schema_key", "fields", "num_cols", "is_flat")
-          .agg(count(lit(1)).cast("long").as("n_files"),
+          // ONE row per schema key, like the reference (schemer.py
+          // groups purely by the name-hash key): fields/num_cols are
+          // functions of the key; is_flat can differ across files
+          // sharing it (x:int vs x:[int]), so report the conjunction
+          .groupBy("schema_key", "fields", "num_cols")
+          .agg(min(col("is_flat")).as("is_flat"),
+            count(lit(1)).cast("long").as("n_files"),
             sort_array(collect_list(col("file"))).as("files"))
           .orderBy("schema_key")
         case m => argError(s"unknown schema_bulk mode: $m")
@@ -327,18 +332,22 @@ object UndatumCli {
 
   /** One file's schema table: a row per top-level field plus the
     * table-level identity (key over nested dot paths, sorted — the
-    * same definition as Analyzer.schemaFingerprint).
+    * same definition as Analyzer.schemaFingerprint). num_cols counts
+    * LEAF PATHS like the reference's duckdb_decompose (and like
+    * schema_bulk), not top-level fields — the two commands must agree
+    * on a nested file.
     */
   private def schemaOf(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val joined = UndatumOps.headerPaths(df.schema).sorted.mkString("|")
+    val paths = UndatumOps.headerPaths(df.schema)
+    val joined = paths.sorted.mkString("|")
     df.schema.fields.toSeq
       .map(f => (f.name, f.dataType.simpleString,
         f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
       .toDF("field", "ftype", "is_array")
       .withColumn("schema_key", xxhash64(lit(joined)))
-      .withColumn("num_cols", lit(df.schema.fields.length))
+      .withColumn("num_cols", lit(paths.length))
       .withColumn("is_flat", lit(isFlat(df)))
   }
 

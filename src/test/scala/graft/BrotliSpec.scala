@@ -72,5 +72,10 @@ class BrotliSpec extends AnyFunSuite {
     val real = res("csv_q11.br")
     intercept[Throwable](
       BrotliDec.decompress(java.util.Arrays.copyOf(real, real.length / 2)))
+    // metadata meta-block whose declared skip runs past the end of the
+    // stream: WBITS=16, ISLAST=1, MNIBBLES=11 (metadata), MSKIPBYTES=1,
+    // skip length 201 — but the file ends right after the length byte
+    intercept[Throwable](
+      BrotliDec.decompress(Array[Byte](0x5A, 0xC8.toByte)))
   }
 }

@@ -194,4 +194,30 @@ class CliSpec extends SparkSpecBase {
       r.getAs[String]("file") -> r.getAs[Long]("schema_key")).toMap
     assert(keyOf("a.csv") == keyOf("b.csv") && keyOf("a.csv") != keyOf("c.jsonl"))
   }
+
+  test("schema_bulk distinct: one row per key even when flatness differs; nested num_cols") {
+    val s = spark
+    val dir = tmpDir("cli-bulk2")
+    def put(name: String, lines: Seq[String]): Unit = {
+      val w = new java.io.PrintWriter(s"$dir/$name", "UTF-8")
+      lines.foreach(w.println); w.close()
+    }
+    // same leaf path "x", different shapes: scalar vs array — ONE
+    // distinct row (the reference groups purely by the name-hash key),
+    // is_flat reported as the conjunction
+    put("scalar.jsonl", Seq("""{"x":1}""", """{"x":2}"""))
+    put("arr.jsonl", Seq("""{"x":[1,2]}"""))
+    val distinct = UndatumCli.run(s, "schema_bulk", dir, Map.empty).get.collect()
+    assert(distinct.length == 1)
+    assert(distinct(0).getAs[Long]("n_files") == 2L)
+    assert(!distinct(0).getAs[Boolean]("is_flat"))
+    // nested file: schema and schema_bulk agree on num_cols = leaf paths
+    put("nested.jsonl", Seq("""{"a":{"b":1,"c":2}}"""))
+    val one = UndatumCli.run(s, "schema", s"$dir/nested.jsonl", Map.empty)
+      .get.collect()
+    assert(one.forall(_.getAs[Int]("num_cols") == 2))
+    val pf = UndatumCli.run(s, "schema_bulk", dir, Map("mode" -> "perfile"))
+      .get.collect().map(r => r.getAs[String]("file") -> r.getAs[Int]("num_cols")).toMap
+    assert(pf("nested.jsonl") == 2)
+  }
 }

@@ -92,6 +92,12 @@ class MultimodalSpec extends SparkSpecBase {
     bos.write(orig, 12, orig.length - 12)
     val d2 = WavCodec.decode(bos.toByteArray)
     assert(d2.ampSum == expect && d2.nSamples == n)
+    // hostile negative chunk length must fail loudly, never stall the
+    // chunk walk (len = -8 re-reads the same position forever)
+    val evil = orig.clone()
+    evil(16) = 0xF8.toByte; evil(17) = 0xFF.toByte
+    evil(18) = 0xFF.toByte; evil(19) = 0xFF.toByte
+    intercept[IllegalArgumentException](WavCodec.decode(evil))
   }
 
   test("decodeFeatures emits one row per input with the declared schema") {
