@@ -429,6 +429,19 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.gopherRules(col("text")).as("g"))
         .select(col("doc_id"), col("g.*"))
         .orderBy("doc_id")),
+    "q_c4_rules" -> ((s, d) => {
+      // C4 cleanup (Raffel et al. 2020 §2.2): line-level terminal-punct
+      // / ≥5-word / javascript rules + page-level sentence-count,
+      // lorem-ipsum, brace and blocklist gates. The driver's documents
+      // are single-line and unpunctuated, so the rules run over a
+      // deterministic multi-line web-doc synth, side-dumped so the
+      // oracle replays the exact same pages
+      val docs = dumpSide(graft.synth.WebDocSynth.dataset(s, 400).toDF(),
+        "c4_docs")
+      docs.select(col("doc_id"), TextOps.c4Rules(col("text")).as("c4"))
+        .select(col("doc_id"), col("c4.*"))
+        .orderBy("doc_id")
+    }),
     "q_url_canonical" -> ((s, d) => {
       // URL canonicalization + registrable domain over a deterministic
       // synthetic URL column (docs carry no URLs): five families
@@ -1977,6 +1990,32 @@ object SparkEntry {
         |  stop_hits >= 2 AS r_stop,
         |  (n_words BETWEEN 50 AND 100000) AND (mean_len_bp BETWEEN 30000 AND 100000)
         |    AND alpha_bp >= 8000 AND stop_hits >= 2 AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_c4_rules" ->
+      """WITH d AS (SELECT doc_id, text
+        |  FROM read_parquet('/tmp/graft_oracle_side/c4_docs/*.parquet')),
+        |k AS (SELECT doc_id, text,
+        |  string_split(text, chr(10)) AS lines,
+        |  COALESCE(array_to_string(list_filter(string_split(text, chr(10)),
+        |    x -> regexp_matches(rtrim(x), '[.!?"]$')
+        |      AND len(list_filter(string_split_regex(trim(x), '\s+'),
+        |            w -> w <> '')) >= 5
+        |      AND NOT contains(lower(x), 'javascript')), chr(10)), '') AS clean
+        |  FROM d),
+        |m AS (SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) n_lines,
+        |  CAST(CASE WHEN clean = '' THEN 0
+        |    ELSE len(string_split(clean, chr(10))) END AS BIGINT) n_kept,
+        |  CAST(len(regexp_extract_all(clean, '[.!?]')) AS BIGINT) n_sentences,
+        |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |  contains(text, '{') AS has_brace,
+        |  regexp_matches(lower(text), '\b(porn|xxx|viagra)\b') AS has_badword,
+        |  clean AS text_clean FROM k)
+        |SELECT doc_id, n_lines, n_kept, n_sentences, has_lorem, has_brace,
+        |  has_badword,
+        |  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+        |    AND NOT has_badword) AS c4_pass,
+        |  text_clean
         |FROM m ORDER BY doc_id""".stripMargin,
     "q_url_canonical" ->
       """WITH u AS (SELECT doc_id, CASE CAST(doc_id % 5 AS INTEGER)

@@ -307,6 +307,55 @@ object TextOps {
       (rWords && rMeanLen && rAlpha && rStop).as("gopher_pass"))
   }
 
+  /** Words on C4's small blocklist (a placeholder subset of the
+    * public "List of Dirty, Naughty, Obscene..." the paper cites —
+    * the rule's shape is what matters, the list is a parameter).
+    */
+  val C4BadWords: Seq[String] = Seq("porn", "xxx", "viagra")
+
+  /** C4 quality heuristics (Raffel et al. 2020 §2.2 — the T5
+    * pretraining cleanup): line-level — keep only lines that end in
+    * a terminal punctuation mark (`. ! ? "` after right-trim), have
+    * at least 5 whitespace words, and do not mention "javascript";
+    * page-level — drop pages whose retained text has fewer than 3
+    * sentences (counted as `[.!?]` occurrences in the kept lines),
+    * or that contain "lorem ipsum", a curly brace `{`, or a word on
+    * the blocklist (word-boundary match on the lowered page). All
+    * built-in string/array expressions over one scan — split,
+    * array `filter`, `regexp_extract_all` — no UDFs, so the operator
+    * is a single codegen'd projection at any scale.
+    *
+    * Returns a struct: n_lines, n_kept, n_sentences, has_lorem,
+    * has_brace, has_badword, c4_pass, text_clean (kept lines
+    * re-joined with newlines; empty string when nothing survives).
+    */
+  def c4Rules(text: Column,
+              badWords: Seq[String] = C4BadWords): Column = {
+    val lines = split(text, "\n")
+    val kept = filter(lines, l =>
+      rtrim(l).rlike("[.!?\"]$") &&
+        size(filter(split(trim(l), "\\s+"), w => w =!= lit(""))) >= 5 &&
+        !lower(l).contains("javascript"))
+    val textClean = concat_ws("\n", kept)
+    val nSentences =
+      size(regexp_extract_all(textClean, lit("[.!?]"), lit(0))).cast("long")
+    val hasLorem = lower(text).contains("lorem ipsum")
+    val hasBrace = text.contains("{")
+    // plain alternation (list entries are bare words) so the same
+    // pattern text runs under both Java regex and an RE2 oracle
+    val badRe = badWords.mkString("|")
+    val hasBad = lower(text).rlike(s"\\b($badRe)\\b")
+    struct(
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      nSentences.as("n_sentences"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      hasBad.as("has_badword"),
+      (nSentences >= 3L && !hasLorem && !hasBrace && !hasBad).as("c4_pass"),
+      textClean.as("text_clean"))
+  }
+
   /** Cross-document LINE dedup — the CCNet/RefinedWeb boilerplate
     * pass (Wenzek et al. 2019 §4.1 dedups the corpus at paragraph
     * granularity; Penedo et al. 2023 removes lines repeated across
