@@ -1344,6 +1344,22 @@ object SparkEntry {
       // shuffle bounded by per-block cardinality
       graft.encode.CompressedSearch
         .distinctTokens(s, encodedStore(s, d))),
+    "q_encoded_source_freq" -> ((s, d) =>
+      // per-(source, token) histogram over the encoded store: source-
+      // pure blocks (the plan's partId bands) histogram compressed-
+      // domain and attribute wholesale; only overflow-band blocks
+      // attribute row by row
+      graft.encode.CompressedSearch
+        .sourceTokenFrequency(s, encodedStore(s, d))
+        .orderBy(col("n_occ").desc, col("source"), col("token"))
+        .limit(30)),
+    "q_encoded_source_kl" -> ((s, d) =>
+      // mixing QA over the encoded store: per-source unigram KL drift
+      // vs the corpus pool in micro-nats (fixed-point, exact oracle);
+      // block scan compressed-domain, joins vocabulary-sized
+      graft.encode.CompressedSearch
+        .sourceKlDrift(s, encodedStore(s, d))
+        .orderBy("source")),
     "q_encoded_search_src" -> ((s, d) =>
       // both metadata prunes composed: the pinned plan's partId band
       // drops every other source's blocks at the scan, zone maps prune
@@ -2859,6 +2875,27 @@ object SparkEntry {
       """SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
         |FROM (SELECT unnest(tokens) AS tok
         |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet'))""".stripMargin,
+    "q_encoded_source_freq" ->
+      """SELECT source, tok AS token, CAST(count(*) AS BIGINT) AS n_occ
+        |FROM (SELECT source, unnest(tokens) AS tok
+        |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet'))
+        |GROUP BY 1, 2 ORDER BY n_occ DESC, source, token LIMIT 30""".stripMargin,
+    "q_encoded_source_kl" ->
+      """WITH t AS (SELECT source, unnest(tokens) AS tok
+        |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')),
+        |st AS (SELECT source, tok, CAST(count(*) AS BIGINT) n FROM t GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(sum(n) AS BIGINT) ns FROM st GROUP BY 1),
+        |g AS (SELECT tok, CAST(sum(n) AS BIGINT) nt FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) nn FROM st),
+        |terms AS (SELECT st.source,
+        |  CAST(floor((CAST(st.n AS DOUBLE) / s.ns)
+        |    * ln((CAST(st.n AS DOUBLE) * tot.nn) / (CAST(s.ns AS DOUBLE) * g.nt))
+        |    * 1e6 + 0.5) AS BIGINT) term
+        |  FROM st JOIN s USING (source) JOIN g USING (tok) CROSS JOIN tot)
+        |SELECT source, CAST(max(s.ns) AS BIGINT) AS n_tok,
+        |  CAST(sum(term) AS BIGINT) AS kl_micro
+        |FROM terms JOIN s USING (source)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_encoded_search_src" ->
       """WITH t AS (SELECT doc_id, source, unnest(tokens) AS tok
         |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')

@@ -183,46 +183,158 @@ object CompressedSearch {
       .flatMap { case (cid, post, st, pay, nTokL) =>
         val n = nTokL.toInt
         if (n == 0 || dictRejects(cid, st, lo, hi)) Iterator.empty
-        else cid match {
-          case CodecIds.Dict =>
-            val dict = DictCodec.readDict(st)
-            val iLo = lowerBound(dict, lo)
-            val iHi = upperIndex(dict, hi)
-            val codes = Bits.unpack(
-              new ByteReader(rawPayload(post, pay)), n,
-              DictCodec.indexWidth(st))
-            val counts = new Array[Long](dict.length)
-            var i = 0
-            while (i < n) { counts(codes(i).toInt) += 1; i += 1 }
-            (iLo until iHi).iterator
-              .filter(counts(_) > 0L)
-              .map(j => (dict(j), counts(j)))
-          case CodecIds.Rle =>
-            val r = new ByteReader(rawPayload(post, pay))
-            val m = new scala.collection.mutable.LongMap[Long]()
-            var i = 0
-            while (i < n) {
-              val v = r.readZigZag()
-              val run = r.readVarInt()
-              if (v >= lo && v <= hi) m(v.toLong) = m.getOrElse(v.toLong, 0L) + run
-              i += run
-            }
-            m.iterator.map { case (v, c) => (v.toInt, c) }
-          case _ =>
-            val vals = BlockCodec.decode(cid, post, st, pay, n)
-            val m = new scala.collection.mutable.LongMap[Long]()
-            var i = 0
-            while (i < n) {
-              val v = vals(i)
-              if (v >= lo && v <= hi) m(v.toLong) = m.getOrElse(v.toLong, 0L) + 1L
-              i += 1
-            }
-            m.iterator.map { case (v, c) => (v.toInt, c) }
-        }
+        else blockHistogram(cid, post, st, pay, n, lo, hi)
       }
       .toDF("token", "n_occ")
       .groupBy("token")
       .agg(sum("n_occ").as("n_occ"))
+  }
+
+  /** One block's (token, count) histogram in the compressed domain
+    * where the codec allows: Dict blocks histogram index codes into a
+    * dense array over the dictionary (O(n) + O(card)), RLE blocks
+    * read (value, run) pairs so a length-r run costs O(1), other
+    * codecs decode their value stream and histogram locally. Callers
+    * zone-prune and dict-reject before asking.
+    */
+  private def blockHistogram(cid: Int, post: Int, st: Array[Byte],
+                             pay: Array[Byte], n: Int,
+                             lo: Int, hi: Int): Iterator[(Int, Long)] =
+    cid match {
+      case CodecIds.Dict =>
+        val dict = DictCodec.readDict(st)
+        val iLo = lowerBound(dict, lo)
+        val iHi = upperIndex(dict, hi)
+        val codes = Bits.unpack(
+          new ByteReader(rawPayload(post, pay)), n,
+          DictCodec.indexWidth(st))
+        val counts = new Array[Long](dict.length)
+        var i = 0
+        while (i < n) { counts(codes(i).toInt) += 1; i += 1 }
+        (iLo until iHi).iterator
+          .filter(counts(_) > 0L)
+          .map(j => (dict(j), counts(j)))
+      case CodecIds.Rle =>
+        val r = new ByteReader(rawPayload(post, pay))
+        val m = new scala.collection.mutable.LongMap[Long]()
+        var i = 0
+        while (i < n) {
+          val v = r.readZigZag()
+          val run = r.readVarInt()
+          if (v >= lo && v <= hi) m(v.toLong) = m.getOrElse(v.toLong, 0L) + run
+          i += run
+        }
+        m.iterator.map { case (v, c) => (v.toInt, c) }
+      case _ =>
+        val vals = BlockCodec.decode(cid, post, st, pay, n)
+        val m = new scala.collection.mutable.LongMap[Long]()
+        var i = 0
+        while (i < n) {
+          val v = vals(i)
+          if (v >= lo && v <= hi) m(v.toLong) = m.getOrElse(v.toLong, 0L) + 1L
+          i += 1
+        }
+        m.iterator.map { case (v, c) => (v.toInt, c) }
+    }
+
+  /** Per-(source, token) occurrence counts over the encoded store.
+    * Encode partitions are source-pure by construction (the pinned
+    * plan assigns each source its own partId band), so nearly every
+    * block takes the fast path: the sources dict collapses to one
+    * entry and the whole block's compressed-domain histogram (dict
+    * codes / RLE runs — `blockHistogram`) attributes to that single
+    * source with no per-row work. Only overflow-band blocks (several
+    * rare sources sharing one band) decode their value stream and
+    * attribute token spans row by row. Every block emits
+    * PRE-AGGREGATED (source, token, n) triples, so the exchange is
+    * bounded by |sources-in-block| × card, never by token count.
+    */
+  def sourceTokenFrequency(spark: SparkSession, outDir: String,
+                           lo: Int = Int.MinValue,
+                           hi: Int = Int.MaxValue): DataFrame = {
+    import spark.implicits._
+    TokenDecoder.committedBlocks(spark, outDir, None)
+      .where(zone(lo, hi))
+      .select("codecId", "postCodec", "symtab", "payload", "totalTokens",
+        "blockRows", "sourcesEnc", "lengthsEnc")
+      .as[(Int, Int, Array[Byte], Array[Byte], Long, Int,
+        Array[Byte], Array[Byte])]
+      .flatMap { case (cid, post, st, pay, nTokL, nRows, srcEnc, lenEnc) =>
+        val n = nTokL.toInt
+        if (n == 0 || dictRejects(cid, st, lo, hi)) Iterator.empty
+        else {
+          val sources = graft.codec.StringCols.decodeSources(srcEnc, nRows)
+          var pure = true
+          var i = 1
+          while (pure && i < nRows) { pure = sources(i) == sources(0); i += 1 }
+          if (pure) {
+            val src = sources(0)
+            blockHistogram(cid, post, st, pay, n, lo, hi)
+              .map { case (t, c) => (src, t, c) }
+          } else {
+            // overflow band: several rare sources in one block — decode
+            // once, walk the per-row lengths, histogram per source
+            val vals = BlockCodec.decode(cid, post, st, pay, n)
+            val lens = new ByteReader(lenEnc)
+            val per = new scala.collection.mutable.HashMap[
+              String, scala.collection.mutable.LongMap[Long]]()
+            var off = 0
+            var r = 0
+            while (r < nRows) {
+              val m = per.getOrElseUpdate(sources(r),
+                new scala.collection.mutable.LongMap[Long]())
+              val len = lens.readVarInt()
+              var k = off
+              while (k < off + len) {
+                val v = vals(k)
+                if (v >= lo && v <= hi)
+                  m(v.toLong) = m.getOrElse(v.toLong, 0L) + 1L
+                k += 1
+              }
+              off += len
+              r += 1
+            }
+            per.iterator.flatMap { case (src, m) =>
+              m.iterator.map { case (v, c) => (src, v.toInt, c) }
+            }
+          }
+        }
+      }
+      .toDF("source", "token", "n_occ")
+      .groupBy("source", "token")
+      .agg(sum("n_occ").as("n_occ"))
+  }
+
+  /** Per-source unigram-distribution drift vs the whole corpus:
+    * KL(P_source ‖ P_corpus) in MICRO-NATS (the repo's fixed-point
+    * oracle convention — each (source, token) term is floored to an
+    * integer before the sum, so a SQL oracle reproduces the exact
+    * value with no float-order hazard). The curation use is mixing
+    * QA: a source whose token distribution drifts far from the pool
+    * (or from a target domain) gets its temperature/budget revisited.
+    *
+    * Built entirely on `sourceTokenFrequency`, so the corpus pass is
+    * compressed-domain and the joins that follow are vocabulary-sized
+    * (source totals broadcast, global token counts shuffle at most
+    * |vocab| rows) — nothing downstream of the block scan is
+    * proportional to corpus size. Returns (source, n_tok, kl_micro).
+    */
+  def sourceKlDrift(spark: SparkSession, outDir: String): DataFrame = {
+    val st = sourceTokenFrequency(spark, outDir)
+    val srcTot = st.groupBy("source").agg(sum("n_occ").as("__ns"))
+    val glob = st.groupBy("token").agg(sum("n_occ").as("__nt"))
+    val tot = st.agg(sum("n_occ").as("__nn"))
+    st.join(broadcast(srcTot), "source")
+      .join(glob, "token")
+      .crossJoin(broadcast(tot))
+      .withColumn("__term", floor(
+        (col("n_occ").cast("double") / col("__ns")) *
+          log((col("n_occ").cast("double") * col("__nn")) /
+            (col("__ns").cast("double") * col("__nt"))) * lit(1e6)
+          + lit(0.5)).cast("long"))
+      .groupBy("source")
+      .agg(max(col("__ns")).cast("long").as("n_tok"),
+        sum(col("__term")).cast("long").as("kl_micro"))
   }
 
   /** Exact distinct-token count (vocabulary size) over the encoded

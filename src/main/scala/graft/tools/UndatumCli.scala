@@ -44,11 +44,12 @@ object UndatumCli {
         |          decode <storeDir> [--output out]
         |          searchenc <storeDir> --lo N --hi N [--source s]
         |          countenc <storeDir> --lo N --hi N
-        |          frequencyenc <storeDir> [--lo N --hi N]
+        |          frequencyenc <storeDir> [--lo N --hi N] [--by-source 1]
+        |          driftenc <storeDir>   (per-source KL vs pool, micro-nats)
         |flags:    --output --fields --filter --query --format-in
         |          --format-out --delimiter --encoding --tagname
         |          --dictshare --chunksize --rule --mode --limit
-        |          --lo --hi --source --rows-per-part""".stripMargin)
+        |          --lo --hi --source --by-source --rows-per-part""".stripMargin)
     sys.exit(2)
   }
 
@@ -311,11 +312,22 @@ object UndatumCli {
       val (lo, hi) = requiredRange(flags)
       Some(graft.encode.CompressedSearch.countTokens(spark, input, lo, hi))
     case "frequencyenc" =>
-      // range optional: the default is the full-vocabulary histogram
-      Some(graft.encode.CompressedSearch.tokenFrequency(spark, input,
-        flags.get("lo").map(_.toInt).getOrElse(Int.MinValue),
-        flags.get("hi").map(_.toInt).getOrElse(Int.MaxValue))
-        .orderBy(col("n_occ").desc, col("token")))
+      // range optional: the default is the full-vocabulary histogram;
+      // --by-source splits the histogram per source (source-pure
+      // blocks attribute compressed-domain, overflow blocks row-wise)
+      val lo = flags.get("lo").map(_.toInt).getOrElse(Int.MinValue)
+      val hi = flags.get("hi").map(_.toInt).getOrElse(Int.MaxValue)
+      Some(
+        if (flags.contains("by-source"))
+          graft.encode.CompressedSearch.sourceTokenFrequency(spark, input, lo, hi)
+            .orderBy(col("n_occ").desc, col("source"), col("token"))
+        else
+          graft.encode.CompressedSearch.tokenFrequency(spark, input, lo, hi)
+            .orderBy(col("n_occ").desc, col("token")))
+    case "driftenc" =>
+      // per-source KL drift vs the corpus pool, micro-nats
+      Some(graft.encode.CompressedSearch.sourceKlDrift(spark, input)
+        .orderBy("source"))
     case _ => argError(s"unknown command: $cmd")
   }
 

@@ -145,6 +145,17 @@ class CliSpec extends SparkSpecBase {
     assert(freqTotal == ds.map(_.tokens.length.toLong).sum)
     val back = UndatumCli.run(s, "decode", store, Map.empty).get
     assert(back.count() == 400)
+    // --by-source splits the same mass per source; driftenc returns
+    // one micro-nat KL row per source
+    val bySrc = UndatumCli.run(s, "frequencyenc", store,
+      Map("by-source" -> "1")).get
+    assert(bySrc.columns.toSeq == Seq("source", "token", "n_occ"))
+    assert(bySrc.agg(org.apache.spark.sql.functions.sum("n_occ"))
+      .collect()(0).getLong(0) == freqTotal)
+    val nSources = ds.map(_.source).distinct.length
+    val drift = UndatumCli.run(s, "driftenc", store, Map.empty).get.collect()
+    assert(drift.length == nSources &&
+      drift.forall(_.getAs[Long]("kl_micro") >= 0L))
   }
 
   test("schema: per-field layout plus xxhash64 identity key") {

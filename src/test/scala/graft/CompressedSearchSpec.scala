@@ -223,4 +223,60 @@ class CompressedSearchSpec extends SparkSpecBase {
       .agg(sum("n_occ")).collect()(0).getLong(0)
     assert(gotFreq == ds.collect().map(_.tokens.length.toLong).sum)
   }
+
+  test("sourceTokenFrequency + sourceKlDrift: pure AND mixed overflow blocks vs brute") {
+    import spark.implicits._
+    // pin a plan that only knows "major": 34 plan-unknown rare sources
+    // pigeonhole into the 16 overflow slots, so at least one block is
+    // guaranteed source-MIXED and the per-row attribution path runs
+    val rows =
+      (0 until 200).map(i => TokenRow(f"major-$i%04d",
+        Array.tabulate(30)(k => (i + k) % 40), 30, "major")) ++
+      (0 until 34).flatMap { s =>
+        (0 until 2).map(i => TokenRow(f"rare$s%02d-$i",
+          Array.tabulate(10)(k => 100 + (s * 3 + k) % 25), 10, f"rare$s%02d"))
+      }
+    val ds = spark.createDataset(rows)
+    val dir = tmpDir("graft-srcfreq")
+    TokenEncoder.savePlan(Map("major" -> (0, 2)), dir)
+    TokenEncoder.run(ds, dir, TokenEncoder.EncodeConfig(targetRowsPerPart = 100))
+    val mixed = spark.read.parquet(s"$dir/blocks")
+      .select("sourcesEnc", "blockRows").collect().exists { r =>
+        graft.codec.StringCols.decodeSources(
+          r.getAs[Array[Byte]](0), r.getInt(1)).distinct.length > 1
+      }
+    assert(mixed, "expected at least one source-mixed overflow block")
+
+    val want = rows.flatMap(r => r.tokens.map(t => (r.source, t)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = CompressedSearch.sourceTokenFrequency(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    // range-restricted: only rare-source tokens live in [100, 124]
+    val gotR = CompressedSearch.sourceTokenFrequency(spark, dir, 100, 110)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(gotR == want.filter { case ((_, t), _) => t >= 100 && t <= 110 })
+
+    // KL drift: replay the fixed-point formula driver-side
+    val ns = want.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nt = want.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val nn = want.values.sum
+    val wantKl = want.toSeq.groupBy(_._1._1).map { case (src, m) =>
+      src -> m.map { case ((_, t), n) =>
+        math.floor(n.toDouble / ns(src) *
+          math.log(n.toDouble * nn / (ns(src).toDouble * nt(t))) * 1e6 + 0.5).toLong
+      }.sum
+    }
+    val gotKl = CompressedSearch.sourceKlDrift(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gotKl.keySet == wantKl.keySet)
+    for ((s, kl) <- wantKl) {
+      assert(gotKl(s)._1 == ns(s), s"$s n_tok")
+      assert(gotKl(s)._2 == kl, s"$s kl_micro: ${gotKl(s)._2} != $kl")
+    }
+    // the majority source hugs the pool (low drift); rare sources,
+    // whose vocab is disjoint from major's, drift far above it
+    val major = gotKl("major")._2
+    assert(wantKl.keys.filter(_ != "major").forall(s => gotKl(s)._2 > major))
+  }
 }
