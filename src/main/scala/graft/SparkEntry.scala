@@ -66,8 +66,9 @@ object SparkEntry {
     * into a fixed per-(runner, input) dir — TokenEncoder.run's resume
     * protocol makes every repeat call a cheap committed-markers no-op,
     * so the two q_encoded_* queries and bench reps share one store.
-    * The `z1` tag versions the block schema (zone-map columns): an
-    * older round's store in /tmp must not satisfy the resume check.
+    * The `z2` tag versions the block schema (z1 added the zone-map
+    * columns, z2 the doc-id bloom): an older round's store in /tmp
+    * must not satisfy the resume check.
     */
   private def encodedStore(s: SparkSession, d: String): String = {
     import s.implicits._
@@ -88,7 +89,7 @@ object SparkEntry {
       sum(h.bitwiseAND(lit(0xFFFFFFFFL)))).first()
     val fp = graft.encode.TokenEncoder.hash64(
       s"${fpRow.getLong(0)}:${fpRow.getLong(1)}:${fpRow.getLong(2)}:${fpRow.getLong(3)}")
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-qencstore-z1-" +
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-qencstore-z2-" +
       java.lang.Long.toHexString(fp ^ (sideDir.hashCode.toLong << 32) ^ d.hashCode)
     graft.encode.TokenEncoder.run(ds, dir,
       graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 1000,
@@ -1344,6 +1345,19 @@ object SparkEntry {
       // shuffle bounded by per-block cardinality
       graft.encode.CompressedSearch
         .distinctTokens(s, encodedStore(s, d))),
+    "q_encoded_doc" -> ((s, d) => {
+      // point lookup over the encoded store: per-block doc-id Bloom
+      // filters reject blocks from metadata alone (payload unread);
+      // only may-contain blocks decode. Requested: the 3 smallest ids
+      import s.implicits._
+      val store = encodedStore(s, d)
+      val ids = graft.synth.TokenSynth.dataset(s, 3000)
+        .select("doc_id").orderBy("doc_id").limit(3)
+        .as[String].collect().toSeq
+      graft.encode.TokenDecoder.readDocsById(s, store, ids)
+        .toDF().select("doc_id", "n_tok", "source")
+        .orderBy("doc_id")
+    }),
     "q_encoded_source_freq" -> ((s, d) =>
       // per-(source, token) histogram over the encoded store: source-
       // pure blocks (the plan's partId bands) histogram compressed-
@@ -1411,7 +1425,7 @@ object SparkEntry {
     */
   private def encodedStoreBench(s: SparkSession): String = {
     val dir =
-      s"${System.getProperty("java.io.tmpdir")}/graft-qencstore-z1-bench"
+      s"${System.getProperty("java.io.tmpdir")}/graft-qencstore-z2-bench"
     graft.encode.TokenEncoder.run(graft.synth.TokenSynth.dataset(s, 3000),
       dir, graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 1000,
         inputFile = "token_synth"))
@@ -2875,6 +2889,10 @@ object SparkEntry {
       """SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
         |FROM (SELECT unnest(tokens) AS tok
         |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet'))""".stripMargin,
+    "q_encoded_doc" ->
+      """SELECT doc_id, n_tok, source
+        |FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')
+        |ORDER BY doc_id LIMIT 3""".stripMargin,
     "q_encoded_source_freq" ->
       """SELECT source, tok AS token, CAST(count(*) AS BIGINT) AS n_occ
         |FROM (SELECT source, unnest(tokens) AS tok

@@ -298,6 +298,7 @@ object TokenEncoder {
       lengthsEnc = lensEnc,
       docIdsEnc = idsEnc,
       sourcesEnc = srcsEnc,
+      docBloomEnc = graft.codec.DocBloom.build(docIds.toArray, nRows),
       blockRows = nRows,
       totalTokens = nTok.toLong,
       // zone map straight from the selection stats pass (no extra scan);
@@ -608,6 +609,38 @@ object TokenDecoder {
       }
   }
 
+  /** Point lookup: full TokenRows for exactly the requested doc ids.
+    * Two phases so rejected blocks' PAYLOAD BYTES are never read:
+    * (1) a metadata-only scan of (blockId, docBloomEnc) — a few
+    * hundred bytes per block — keeps blocks whose Bloom filter may
+    * contain any requested id (no false negatives; ~1% false
+    * positives at the build parameters); (2) only those blocks are
+    * re-read in full and decoded, with an exact row filter on top.
+    * The surviving-block list passes through the driver, which is
+    * what bounds it: |ids| true locations + the Bloom's fp share of
+    * the store — a point-lookup-sized set by construction, NOT
+    * O(store) (a range/frequency scan must never use this shape; see
+    * CompressedSearch for those). Legacy blocks with a null filter
+    * are kept — correct, just unpruned.
+    */
+  def readDocsById(spark: SparkSession, outDir: String,
+                   docIds: Seq[String]): Dataset[TokenRow] = {
+    import spark.implicits._
+    val wanted = docIds.toArray
+    val hit = committedBlocks(spark, outDir, None)
+      .select("blockId", "docBloomEnc")
+      .as[(String, Array[Byte])]
+      .filter { case (_, bloom) =>
+        graft.codec.DocBloom.mayContainAny(bloom, wanted.toSeq)
+      }
+      .map(_._1)
+      .collect()
+    val idSet = wanted.toSet
+    readBlocks(spark, outDir, None, verifyChecksums = false,
+      blockIds = Some(hit.toSet))
+      .filter(r => idSet.contains(r.doc_id))
+  }
+
   /** Committed blocks, optionally partId-pruned — the ONE definition
     * of "live block" every decode path (and vacuum) shares: the block
     * has a lineage row AND its (partId, runId) carries a commit
@@ -662,10 +695,16 @@ object TokenDecoder {
     // boundary (readBlocks) coalesces to the sentinels just before
     // .as[EncodedBlock], whose non-nullable Int fields would otherwise
     // throw on legacy rows.
-    val all =
+    val all1 =
       if (all0.columns.contains("minTok")) all0
       else all0.withColumn("minTok", lit(Int.MinValue))
         .withColumn("maxTok", lit(Int.MaxValue))
+    // same convention for the doc-id bloom: a store written before the
+    // column existed reads as null = "may contain anything" (correct,
+    // just unpruned). Mixed stores get per-file nulls from mergeSchema.
+    val all =
+      if (all1.columns.contains("docBloomEnc")) all1
+      else all1.withColumn("docBloomEnc", lit(null).cast("binary"))
     val pruned = partIds.fold(all)(ids =>
       all.where(col("partId").isInCollection(ids.map(Int.box))))
     val committed = spark.read.parquet(s"$outDir/lineage")
@@ -677,12 +716,15 @@ object TokenDecoder {
 
   private def readBlocks(spark: SparkSession, outDir: String,
                          partIds: Option[Set[Int]],
-                         verifyChecksums: Boolean): Dataset[TokenRow] = {
+                         verifyChecksums: Boolean,
+                         blockIds: Option[Set[String]] = None): Dataset[TokenRow] = {
     import spark.implicits._
     // legacy rows of a mixed (resumed pre-zone-map) store carry null
     // zone values — coalesce to the no-pruning sentinels here, at the
     // typed boundary, where EncodedBlock's Int fields cannot hold null
-    val live = committedBlocks(spark, outDir, partIds)
+    val committed = committedBlocks(spark, outDir, partIds)
+    val live = blockIds.fold(committed)(ids =>
+        committed.where(col("blockId").isInCollection(ids)))
       .withColumn("minTok", coalesce(col("minTok"), lit(Int.MinValue)))
       .withColumn("maxTok", coalesce(col("maxTok"), lit(Int.MaxValue)))
       .as[EncodedBlock]

@@ -85,6 +85,8 @@ final case class EncodedBlock(
     docIdsEnc: Array[Byte],  // zstd(newline-joined doc ids) — shared
                              // prefixes compress to ~nothing
     sourcesEnc: Array[Byte], // varint dict count + dict strings + varint ids
+    docBloomEnc: Array[Byte], // DocBloom over this block's doc ids;
+                              // null in legacy stores = no pruning
     blockRows: Int,
     totalTokens: Long,
     minTok: Int,          // zone map: min/max token value in the block.

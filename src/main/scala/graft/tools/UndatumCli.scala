@@ -46,10 +46,11 @@ object UndatumCli {
         |          countenc <storeDir> --lo N --hi N
         |          frequencyenc <storeDir> [--lo N --hi N] [--by-source 1]
         |          driftenc <storeDir>   (per-source KL vs pool, micro-nats)
+        |          getenc <storeDir> --doc id[,id...]  (bloom point lookup)
         |flags:    --output --fields --filter --query --format-in
         |          --format-out --delimiter --encoding --tagname
         |          --dictshare --chunksize --rule --mode --limit
-        |          --lo --hi --source --by-source --rows-per-part""".stripMargin)
+        |          --lo --hi --source --by-source --doc --rows-per-part""".stripMargin)
     sys.exit(2)
   }
 
@@ -324,6 +325,13 @@ object UndatumCli {
         else
           graft.encode.CompressedSearch.tokenFrequency(spark, input, lo, hi)
             .orderBy(col("n_occ").desc, col("token")))
+    case "getenc" =>
+      // point lookup: per-block doc-id Blooms reject blocks from
+      // metadata; only may-contain blocks decode
+      val ids = flags.getOrElse("doc",
+        argError("getenc needs --doc id[,id...]")).split(",").toSeq
+      Some(graft.encode.TokenDecoder.readDocsById(spark, input, ids)
+        .toDF().orderBy("doc_id"))
     case "driftenc" =>
       // per-source KL drift vs the corpus pool, micro-nats
       Some(graft.encode.CompressedSearch.sourceKlDrift(spark, input)

@@ -156,6 +156,14 @@ class CliSpec extends SparkSpecBase {
     val drift = UndatumCli.run(s, "driftenc", store, Map.empty).get.collect()
     assert(drift.length == nSources &&
       drift.forall(_.getAs[Long]("kl_micro") >= 0L))
+    // bloom point lookup returns exactly the requested docs
+    val twoIds = ds.map(_.doc_id).sorted.take(2)
+    val looked = UndatumCli.run(s, "getenc", store,
+      Map("doc" -> twoIds.mkString(","))).get.collect()
+    assert(looked.map(_.getAs[String]("doc_id")).toSeq == twoIds.toSeq)
+    intercept[IllegalArgumentException] {
+      UndatumCli.run(s, "getenc", store, Map.empty)
+    }
   }
 
   test("schema: per-field layout plus xxhash64 identity key") {
