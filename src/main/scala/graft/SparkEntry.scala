@@ -1374,6 +1374,15 @@ object SparkEntry {
       graft.encode.CompressedSearch
         .sourceKlDrift(s, encodedStore(s, d))
         .orderBy("source")),
+    "q_encoded_perplexity" -> ((s, d) =>
+      // unigram-LM quality gate over the ENCODED store: the model
+      // trains from the compressed-domain histogram (vocabulary-sized
+      // shuffle, dict/RLE blocks histogrammed payload-cheap), top-512
+      // add-one NLLs broadcast as a few KB, ONE decode pass scores
+      // every doc. Integer micro-nats end to end → exact SQL oracle
+      graft.encode.CompressedSearch
+        .storePerplexity(s, encodedStore(s, d))
+        .orderBy("doc_id")),
     "q_encoded_search_src" -> ((s, d) =>
       // both metadata prunes composed: the pinned plan's partId band
       // drops every other source's blocks at the scan, zone maps prune
@@ -2914,6 +2923,29 @@ object SparkEntry {
         |  CAST(sum(term) AS BIGINT) AS kl_micro
         |FROM terms JOIN s USING (source)
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q_encoded_perplexity" ->
+      """WITH t AS (SELECT doc_id, unnest(tokens) AS tok
+        |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')),
+        |f AS (SELECT tok, CAST(count(*) AS BIGINT) n FROM t GROUP BY 1),
+        |top AS (SELECT tok, n FROM f ORDER BY n DESC, tok LIMIT 512),
+        |c AS (SELECT CAST(sum(n) + count(*) + 1 AS DOUBLE) denom FROM top),
+        |nll AS (SELECT tok,
+        |  CAST(floor(-ln((n + 1) / c.denom) * 1e6 + 0.5) AS BIGINT) v
+        |  FROM top CROSS JOIN c),
+        |sc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) n_tok,
+        |    CAST(sum(coalesce(nll.v,
+        |      (SELECT CAST(floor(-ln(1.0 / denom) * 1e6 + 0.5) AS BIGINT)
+        |       FROM c))) AS BIGINT) s
+        |  FROM t LEFT JOIN nll USING (tok) GROUP BY 1)
+        |SELECT b.doc_id, CAST(coalesce(sc.n_tok, 0) AS BIGINT) AS n_tok,
+        |  CAST(coalesce(sc.s, 0) AS BIGINT) AS nll_micro,
+        |  CAST(CASE WHEN sc.n_tok IS NULL THEN 0
+        |    ELSE floor(CAST(sc.s AS DOUBLE) / sc.n_tok + 0.5)
+        |  END AS BIGINT) AS mean_nll_micro
+        |FROM (SELECT DISTINCT doc_id
+        |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')) b
+        |LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_encoded_search_src" ->
       """WITH t AS (SELECT doc_id, source, unnest(tokens) AS tok
         |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')

@@ -337,6 +337,47 @@ object CompressedSearch {
         sum(col("__term")).cast("long").as("kl_micro"))
   }
 
+  /** Unigram-LM perplexity gate over the ENCODED corpus — the CCNet
+    * quality-gate shape (LmScore.docPerplexityMicro) without ever
+    * materializing a raw copy: the model trains from
+    * `tokenFrequency`'s compressed-domain histogram (dict codes / RLE
+    * runs; vocabulary-sized, payloads of dict blocks histogrammed
+    * without row materialization), the top-`topK` add-one-smoothed
+    * token NLLs (micro-nats, the repo's fixed-point convention)
+    * broadcast as a few KB, and ONE decode pass scores every
+    * document. Returns (doc_id, n_tok, nll_micro, mean_nll_micro) —
+    * integer columns end to end, so a SQL oracle replays the exact
+    * model and scores.
+    */
+  def storePerplexity(spark: SparkSession, outDir: String,
+                      topK: Int = 512): DataFrame = {
+    import spark.implicits._
+    val top = tokenFrequency(spark, outDir)
+      .orderBy(col("n_occ").desc, col("token")).limit(topK).collect()
+    val t = top.map(_.getLong(1)).sum
+    val v = top.length.toLong
+    val denom = (t + v + 1).toDouble
+    val nll = new scala.collection.mutable.LongMap[Long](top.length * 2)
+    top.foreach { r =>
+      nll(r.getInt(0).toLong) =
+        math.floor(-math.log((r.getLong(1) + 1).toDouble / denom) * 1e6 + 0.5).toLong
+    }
+    val oov = math.floor(-math.log(1.0 / denom) * 1e6 + 0.5).toLong
+    val bc = spark.sparkContext.broadcast(nll)
+    TokenDecoder.read(spark, outDir).map { r =>
+      val m = bc.value
+      var s = 0L
+      var i = 0
+      while (i < r.n_tok) {
+        s += m.getOrElse(r.tokens(i).toLong, oov)
+        i += 1
+      }
+      val mean = if (r.n_tok == 0) 0L
+        else math.floor(s.toDouble / r.n_tok + 0.5).toLong
+      (r.doc_id, r.n_tok.toLong, s, mean)
+    }.toDF("doc_id", "n_tok", "nll_micro", "mean_nll_micro")
+  }
+
   /** Exact distinct-token count (vocabulary size) over the encoded
     * store. Per-block local distinct first, so the shuffle carries at
     * most `card` values per block: Dict blocks contribute their SORTED

@@ -47,10 +47,12 @@ object UndatumCli {
         |          frequencyenc <storeDir> [--lo N --hi N] [--by-source 1]
         |          driftenc <storeDir>   (per-source KL vs pool, micro-nats)
         |          getenc <storeDir> --doc id[,id...]  (bloom point lookup)
+        |          perplexenc <storeDir> [--topk N]  (unigram-LM doc NLL)
         |flags:    --output --fields --filter --query --format-in
         |          --format-out --delimiter --encoding --tagname
         |          --dictshare --chunksize --rule --mode --limit
-        |          --lo --hi --source --by-source --doc --rows-per-part""".stripMargin)
+        |          --lo --hi --source --by-source --doc --topk
+        |          --rows-per-part""".stripMargin)
     sys.exit(2)
   }
 
@@ -332,6 +334,12 @@ object UndatumCli {
         argError("getenc needs --doc id[,id...]")).split(",").toSeq
       Some(graft.encode.TokenDecoder.readDocsById(spark, input, ids)
         .toDF().orderBy("doc_id"))
+    case "perplexenc" =>
+      // unigram-LM doc scoring over the encoded store: model from the
+      // compressed-domain histogram, one decode pass; worst docs first
+      val topk = flags.getOrElse("topk", "512").toInt
+      Some(graft.encode.CompressedSearch.storePerplexity(spark, input, topk)
+        .orderBy(col("mean_nll_micro").desc, col("doc_id")))
     case "driftenc" =>
       // per-source KL drift vs the corpus pool, micro-nats
       Some(graft.encode.CompressedSearch.sourceKlDrift(spark, input)

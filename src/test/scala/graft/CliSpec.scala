@@ -164,6 +164,12 @@ class CliSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       UndatumCli.run(s, "getenc", store, Map.empty)
     }
+    // unigram-LM scoring: one row per doc, worst (highest mean NLL) first
+    val ppl = UndatumCli.run(s, "perplexenc", store,
+      Map("topk" -> "16")).get.collect()
+    assert(ppl.length == ds.length)
+    val means = ppl.map(_.getAs[Long]("mean_nll_micro")).toSeq
+    assert(means == means.sortBy(-_))
   }
 
   test("schema: per-field layout plus xxhash64 identity key") {

@@ -279,4 +279,43 @@ class CompressedSearchSpec extends SparkSpecBase {
     val major = gotKl("major")._2
     assert(wantKl.keys.filter(_ != "major").forall(s => gotKl(s)._2 > major))
   }
+
+  test("storePerplexity: exact fixed-point replay incl. OOV and empty docs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 120).map { i =>
+      val toks =
+        if (i == 7) Array.emptyIntArray // empty doc must score (0, 0, 0)
+        else Array.tabulate(20 + i % 30)(k =>
+          if (k % 5 == 0) 100 + rng.nextInt(500) // long tail: OOV at topK=8
+          else k % 6)                            // head: tokens 0..5
+      TokenRow(f"doc-$i%04d", toks, toks.length, "s")
+    }
+    val ds = spark.createDataset(rows)
+    val dir = tmpDir("graft-perplex")
+    TokenEncoder.run(ds, dir, TokenEncoder.EncodeConfig(targetRowsPerPart = 40))
+    val topK = 8
+    val freq = rows.flatMap(_.tokens).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    assert(freq.size > topK, "need out-of-model tokens for the test to bite")
+    val top = freq.toSeq.sortBy { case (t, n) => (-n, t) }.take(topK)
+    val denom = (top.map(_._2).sum + top.length + 1).toDouble
+    val nll = top.map { case (t, n) =>
+      t -> math.floor(-math.log((n + 1).toDouble / denom) * 1e6 + 0.5).toLong
+    }.toMap
+    val oov = math.floor(-math.log(1.0 / denom) * 1e6 + 0.5).toLong
+    val want = rows.map { r =>
+      val s = r.tokens.map(t => nll.getOrElse(t, oov)).sum
+      val mean =
+        if (r.n_tok == 0) 0L
+        else math.floor(s.toDouble / r.n_tok + 0.5).toLong
+      r.doc_id -> ((r.n_tok.toLong, s, mean))
+    }.toMap
+    val got = CompressedSearch.storePerplexity(spark, dir, topK)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == want)
+    assert(got("doc-0007") == ((0L, 0L, 0L)))
+  }
 }
