@@ -1383,6 +1383,21 @@ object SparkEntry {
       graft.encode.CompressedSearch
         .storePerplexity(s, encodedStore(s, d))
         .orderBy("doc_id")),
+    "q_encoded_bigrams" -> ((s, d) =>
+      // order-aware sibling of q_encoded_frequency: one decode pass,
+      // per-partition packed-long LongMap pre-aggregation so the
+      // exchange carries distinct pairs, never token count
+      graft.encode.CompressedSearch
+        .storeBigramFrequency(s, encodedStore(s, d))
+        .orderBy(col("n_occ").desc, col("tok_a"), col("tok_b"))
+        .limit(30)),
+    "q_encoded_kn" -> ((s, d) =>
+      // Kneser-Ney bigram gate trained FROM the encoded store: model
+      // cut to top-4096 pairs (TakeOrdered), broadcast, one decode
+      // pass scores every doc; micro-nat lattice → exact SQL replay
+      graft.encode.CompressedSearch
+        .storeKnPerplexity(s, encodedStore(s, d))
+        .orderBy("doc_id")),
     "q_encoded_search_src" -> ((s, d) =>
       // both metadata prunes composed: the pinned plan's partId band
       // drops every other source's blocks at the scan, zone maps prune
@@ -2923,6 +2938,61 @@ object SparkEntry {
         |  CAST(sum(term) AS BIGINT) AS kl_micro
         |FROM terms JOIN s USING (source)
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q_encoded_bigrams" ->
+      """WITH e AS (SELECT doc_id, unnest(tokens) AS tk,
+        |    generate_subscripts(tokens, 1) AS i
+        |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet'))
+        |SELECT a.tk AS tok_a, c.tk AS tok_b, CAST(count(*) AS BIGINT) AS n_occ
+        |FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.i = a.i + 1
+        |GROUP BY 1, 2 ORDER BY n_occ DESC, tok_a, tok_b LIMIT 30""".stripMargin,
+    "q_encoded_kn" ->
+      """WITH e AS (SELECT doc_id, unnest(tokens) AS tk,
+        |    generate_subscripts(tokens, 1) AS i
+        |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')),
+        |b AS (SELECT a.doc_id, a.tk AS w1, c.tk AS w2
+        |  FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.i = a.i + 1),
+        |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) c FROM b GROUP BY 1, 2),
+        |top AS (SELECT w1, w2, c FROM pc ORDER BY c DESC, w1, w2 LIMIT 4096),
+        |ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) cw1,
+        |  CAST(count(*) AS BIGINT) n1p FROM top GROUP BY 1),
+        |cont AS (SELECT w2, CAST(count(*) AS BIGINT) nc FROM top GROUP BY 1),
+        |tots AS (SELECT CAST(count(*) AS BIGINT) np,
+        |  CAST(count(DISTINCT w2) AS BIGINT) vc FROM top),
+        |cc AS (SELECT CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) n1,
+        |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) n2 FROM top),
+        |dd AS (SELECT CASE WHEN n1 = 0 THEN 0.5
+        |  ELSE CAST(n1 AS DOUBLE) / (n1 + 2 * n2) END AS d FROM cc),
+        |pm AS (SELECT t.w1, t.w2, CAST(floor(-ln(
+        |    (CAST(t.c AS DOUBLE) - dd.d) / ctx.cw1
+        |    + ((dd.d * ctx.n1p) / ctx.cw1)
+        |      * ((CAST(cont.nc AS DOUBLE) + 1) / (tots.np + tots.vc + 1))
+        |  ) * 1e6 + 0.5) AS BIGINT) m
+        |  FROM top t JOIN ctx ON ctx.w1 = t.w1 JOIN cont ON cont.w2 = t.w2
+        |  CROSS JOIN dd CROSS JOIN tots),
+        |lm AS (SELECT w1, CAST(floor(-ln((dd.d * n1p) / cw1) * 1e6 + 0.5)
+        |  AS BIGINT) m FROM ctx CROSS JOIN dd),
+        |cm AS (SELECT w2, CAST(floor(-ln((CAST(nc AS DOUBLE) + 1)
+        |  / (tots.np + tots.vc + 1)) * 1e6 + 0.5) AS BIGINT) m
+        |  FROM cont CROSS JOIN tots),
+        |ov AS (SELECT CAST(floor(-ln(CAST(1 AS DOUBLE) / (np + vc + 1)) * 1e6
+        |  + 0.5) AS BIGINT) m FROM tots),
+        |sc AS (SELECT b.doc_id,
+        |  CAST(sum(COALESCE(pm.m,
+        |    COALESCE(lm.m, 0) + COALESCE(cm.m, ov.m))) AS BIGINT) s,
+        |  CAST(count(*) AS BIGINT) n
+        |  FROM b LEFT JOIN pm ON pm.w1 = b.w1 AND pm.w2 = b.w2
+        |  LEFT JOIN lm ON lm.w1 = b.w1
+        |  LEFT JOIN cm ON cm.w2 = b.w2
+        |  CROSS JOIN ov GROUP BY 1)
+        |SELECT r.doc_id, CAST(COALESCE(sc.n, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(sc.s, 0) AS BIGINT) AS nll_micro,
+        |  CAST(CASE WHEN sc.n IS NULL THEN 0
+        |    ELSE floor(CAST(sc.s AS DOUBLE) / sc.n + 0.5) END AS BIGINT)
+        |    AS ppl_micro
+        |FROM (SELECT DISTINCT doc_id
+        |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')) r
+        |LEFT JOIN sc ON sc.doc_id = r.doc_id
+        |ORDER BY r.doc_id""".stripMargin,
     "q_encoded_perplexity" ->
       """WITH t AS (SELECT doc_id, unnest(tokens) AS tok
         |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')),

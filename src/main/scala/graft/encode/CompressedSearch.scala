@@ -378,6 +378,108 @@ object CompressedSearch {
     }.toDF("doc_id", "n_tok", "nll_micro", "mean_nll_micro")
   }
 
+  /** Adjacent-token bigram frequency over the ENCODED corpus — the
+    * order-aware sibling of `tokenFrequency`. Token ORDER forces one
+    * decode pass (zone maps and symtabs carry no adjacency), but each
+    * partition histograms its pairs into a local LongMap keyed by the
+    * packed (a<<32 | b) long first, so the exchange carries only the
+    * partition's DISTINCT pairs, never its token count. Emits
+    * (tok_a, tok_b, n_occ); pairs never cross document boundaries.
+    */
+  def storeBigramFrequency(spark: SparkSession, outDir: String): DataFrame = {
+    import spark.implicits._
+    TokenDecoder.read(spark, outDir)
+      .mapPartitions { it =>
+        val m = new scala.collection.mutable.LongMap[Long]()
+        it.foreach { r =>
+          var i = 1
+          while (i < r.n_tok) {
+            val k = (r.tokens(i - 1).toLong << 32) |
+              (r.tokens(i).toLong & 0xFFFFFFFFL)
+            m(k) = m.getOrElse(k, 0L) + 1L
+            i += 1
+          }
+        }
+        m.iterator.map { case (k, n) => ((k >> 32).toInt, k.toInt, n) }
+      }
+      .toDF("tok_a", "tok_b", "n_occ")
+      .groupBy("tok_a", "tok_b").agg(sum("n_occ").as("n_occ"))
+  }
+
+  private def packPair(a: Int, b: Int): Long =
+    (a.toLong << 32) | (b.toLong & 0xFFFFFFFFL)
+
+  /** Interpolated Kneser-Ney bigram LM trained FROM the encoded store
+    * and scored in one decode pass — the higher-order companion of
+    * [[storePerplexity]], completing the CCNet gate family without a
+    * raw-corpus copy. Model math mirrors text/LmScore.knBigramLmMicro
+    * term for term (same pruned-ARPA cut: top-`maxPairs` pairs by
+    * (count desc, pair asc); same discount, backoff and continuation
+    * formulas; same micro-nat floor) with Int tokens, so the DuckDB
+    * oracle replays every doc score exactly. The driver holds only the
+    * maxPairs-bounded model (TakeOrdered cut — partitions ship their
+    * local top-k, never the full pair table); scoring is shuffle-free.
+    * Returns (doc_id, n_bigrams, nll_micro, ppl_micro); docs with
+    * fewer than 2 tokens score 0 (no transitions to evaluate).
+    */
+  def storeKnPerplexity(spark: SparkSession, outDir: String,
+                        maxPairs: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val pairs = storeBigramFrequency(spark, outDir)
+      .orderBy(col("n_occ").desc, col("tok_a"), col("tok_b"))
+      .limit(maxPairs)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val empty = new scala.collection.mutable.LongMap[Long]()
+    val (pairM, lamM, contM, oovCont) =
+      if (pairs.isEmpty) (empty, empty, empty, 0L)
+      else {
+        val ctx = pairs.groupBy(_._1).map { case (a, ps) =>
+          a -> (ps.map(_._3).sum, ps.length.toLong) // (c(w1), N1+(w1*))
+        }
+        val cont = pairs.groupBy(_._2).map { case (b, ps) =>
+          b -> ps.length.toLong // N1+(*w2)
+        }
+        val np = pairs.length.toLong
+        val vc = cont.size.toLong
+        val n1 = pairs.count(_._3 == 1L).toLong
+        val n2 = pairs.count(_._3 == 2L).toLong
+        val dD = if (n1 == 0) 0.5 else n1.toDouble / (n1 + 2 * n2)
+        def micro(p: Double): Long =
+          math.floor(-math.log(p) * 1e6 + 0.5).toLong
+        val pm = new scala.collection.mutable.LongMap[Long](pairs.length * 2)
+        pairs.foreach { case (a, b, c) =>
+          val (cw1, n1p) = ctx(a)
+          pm(packPair(a, b)) = micro((c.toDouble - dD) / cw1 +
+            ((dD * n1p) / cw1) * ((cont(b).toDouble + 1) / (np + vc + 1)))
+        }
+        val lm = new scala.collection.mutable.LongMap[Long](ctx.size * 2)
+        ctx.foreach { case (a, (cw1, n1p)) =>
+          lm(a.toLong) = micro((dD * n1p) / cw1)
+        }
+        val cm = new scala.collection.mutable.LongMap[Long](cont.size * 2)
+        cont.foreach { case (b, nc) =>
+          cm(b.toLong) = micro((nc.toDouble + 1) / (np + vc + 1))
+        }
+        (pm, lm, cm, micro(1.0 / (np + vc + 1)))
+      }
+    val bc = spark.sparkContext.broadcast((pairM, lamM, contM, oovCont))
+    TokenDecoder.read(spark, outDir).map { r =>
+      val (pm, lm, cm, ov) = bc.value
+      var s = 0L
+      var i = 1
+      while (i < r.n_tok) {
+        val a = r.tokens(i - 1); val b = r.tokens(i)
+        s += pm.getOrElse(packPair(a, b),
+          lm.getOrElse(a.toLong, 0L) + cm.getOrElse(b.toLong, ov))
+        i += 1
+      }
+      val n = math.max(r.n_tok - 1, 0).toLong
+      val mean = if (n == 0L) 0L
+        else math.floor(s.toDouble / n + 0.5).toLong
+      (r.doc_id, n, s, mean)
+    }.toDF("doc_id", "n_bigrams", "nll_micro", "ppl_micro")
+  }
+
   /** Exact distinct-token count (vocabulary size) over the encoded
     * store. Per-block local distinct first, so the shuffle carries at
     * most `card` values per block: Dict blocks contribute their SORTED

@@ -48,10 +48,12 @@ object UndatumCli {
         |          driftenc <storeDir>   (per-source KL vs pool, micro-nats)
         |          getenc <storeDir> --doc id[,id...]  (bloom point lookup)
         |          perplexenc <storeDir> [--topk N]  (unigram-LM doc NLL)
+        |          bigramenc <storeDir>  (adjacent-pair frequency)
+        |          knenc <storeDir> [--pairs N]  (Kneser-Ney doc NLL)
         |flags:    --output --fields --filter --query --format-in
         |          --format-out --delimiter --encoding --tagname
         |          --dictshare --chunksize --rule --mode --limit
-        |          --lo --hi --source --by-source --doc --topk
+        |          --lo --hi --source --by-source --doc --topk --pairs
         |          --rows-per-part""".stripMargin)
     sys.exit(2)
   }
@@ -340,6 +342,15 @@ object UndatumCli {
       val topk = flags.getOrElse("topk", "512").toInt
       Some(graft.encode.CompressedSearch.storePerplexity(spark, input, topk)
         .orderBy(col("mean_nll_micro").desc, col("doc_id")))
+    case "bigramenc" =>
+      // adjacent-token pair frequency over the encoded store
+      Some(graft.encode.CompressedSearch.storeBigramFrequency(spark, input)
+        .orderBy(col("n_occ").desc, col("tok_a"), col("tok_b")))
+    case "knenc" =>
+      // Kneser-Ney bigram scoring, model trained from the store itself
+      val pairs = flags.getOrElse("pairs", "4096").toInt
+      Some(graft.encode.CompressedSearch.storeKnPerplexity(spark, input, pairs)
+        .orderBy(col("ppl_micro").desc, col("doc_id")))
     case "driftenc" =>
       // per-source KL drift vs the corpus pool, micro-nats
       Some(graft.encode.CompressedSearch.sourceKlDrift(spark, input)

@@ -170,6 +170,17 @@ class CliSpec extends SparkSpecBase {
     assert(ppl.length == ds.length)
     val means = ppl.map(_.getAs[Long]("mean_nll_micro")).toSeq
     assert(means == means.sortBy(-_))
+    // bigram frequency conserves total transition mass
+    val biTotal = UndatumCli.run(s, "bigramenc", store, Map.empty).get
+      .agg(org.apache.spark.sql.functions.sum("n_occ"))
+      .collect()(0).getLong(0)
+    assert(biTotal == ds.map(r => math.max(r.n_tok - 1, 0).toLong).sum)
+    // KN scoring: one row per doc, worst first
+    val kn = UndatumCli.run(s, "knenc", store,
+      Map("pairs" -> "64")).get.collect()
+    assert(kn.length == ds.length)
+    val knMeans = kn.map(_.getAs[Long]("ppl_micro")).toSeq
+    assert(knMeans == knMeans.sortBy(-_))
   }
 
   test("schema: per-field layout plus xxhash64 identity key") {

@@ -318,4 +318,77 @@ class CompressedSearchSpec extends SparkSpecBase {
     assert(got == want)
     assert(got("doc-0007") == ((0L, 0L, 0L)))
   }
+
+  test("storeBigramFrequency + storeKnPerplexity: brute replay incl. backoff") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 100).map { i =>
+      val toks =
+        if (i == 3) Array.emptyIntArray     // no transitions -> (0,0,0)
+        else if (i == 4) Array(42)          // 1 token, same
+        else Array.tabulate(15 + i % 20) { k =>
+          if (k % 4 == 0) 50 + rng.nextInt(200) // tail: out-of-model pairs
+          else k % 5                            // head: heavy repeated pairs
+        }
+      TokenRow(f"doc-$i%04d", toks, toks.length, "s")
+    }
+    val ds = spark.createDataset(rows)
+    val dir = tmpDir("graft-knstore")
+    TokenEncoder.run(ds, dir, TokenEncoder.EncodeConfig(targetRowsPerPart = 30))
+
+    // exact bigram counts
+    val bruteBi = rows.flatMap(r => r.tokens.sliding(2).collect {
+      case Array(a, b) => (a, b)
+    }).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val gotBi = CompressedSearch.storeBigramFrequency(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(gotBi == bruteBi)
+
+    // KN with a cut small enough that backoff paths (seen-context/
+    // unseen-pair AND unseen-context) both fire
+    val maxPairs = 16
+    assert(bruteBi.size > maxPairs)
+    val top = bruteBi.toSeq.map { case ((a, b), c) => (a, b, c) }
+      .sortBy { case (a, b, c) => (-c, a, b) }.take(maxPairs)
+    val ctx = top.groupBy(_._1).map { case (a, ps) =>
+      a -> (ps.map(_._3).sum, ps.length.toLong)
+    }
+    val cont = top.groupBy(_._2).map { case (b, ps) => b -> ps.length.toLong }
+    val np = top.length.toLong
+    val vc = cont.size.toLong
+    val n1 = top.count(_._3 == 1L).toLong
+    val n2 = top.count(_._3 == 2L).toLong
+    val dD = if (n1 == 0) 0.5 else n1.toDouble / (n1 + 2 * n2)
+    def micro(p: Double): Long = math.floor(-math.log(p) * 1e6 + 0.5).toLong
+    val pm = top.map { case (a, b, c) =>
+      val (cw1, n1p) = ctx(a)
+      (a, b) -> micro((c.toDouble - dD) / cw1 +
+        ((dD * n1p) / cw1) * ((cont(b).toDouble + 1) / (np + vc + 1)))
+    }.toMap
+    val lm = ctx.map { case (a, (cw1, n1p)) => a -> micro((dD * n1p) / cw1) }
+    val cm = cont.map { case (b, nc) =>
+      b -> micro((nc.toDouble + 1) / (np + vc + 1))
+    }
+    val ov = micro(1.0 / (np + vc + 1))
+    val want = rows.map { r =>
+      val s = r.tokens.sliding(2).collect { case Array(a, b) =>
+        pm.getOrElse((a, b), lm.getOrElse(a, 0L) + cm.getOrElse(b, ov))
+      }.sum
+      val n = math.max(r.n_tok - 1, 0).toLong
+      val mean = if (n == 0L) 0L else math.floor(s.toDouble / n + 0.5).toLong
+      r.doc_id -> ((n, s, mean))
+    }.toMap
+    val got = CompressedSearch.storeKnPerplexity(spark, dir, maxPairs)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == want)
+    assert(got("doc-0003") == ((0L, 0L, 0L)) && got("doc-0004") == ((0L, 0L, 0L)))
+    // the cut really forces both backoff shapes somewhere in the corpus
+    val allPairs = rows.flatMap(_.tokens.sliding(2).collect {
+      case Array(a, b) => (a, b)
+    })
+    assert(allPairs.exists { case (a, b) => !pm.contains((a, b)) && lm.contains(a) })
+    assert(allPairs.exists { case (a, _) => !lm.contains(a) })
+  }
 }
