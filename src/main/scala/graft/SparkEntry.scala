@@ -1383,6 +1383,21 @@ object SparkEntry {
       graft.encode.CompressedSearch
         .storePerplexity(s, encodedStore(s, d))
         .orderBy("doc_id")),
+    "q_encoded_curate" -> ((s, d) => {
+      // the full curation loop inside the compressed domain: unigram
+      // gate (store-trained model) + re-encode of keepers in ONE
+      // decode pass; the NEW committed store is read back here, so
+      // the oracle checks gate AND rewrite end to end. Threshold
+      // 7M micro-nats splits the synth corpus ~50/50 (in-model docs
+      // survive, the OOV-heavy random-regime cluster at ~12.7M drops)
+      val store = encodedStore(s, d)
+      val cur = s"$store-curated-7m-k512"
+      graft.encode.CompressedSearch.storeQualityFilter(s, store, cur,
+        7000000L, cfg = graft.encode.TokenEncoder.EncodeConfig(
+          targetRowsPerPart = 1000, inputFile = "curated"))
+      graft.encode.TokenDecoder.read(s, cur).toDF()
+        .select("doc_id", "n_tok", "source").orderBy("doc_id")
+    }),
     "q_encoded_bigrams" -> ((s, d) =>
       // order-aware sibling of q_encoded_frequency: one decode pass,
       // per-partition packed-long LongMap pre-aggregation so the
@@ -2938,6 +2953,26 @@ object SparkEntry {
         |  CAST(sum(term) AS BIGINT) AS kl_micro
         |FROM terms JOIN s USING (source)
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q_encoded_curate" ->
+      """WITH t AS (SELECT doc_id, unnest(tokens) AS tok
+        |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')),
+        |f AS (SELECT tok, CAST(count(*) AS BIGINT) n FROM t GROUP BY 1),
+        |top AS (SELECT tok, n FROM f ORDER BY n DESC, tok LIMIT 512),
+        |c AS (SELECT CAST(sum(n) + count(*) + 1 AS DOUBLE) denom FROM top),
+        |nll AS (SELECT tok,
+        |  CAST(floor(-ln((n + 1) / c.denom) * 1e6 + 0.5) AS BIGINT) v
+        |  FROM top CROSS JOIN c),
+        |sc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) n_tok,
+        |    CAST(sum(coalesce(nll.v,
+        |      (SELECT CAST(floor(-ln(1.0 / denom) * 1e6 + 0.5) AS BIGINT)
+        |       FROM c))) AS BIGINT) s
+        |  FROM t LEFT JOIN nll USING (tok) GROUP BY 1)
+        |SELECT r.doc_id, r.n_tok, r.source
+        |FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet') r
+        |LEFT JOIN sc ON sc.doc_id = r.doc_id
+        |WHERE (CASE WHEN sc.n_tok IS NULL THEN 0
+        |  ELSE floor(CAST(sc.s AS DOUBLE) / sc.n_tok + 0.5) END) <= 7000000
+        |ORDER BY r.doc_id""".stripMargin,
     "q_encoded_bigrams" ->
       """WITH e AS (SELECT doc_id, unnest(tokens) AS tk,
         |    generate_subscripts(tokens, 1) AS i

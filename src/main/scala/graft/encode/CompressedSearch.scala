@@ -1,6 +1,6 @@
 package graft.encode
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.codec.{Bits, BlockCodec, ByteReader, CodecIds, DictCodec}
 
@@ -352,17 +352,7 @@ object CompressedSearch {
   def storePerplexity(spark: SparkSession, outDir: String,
                       topK: Int = 512): DataFrame = {
     import spark.implicits._
-    val top = tokenFrequency(spark, outDir)
-      .orderBy(col("n_occ").desc, col("token")).limit(topK).collect()
-    val t = top.map(_.getLong(1)).sum
-    val v = top.length.toLong
-    val denom = (t + v + 1).toDouble
-    val nll = new scala.collection.mutable.LongMap[Long](top.length * 2)
-    top.foreach { r =>
-      nll(r.getInt(0).toLong) =
-        math.floor(-math.log((r.getLong(1) + 1).toDouble / denom) * 1e6 + 0.5).toLong
-    }
-    val oov = math.floor(-math.log(1.0 / denom) * 1e6 + 0.5).toLong
+    val (nll, oov) = unigramStoreModel(spark, outDir, topK)
     val bc = spark.sparkContext.broadcast(nll)
     TokenDecoder.read(spark, outDir).map { r =>
       val m = bc.value
@@ -376,6 +366,58 @@ object CompressedSearch {
         else math.floor(s.toDouble / r.n_tok + 0.5).toLong
       (r.doc_id, r.n_tok.toLong, s, mean)
     }.toDF("doc_id", "n_tok", "nll_micro", "mean_nll_micro")
+  }
+
+  /** The store-trained unigram model [[storePerplexity]] scores with:
+    * top-`topK` add-one-smoothed token NLLs in micro-nats (keyed by
+    * token) plus the OOV cost. Bounded by topK at any corpus size.
+    */
+  private def unigramStoreModel(spark: SparkSession, outDir: String,
+      topK: Int): (scala.collection.mutable.LongMap[Long], Long) = {
+    val top = tokenFrequency(spark, outDir)
+      .orderBy(col("n_occ").desc, col("token")).limit(topK).collect()
+    val t = top.map(_.getLong(1)).sum
+    val v = top.length.toLong
+    val denom = (t + v + 1).toDouble
+    val nll = new scala.collection.mutable.LongMap[Long](top.length * 2)
+    top.foreach { r =>
+      nll(r.getInt(0).toLong) =
+        math.floor(-math.log((r.getLong(1) + 1).toDouble / denom) * 1e6 + 0.5).toLong
+    }
+    (nll, math.floor(-math.log(1.0 / denom) * 1e6 + 0.5).toLong)
+  }
+
+  /** Quality-gated REWRITE: the full curation loop without ever
+    * leaving the compressed domain. Scores every document with the
+    * store-trained unigram model (exactly [[storePerplexity]]'s gate:
+    * same model, same micro-nat rounding) and re-encodes ONLY the
+    * keepers (mean NLL ≤ `maxMeanNllMicro`; empty docs score 0 and
+    * survive) into a NEW committed store at `outDir`. ONE decode pass
+    * feeds both the gate and the encoder — no intermediate raw table
+    * is ever written — and the encoder's commit-marker protocol makes
+    * the rewrite atomic and resumable like any other encode. Returns
+    * the new store's lineage (this run's rows only, per run()'s
+    * contract).
+    */
+  def storeQualityFilter(spark: SparkSession, inDir: String, outDir: String,
+      maxMeanNllMicro: Long, topK: Int = 512,
+      cfg: TokenEncoder.EncodeConfig = TokenEncoder.EncodeConfig())
+      : Dataset[graft.model.LineageRecord] = {
+    val bc = spark.sparkContext.broadcast(
+      unigramStoreModel(spark, inDir, topK))
+    val kept = TokenDecoder.read(spark, inDir).filter { r =>
+      val (m, ov) = bc.value
+      var s = 0L
+      var i = 0
+      while (i < r.n_tok) {
+        s += m.getOrElse(r.tokens(i).toLong, ov)
+        i += 1
+      }
+      val mean = if (r.n_tok == 0) 0L
+        else math.floor(s.toDouble / r.n_tok + 0.5).toLong
+      mean <= maxMeanNllMicro
+    }
+    TokenEncoder.run(kept, outDir, cfg)
   }
 
   /** Adjacent-token bigram frequency over the ENCODED corpus — the

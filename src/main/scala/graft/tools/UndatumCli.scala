@@ -50,11 +50,12 @@ object UndatumCli {
         |          perplexenc <storeDir> [--topk N]  (unigram-LM doc NLL)
         |          bigramenc <storeDir>  (adjacent-pair frequency)
         |          knenc <storeDir> [--pairs N]  (Kneser-Ney doc NLL)
+        |          curateenc <storeDir> --output <newStore> --max-nll N
         |flags:    --output --fields --filter --query --format-in
         |          --format-out --delimiter --encoding --tagname
         |          --dictshare --chunksize --rule --mode --limit
         |          --lo --hi --source --by-source --doc --topk --pairs
-        |          --rows-per-part""".stripMargin)
+        |          --max-nll --rows-per-part""".stripMargin)
     sys.exit(2)
   }
 
@@ -302,6 +303,23 @@ object UndatumCli {
       println(s"encoded: $dir blocks=${sm.getLong(0)} " +
         s"tokens=${sm.getLong(1)} raw_bytes=${sm.getLong(2)} " +
         s"enc_bytes=${sm.getLong(3)}")
+      None
+    case "curateenc" =>
+      // quality-gated rewrite store->store; like encode, --output IS
+      // the new store dir, so the generic epilogue must not fire
+      val out = flags.getOrElse("output",
+        argError("curateenc needs --output <newStoreDir>"))
+      val maxNll = flags.getOrElse("max-nll",
+        argError("curateenc needs --max-nll <micro-nats>")).toLong
+      val lineage = graft.encode.CompressedSearch.storeQualityFilter(
+        spark, input, out, maxNll,
+        flags.getOrElse("topk", "512").toInt,
+        graft.encode.TokenEncoder.EncodeConfig(
+          targetRowsPerPart = flags.getOrElse("rows-per-part", "50000").toInt,
+          inputFile = input))
+      val sm = lineage.toDF()
+        .agg(count(lit(1)), coalesce(sum("rowCount"), lit(0L))).collect()(0)
+      println(s"curated: $out blocks=${sm.getLong(0)} rows=${sm.getLong(1)}")
       None
     case "decode" =>
       Some(graft.encode.TokenDecoder.read(spark, input).toDF())

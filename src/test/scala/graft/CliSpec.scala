@@ -181,6 +181,18 @@ class CliSpec extends SparkSpecBase {
     assert(kn.length == ds.length)
     val knMeans = kn.map(_.getAs[Long]("ppl_micro")).toSeq
     assert(knMeans == knMeans.sortBy(-_))
+    // quality-gated rewrite writes a NEW store (returns None, like
+    // encode, so the generic --output epilogue can't clobber it) that
+    // decodes to a strict nonempty subset
+    val curated = s"${tmpDir("cli-curated")}/store"
+    assert(UndatumCli.run(s, "curateenc", store,
+      Map("output" -> curated, "max-nll" -> "7000000",
+        "rows-per-part" -> "100")).isEmpty)
+    val curBack = UndatumCli.run(s, "decode", curated, Map.empty).get.collect()
+    assert(curBack.nonEmpty && curBack.length < 400)
+    intercept[IllegalArgumentException] {
+      UndatumCli.run(s, "curateenc", store, Map.empty)
+    }
   }
 
   test("schema: per-field layout plus xxhash64 identity key") {

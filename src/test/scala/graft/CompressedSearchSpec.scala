@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.codec.{BlockCodec, CodecIds}
-import graft.encode.{CompressedSearch, TokenEncoder}
+import graft.encode.{CompressedSearch, TokenDecoder, TokenEncoder}
 import graft.model.TokenRow
 
 /** Compressed-domain predicate evaluation: per-codec kernel parity,
@@ -317,6 +317,40 @@ class CompressedSearchSpec extends SparkSpecBase {
       .toMap
     assert(got == want)
     assert(got("doc-0007") == ((0L, 0L, 0L)))
+  }
+
+  test("storeQualityFilter: gate + rewrite keeps exactly the low-NLL docs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val rows = (0 until 90).map { i =>
+      val toks =
+        if (i == 5) Array.emptyIntArray // scores 0 -> always survives
+        else if (i % 3 == 0) Array.fill(40)(i % 4) // in-model, low NLL
+        else Array.fill(40)(1000 + rng.nextInt(100000)) // OOV-heavy, high
+      TokenRow(f"doc-$i%04d", toks, toks.length, "s")
+    }
+    val dir = tmpDir("graft-curin")
+    TokenEncoder.run(spark.createDataset(rows), dir,
+      TokenEncoder.EncodeConfig(targetRowsPerPart = 30))
+    val topK = 4
+    val means = CompressedSearch.storePerplexity(spark, dir, topK)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val thr = (means.values.min + means.values.max) / 2
+    val expectKeep = means.filter(_._2 <= thr).keySet
+    assert(expectKeep.nonEmpty && expectKeep.size < rows.length)
+    val out = s"${tmpDir("graft-curout")}/st"
+    CompressedSearch.storeQualityFilter(spark, dir, out, thr, topK,
+      TokenEncoder.EncodeConfig(targetRowsPerPart = 30))
+    val back = TokenDecoder.read(spark, out).collect()
+    assert(back.map(_.doc_id).toSet == expectKeep)
+    assert(back.map(_.doc_id).toSet.contains("doc-0005"))
+    // survivors' token payloads are byte-identical through the rewrite
+    val origById = rows.map(r => r.doc_id -> r.tokens.toSeq).toMap
+    assert(back.forall(r => r.tokens.toSeq == origById(r.doc_id)))
+    // the new store is a first-class store: compressed-domain queries run
+    val mass = CompressedSearch.tokenFrequency(spark, out)
+      .agg(sum("n_occ")).collect()(0).getLong(0)
+    assert(mass == back.map(_.n_tok.toLong).sum)
   }
 
   test("storeBigramFrequency + storeKnPerplexity: brute replay incl. backoff") {
