@@ -1390,8 +1390,13 @@ object SparkEntry {
       // the oracle checks gate AND rewrite end to end. Threshold
       // 7M micro-nats splits the synth corpus ~50/50 (in-model docs
       // survive, the OOV-heavy random-regime cluster at ~12.7M drops)
+      // g1 versions the GATE-MODEL code (unigramStoreModel's tie-break
+      // / denominator / rounding): without it, a model change would
+      // hit the resume no-op on an older round's /tmp store and serve
+      // the OLD gate's keepers against the NEW oracle — same staleness
+      // class the encodedStore z-tag exists for. Bump on model change.
       val store = encodedStore(s, d)
-      val cur = s"$store-curated-7m-k512"
+      val cur = s"$store-curated-g1-7m-k512"
       graft.encode.CompressedSearch.storeQualityFilter(s, store, cur,
         7000000L, cfg = graft.encode.TokenEncoder.EncodeConfig(
           targetRowsPerPart = 1000, inputFile = "curated"))
@@ -2950,7 +2955,7 @@ object SparkEntry {
         |    * 1e6 + 0.5) AS BIGINT) term
         |  FROM st JOIN s USING (source) JOIN g USING (tok) CROSS JOIN tot)
         |SELECT source, CAST(max(s.ns) AS BIGINT) AS n_tok,
-        |  CAST(sum(term) AS BIGINT) AS kl_micro
+        |  GREATEST(0, CAST(sum(term) AS BIGINT)) AS kl_micro
         |FROM terms JOIN s USING (source)
         |GROUP BY source ORDER BY source""".stripMargin,
     "q_encoded_curate" ->

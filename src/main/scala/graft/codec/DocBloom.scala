@@ -23,19 +23,9 @@ object DocBloom {
   val BitsPerDoc = 10
   val Probes = 7
 
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  private def mix(z0: Long): Long = Hash.splitmix64(z0)
 
-  private def fnv64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) { h ^= (s.charAt(i) & 0xFFFFL); h *= 0x100000001b3L; i += 1 }
-    h
-  }
+  private def fnv64(s: String): Long = Hash.fnv64(s)
 
   private def mBitsFor(n: Int): Int = {
     val want = math.max(64L, n.toLong * BitsPerDoc)

@@ -68,6 +68,19 @@ object StringCols {
     out.toArray
   }
 
+  /** If the block is source-PURE (dict collapsed to one entry — the
+    * common case, since encode partitions are source-pure by plan),
+    * return that source without materializing the per-row array: the
+    * leading varint answers purity and the single dict entry follows
+    * it. Mixed overflow blocks return None and need [[decodeSources]].
+    */
+  def pureSource(enc: Array[Byte]): Option[String] = {
+    val r = new ByteReader(enc)
+    if (r.readVarInt() != 1) return None
+    val len = r.readVarInt()
+    Some(new String(enc, r.pos, len, java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   def decodeSources(enc: Array[Byte], n: Int): Array[String] = {
     if (n == 0) return Array.empty
     val r = new ByteReader(enc)

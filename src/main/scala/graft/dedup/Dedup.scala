@@ -60,12 +60,7 @@ object Dedup {
     */
   def minhashSignature(shingleCol: Column, k: Int): Column = {
     val p = 2147483647L // 2^31 - 1
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
+    def mix(z0: Long): Long = graft.codec.Hash.splitmix64(z0)
     val hashes = (0 until k).map { j =>
       val a = (mix(j.toLong * 2 + 1).abs % (p - 1)) + 1
       val b = mix(j.toLong * 2 + 2).abs % p

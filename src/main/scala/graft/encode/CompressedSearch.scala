@@ -262,16 +262,14 @@ object CompressedSearch {
       .flatMap { case (cid, post, st, pay, nTokL, nRows, srcEnc, lenEnc) =>
         val n = nTokL.toInt
         if (n == 0 || dictRejects(cid, st, lo, hi)) Iterator.empty
-        else {
-          val sources = graft.codec.StringCols.decodeSources(srcEnc, nRows)
-          var pure = true
-          var i = 1
-          while (pure && i < nRows) { pure = sources(i) == sources(0); i += 1 }
-          if (pure) {
-            val src = sources(0)
+        else graft.codec.StringCols.pureSource(srcEnc) match {
+          // purity read from the sources dict's leading varint — the
+          // per-row array is never materialized on this (dominant) path
+          case Some(src) =>
             blockHistogram(cid, post, st, pay, n, lo, hi)
               .map { case (t, c) => (src, t, c) }
-          } else {
+          case None =>
+            val sources = graft.codec.StringCols.decodeSources(srcEnc, nRows)
             // overflow band: several rare sources in one block — decode
             // once, walk the per-row lengths, histogram per source
             val vals = BlockCodec.decode(cid, post, st, pay, n)
@@ -297,7 +295,6 @@ object CompressedSearch {
             per.iterator.flatMap { case (src, m) =>
               m.iterator.map { case (v, c) => (src, v.toInt, c) }
             }
-          }
         }
       }
       .toDF("source", "token", "n_occ")
@@ -333,8 +330,11 @@ object CompressedSearch {
             (col("__ns").cast("double") * col("__nt"))) * lit(1e6)
           + lit(0.5)).cast("long"))
       .groupBy("source")
+      // clamp at 0: true KL >= 0, but per-term fixed-point flooring
+      // rounds positive and negative terms asymmetrically, so a source
+      // nearly identical to the pool could otherwise sum to e.g. -1
       .agg(max(col("__ns")).cast("long").as("n_tok"),
-        sum(col("__term")).cast("long").as("kl_micro"))
+        greatest(lit(0L), sum(col("__term")).cast("long")).as("kl_micro"))
   }
 
   /** Unigram-LM perplexity gate over the ENCODED corpus — the CCNet
@@ -352,20 +352,32 @@ object CompressedSearch {
   def storePerplexity(spark: SparkSession, outDir: String,
                       topK: Int = 512): DataFrame = {
     import spark.implicits._
-    val (nll, oov) = unigramStoreModel(spark, outDir, topK)
-    val bc = spark.sparkContext.broadcast(nll)
+    val bc = spark.sparkContext.broadcast(
+      unigramStoreModel(spark, outDir, topK))
     TokenDecoder.read(spark, outDir).map { r =>
-      val m = bc.value
-      var s = 0L
-      var i = 0
-      while (i < r.n_tok) {
-        s += m.getOrElse(r.tokens(i).toLong, oov)
-        i += 1
-      }
-      val mean = if (r.n_tok == 0) 0L
-        else math.floor(s.toDouble / r.n_tok + 0.5).toLong
+      val (m, oov) = bc.value
+      val (s, mean) = docNllMicro(m, oov, r.tokens, r.n_tok)
       (r.doc_id, r.n_tok.toLong, s, mean)
     }.toDF("doc_id", "n_tok", "nll_micro", "mean_nll_micro")
+  }
+
+  /** The per-doc scoring kernel shared VERBATIM by [[storePerplexity]]
+    * and [[storeQualityFilter]] — one source of truth for the sum and
+    * the micro-nat mean rounding, so the rewrite gate can never drift
+    * from the report it is documented to match.
+    * Returns (nll_micro_sum, mean_nll_micro); empty docs mean 0.
+    */
+  private def docNllMicro(m: scala.collection.mutable.LongMap[Long],
+      oov: Long, tokens: Array[Int], nTok: Int): (Long, Long) = {
+    var s = 0L
+    var i = 0
+    while (i < nTok) {
+      s += m.getOrElse(tokens(i).toLong, oov)
+      i += 1
+    }
+    val mean = if (nTok == 0) 0L
+      else math.floor(s.toDouble / nTok + 0.5).toLong
+    (s, mean)
   }
 
   /** The store-trained unigram model [[storePerplexity]] scores with:
@@ -407,15 +419,7 @@ object CompressedSearch {
       unigramStoreModel(spark, inDir, topK))
     val kept = TokenDecoder.read(spark, inDir).filter { r =>
       val (m, ov) = bc.value
-      var s = 0L
-      var i = 0
-      while (i < r.n_tok) {
-        s += m.getOrElse(r.tokens(i).toLong, ov)
-        i += 1
-      }
-      val mean = if (r.n_tok == 0) 0L
-        else math.floor(s.toDouble / r.n_tok + 0.5).toLong
-      mean <= maxMeanNllMicro
+      docNllMicro(m, ov, r.tokens, r.n_tok)._2 <= maxMeanNllMicro
     }
     TokenEncoder.run(kept, outDir, cfg)
   }
@@ -424,16 +428,30 @@ object CompressedSearch {
     * order-aware sibling of `tokenFrequency`. Token ORDER forces one
     * decode pass (zone maps and symtabs carry no adjacency), but each
     * partition histograms its pairs into a local LongMap keyed by the
-    * packed (a<<32 | b) long first, so the exchange carries only the
-    * partition's DISTINCT pairs, never its token count. Emits
-    * (tok_a, tok_b, n_occ); pairs never cross document boundaries.
+    * packed (a<<32 | b) long first, so the exchange carries only
+    * DISTINCT pairs, never token count. The map is CAPPED: when a
+    * high-entropy partition (distinct pairs ~ token count) fills it,
+    * the partial counts are emitted and the map cleared — the
+    * downstream groupBy re-merges them exactly, so memory is bounded
+    * at ~48 MB per task regardless of partition size (the executor
+    * OOM a single unbounded per-partition map would hit at 10^9
+    * tokens cannot occur; Spark's own hash agg spills the merge).
+    * Emits (tok_a, tok_b, n_occ); pairs never cross doc boundaries.
     */
-  def storeBigramFrequency(spark: SparkSession, outDir: String): DataFrame = {
+  def storeBigramFrequency(spark: SparkSession, outDir: String,
+      flushCap: Int = 1 << 21 // ~2M live pairs at ~24 B/entry => ~48 MB
+      ): DataFrame = {
     import spark.implicits._
+    val cap = math.max(flushCap, 1)
     TokenDecoder.read(spark, outDir)
       .mapPartitions { it =>
         val m = new scala.collection.mutable.LongMap[Long]()
-        it.foreach { r =>
+        def drain(): Iterator[(Int, Int, Long)] = {
+          val out = m.toArray
+          m.clear()
+          out.iterator.map { case (k, n) => ((k >> 32).toInt, k.toInt, n) }
+        }
+        it.flatMap { r =>
           var i = 1
           while (i < r.n_tok) {
             val k = (r.tokens(i - 1).toLong << 32) |
@@ -441,8 +459,8 @@ object CompressedSearch {
             m(k) = m.getOrElse(k, 0L) + 1L
             i += 1
           }
-        }
-        m.iterator.map { case (k, n) => ((k >> 32).toInt, k.toInt, n) }
+          if (m.size >= cap) drain() else Iterator.empty
+        } ++ drain()
       }
       .toDF("tok_a", "tok_b", "n_occ")
       .groupBy("tok_a", "tok_b").agg(sum("n_occ").as("n_occ"))
@@ -454,11 +472,10 @@ object CompressedSearch {
   /** Interpolated Kneser-Ney bigram LM trained FROM the encoded store
     * and scored in one decode pass — the higher-order companion of
     * [[storePerplexity]], completing the CCNet gate family without a
-    * raw-corpus copy. Model math mirrors text/LmScore.knBigramLmMicro
-    * term for term (same pruned-ARPA cut: top-`maxPairs` pairs by
-    * (count desc, pair asc); same discount, backoff and continuation
-    * formulas; same micro-nat floor) with Int tokens, so the DuckDB
-    * oracle replays every doc score exactly. The driver holds only the
+    * raw-corpus copy. Model math IS text/LmScore.knTermsMicro (the
+    * one shared KN core; same pruned-ARPA cut: top-`maxPairs` pairs
+    * by (count desc, pair asc)) instantiated at Int tokens, so the
+    * DuckDB oracle replays every doc score exactly. The driver holds only the
     * maxPairs-bounded model (TakeOrdered cut — partitions ship their
     * local top-k, never the full pair table); scoring is shuffle-free.
     * Returns (doc_id, n_bigrams, nll_micro, ppl_micro); docs with
@@ -471,39 +488,16 @@ object CompressedSearch {
       .orderBy(col("n_occ").desc, col("tok_a"), col("tok_b"))
       .limit(maxPairs)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-    val empty = new scala.collection.mutable.LongMap[Long]()
-    val (pairM, lamM, contM, oovCont) =
-      if (pairs.isEmpty) (empty, empty, empty, 0L)
-      else {
-        val ctx = pairs.groupBy(_._1).map { case (a, ps) =>
-          a -> (ps.map(_._3).sum, ps.length.toLong) // (c(w1), N1+(w1*))
-        }
-        val cont = pairs.groupBy(_._2).map { case (b, ps) =>
-          b -> ps.length.toLong // N1+(*w2)
-        }
-        val np = pairs.length.toLong
-        val vc = cont.size.toLong
-        val n1 = pairs.count(_._3 == 1L).toLong
-        val n2 = pairs.count(_._3 == 2L).toLong
-        val dD = if (n1 == 0) 0.5 else n1.toDouble / (n1 + 2 * n2)
-        def micro(p: Double): Long =
-          math.floor(-math.log(p) * 1e6 + 0.5).toLong
-        val pm = new scala.collection.mutable.LongMap[Long](pairs.length * 2)
-        pairs.foreach { case (a, b, c) =>
-          val (cw1, n1p) = ctx(a)
-          pm(packPair(a, b)) = micro((c.toDouble - dD) / cw1 +
-            ((dD * n1p) / cw1) * ((cont(b).toDouble + 1) / (np + vc + 1)))
-        }
-        val lm = new scala.collection.mutable.LongMap[Long](ctx.size * 2)
-        ctx.foreach { case (a, (cw1, n1p)) =>
-          lm(a.toLong) = micro((dD * n1p) / cw1)
-        }
-        val cm = new scala.collection.mutable.LongMap[Long](cont.size * 2)
-        cont.foreach { case (b, nc) =>
-          cm(b.toLong) = micro((nc.toDouble + 1) / (np + vc + 1))
-        }
-        (pm, lm, cm, micro(1.0 / (np + vc + 1)))
-      }
+    // model math lives ONCE in LmScore.knTermsMicro (generic key);
+    // here the maxPairs-bounded maps are just re-keyed to packed longs
+    // for the allocation-free scoring loop below
+    val (pmG, lmG, cmG, oovCont) = graft.text.LmScore.knTermsMicro(pairs)
+    val pairM = new scala.collection.mutable.LongMap[Long](pmG.size * 2)
+    pmG.foreach { case ((a, b), v) => pairM(packPair(a, b)) = v }
+    val lamM = new scala.collection.mutable.LongMap[Long](lmG.size * 2)
+    lmG.foreach { case (a, v) => lamM(a.toLong) = v }
+    val contM = new scala.collection.mutable.LongMap[Long](cmG.size * 2)
+    cmG.foreach { case (b, v) => contM(b.toLong) = v }
     val bc = spark.sparkContext.broadcast((pairM, lamM, contM, oovCont))
     TokenDecoder.read(spark, outDir).map { r =>
       val (pm, lm, cm, ov) = bc.value

@@ -71,12 +71,7 @@ object TokenEncoder {
   /** Deterministic 64-bit string hash (FNV-1a) — stable across runs,
     * independent of JVM String.hashCode.
     */
-  def hash64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) { h ^= (s.charAt(i) & 0xFFFFL); h *= 0x100000001b3L; i += 1 }
-    h
-  }
+  def hash64(s: String): Long = graft.codec.Hash.fnv64(s)
 
   /** source -> (partId base, salt count), partIds globally unique.
     * Salting only needs approximate per-source counts, so the plan
@@ -286,6 +281,7 @@ object TokenEncoder {
     val lensEnc = lens.toArray
     val idsEnc = graft.codec.StringCols.encodeDocIds(docIds.toArray, nRows)
     val srcsEnc = graft.codec.StringCols.encodeSources(srcs.toArray, nRows)
+    val bloomEnc = graft.codec.DocBloom.build(docIds.toArray, nRows)
     EncodedBlock(
       blockId = blockId,
       runId = runIdB,
@@ -298,7 +294,7 @@ object TokenEncoder {
       lengthsEnc = lensEnc,
       docIdsEnc = idsEnc,
       sourcesEnc = srcsEnc,
-      docBloomEnc = graft.codec.DocBloom.build(docIds.toArray, nRows),
+      docBloomEnc = bloomEnc,
       blockRows = nRows,
       totalTokens = nTok.toLong,
       // zone map straight from the selection stats pass (no extra scan);
@@ -307,7 +303,9 @@ object TokenEncoder {
       maxTok = be.stats.max,
       rawBytes = 4L * nTok,
       encodedBytes = be.encodedBytes + lensEnc.length,
-      metaBytes = idsEnc.length.toLong + srcsEnc.length,
+      // bloom counted with the metadata sidecar: ~10 bits/doc of real
+      // on-disk growth must show up in ratio/size consumers
+      metaBytes = idsEnc.length.toLong + srcsEnc.length + bloomEnc.length,
       encodeMillis = (System.nanoTime() - t0) / 1000000L,
       checksum = BlockCodec.checksum(tokBuf, nTok)
     )

@@ -21,12 +21,7 @@ object MinHashSig {
   val K = 64
   private val P = 2147483647L
 
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  private def mix(z0: Long): Long = graft.codec.Hash.splitmix64(z0)
 
   val as: Array[Long] = Array.tabulate(K)(j => (mix(j.toLong * 2 + 1).abs % (P - 1)) + 1)
   val bs: Array[Long] = Array.tabulate(K)(j => mix(j.toLong * 2 + 2).abs % P)

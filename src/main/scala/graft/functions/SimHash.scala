@@ -15,12 +15,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SimHash {
   /** FNV-1a 64-bit over a char range — stable across JVMs. */
-  private def hashWord(s: String, from: Int, to: Int): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = from
-    while (i < to) { h ^= (s.charAt(i) & 0xFFFFL); h *= 0x100000001b3L; i += 1 }
-    h
-  }
+  private def hashWord(s: String, from: Int, to: Int): Long =
+    graft.codec.Hash.fnv64Range(s, from, to)
 
   /** Static kernel referenced from generated code. */
   def simhash64(text: UTF8String): Long = {

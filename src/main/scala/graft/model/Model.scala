@@ -96,7 +96,7 @@ final case class EncodedBlock(
                           // no-pruning sentinels (MinValue, MaxValue).
     rawBytes: Long,       // 4 * totalTokens
     encodedBytes: Long,   // symtab + payload + lengthsEnc
-    metaBytes: Long,      // docIdsEnc + sourcesEnc
+    metaBytes: Long,      // docIdsEnc + sourcesEnc + docBloomEnc
     encodeMillis: Long,   // kernel time for this block (throughput metric)
     checksum: Long        // order-sensitive hash of the token stream
 )

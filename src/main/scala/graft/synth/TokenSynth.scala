@@ -29,12 +29,7 @@ object TokenSynth {
     ("arxiv", 1.00, "mixed")
   )
 
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  private def mix(z0: Long): Long = graft.codec.Hash.splitmix64(z0)
 
   def row(id: Long, seed: Long): TokenRow = {
     val rng = new scala.util.Random(mix(seed ^ id))

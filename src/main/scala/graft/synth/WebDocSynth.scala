@@ -23,12 +23,7 @@ object WebDocSynth {
 
   final case class WebDoc(doc_id: String, url: String, text: String)
 
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  private def mix(z0: Long): Long = graft.codec.Hash.splitmix64(z0)
 
   private val subjects = Array("The scheduler", "Our planner", "The optimizer",
     "A worker node", "The shuffle service", "Every executor")

@@ -85,7 +85,23 @@ object LmScore {
       .groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("c"))
       .orderBy(col("c").desc, col("w1"), col("w2")).limit(maxPairs)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    if (pairs.isEmpty) return KnBigramModel(Map.empty, Map.empty, Map.empty, 0L)
+    val (pairMicro, lambdaMicro, contMicro, oovCont) = knTermsMicro(pairs)
+    KnBigramModel(pairMicro, lambdaMicro, contMicro, oovCont)
+  }
+
+  /** The KN smoothing math, defined ONCE and generic in the token
+    * key: the raw-text model above (String words) and
+    * CompressedSearch.storeKnPerplexity's store-trained gate (Int
+    * tokens) both call this, so the discount / backoff / continuation
+    * formulas cannot drift between the two oracles. Formula order is
+    * frozen — both DuckDB oracles replay the double arithmetic
+    * bit-for-bit. Returns (pair, lambda, continuation, oovCont) NLL
+    * terms in micro-nats; an empty pair table yields empty maps and
+    * oovCont 0.
+    */
+  def knTermsMicro[K](pairs: Array[(K, K, Long)])
+      : (Map[(K, K), Long], Map[K, Long], Map[K, Long], Long) = {
+    if (pairs.isEmpty) return (Map.empty, Map.empty, Map.empty, 0L)
     val ctx = pairs.groupBy(_._1).map { case (w1, ps) =>
       w1 -> (ps.map(_._3).sum, ps.length.toLong) // (c(w1), N1+(w1*))
     }
@@ -113,8 +129,7 @@ object LmScore {
     val contMicro = cont.map { case (w2, nc) =>
       w2 -> micro((nc.toDouble + 1) / (nPairs + vCont + 1))
     }
-    KnBigramModel(pairMicro, lambdaMicro, contMicro,
-      micro(1.0 / (nPairs + vCont + 1)))
+    (pairMicro, lambdaMicro, contMicro, micro(1.0 / (nPairs + vCont + 1)))
   }
 
   /** Per-document KN-bigram score: one shuffle-free scan, model

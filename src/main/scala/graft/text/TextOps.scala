@@ -341,9 +341,13 @@ object TextOps {
       size(regexp_extract_all(textClean, lit("[.!?]"), lit(0))).cast("long")
     val hasLorem = lower(text).contains("lorem ipsum")
     val hasBrace = text.contains("{")
-    // plain alternation (list entries are bare words) so the same
-    // pattern text runs under both Java regex and an RE2 oracle
-    val badRe = badWords.mkString("|")
+    // plain alternation; each entry backslash-escaped per char (NOT
+    // Pattern.quote's \Q..\E, which RE2 lacks) so the same pattern
+    // text runs under both Java regex and an RE2 oracle, and a
+    // caller-supplied entry like "c++" or "a.b" can neither crash
+    // compilation nor silently broaden the blocklist
+    val badRe = badWords
+      .map(_.replaceAll("([^A-Za-z0-9 _])", "\\\\$1")).mkString("|")
     val hasBad = lower(text).rlike(s"\\b($badRe)\\b")
     struct(
       size(lines).cast("long").as("n_lines"),

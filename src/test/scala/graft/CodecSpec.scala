@@ -199,6 +199,14 @@ class CodecSpec extends AnyFunSuite {
     assert(graft.codec.StringCols.decodeDocIds(enc, nasty.length).sameElements(nasty))
     val se = graft.codec.StringCols.encodeSources(nasty, nasty.length)
     assert(graft.codec.StringCols.decodeSources(se, nasty.length).sameElements(nasty))
+    // pureSource: O(1) purity answer from the leading dict varint —
+    // Some(src) iff the dict collapsed to one entry, incl. unicode
+    assert(graft.codec.StringCols.pureSource(se).isEmpty)
+    val pure = Array("прว🙂", "прว🙂", "прว🙂")
+    val pe = graft.codec.StringCols.encodeSources(pure, pure.length)
+    assert(graft.codec.StringCols.pureSource(pe).contains("прว🙂"))
+    val one = graft.codec.StringCols.encodeSources(Array("s"), 1)
+    assert(graft.codec.StringCols.pureSource(one).contains("s"))
   }
 
   test("stats are exact on a known stream") {

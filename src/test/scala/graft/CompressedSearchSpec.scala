@@ -377,6 +377,11 @@ class CompressedSearchSpec extends SparkSpecBase {
     val gotBi = CompressedSearch.storeBigramFrequency(spark, dir)
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(gotBi == bruteBi)
+    // a pathologically small flush cap forces many partial-map drains
+    // per partition; the downstream groupBy must re-merge them exactly
+    val gotTiny = CompressedSearch.storeBigramFrequency(spark, dir, 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(gotTiny == bruteBi)
 
     // KN with a cut small enough that backoff paths (seen-context/
     // unseen-pair AND unseen-context) both fire
