@@ -1317,6 +1317,27 @@ object SparkEntry {
         .searchDocs(s, encodedStore(s, d), 100, 116)
         .orderBy("doc_id")
     }),
+    "q_encoded_phrase" -> ((s, d) =>
+      // EXACT contiguous-phrase search over the encoded store: zone
+      // CONTAINMENT of all three tokens is pushed to the parquet scan,
+      // dict symtabs reject blocks missing any one (binary search, no
+      // payload decode), survivors decode once for the positional
+      // walk. The literals are synth phrase #0 ("web" regime builds
+      // docs from 64 fixed phrases), so the phrase genuinely recurs;
+      // the oracle replays positions over the side-dumped raw table.
+      graft.encode.CompressedSearch
+        .phraseSearchDocs(s, encodedStore(s, d),
+          Array(27063, 19039, 11004))
+        .orderBy("doc_id")),
+    "q_encoded_conj" -> ((s, d) =>
+      // conjunctive containment (docs holding ALL three tokens, any
+      // positions) with the same two-tier prune; the exchange carries
+      // at most |ts| pre-aggregated triples per matching doc. Tokens
+      // from the "news" lowcard vocab so conjunctions actually occur.
+      graft.encode.CompressedSearch
+        .searchDocsWithAll(s, encodedStore(s, d),
+          Array(544938, 424295, 624351))
+        .orderBy("doc_id")),
     "q_encoded_count" -> ((s, d) =>
       // same predicate as a pure aggregate: counts come from dict code
       // spans and RLE run lengths where those codecs won the block —
@@ -2919,6 +2940,23 @@ object SparkEntry {
         |FROM (SELECT unnest(tokens) AS tok
         |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet'))
         |WHERE tok BETWEEN 100 AND 116""".stripMargin,
+    "q_encoded_phrase" ->
+      """WITH d AS (SELECT doc_id, source, tokens
+        |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')
+        |  WHERE len(tokens) >= 3),
+        |p AS (SELECT doc_id, source,
+        |  unnest(generate_series(1, len(tokens) - 2)) AS i, tokens FROM d)
+        |SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_matches
+        |FROM p
+        |WHERE tokens[i] = 27063 AND tokens[i+1] = 19039 AND tokens[i+2] = 11004
+        |GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
+    "q_encoded_conj" ->
+      """WITH t AS (SELECT doc_id, source, unnest(tokens) AS tok
+        |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet'))
+        |SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM t WHERE tok IN (544938, 424295, 624351)
+        |GROUP BY doc_id, source HAVING count(DISTINCT tok) = 3
+        |ORDER BY doc_id""".stripMargin,
     "q_encoded_frequency" ->
       """SELECT tok AS token, CAST(count(*) AS BIGINT) AS n_occ
         |FROM (SELECT unnest(tokens) AS tok

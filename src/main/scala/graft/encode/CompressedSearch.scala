@@ -623,6 +623,140 @@ object CompressedSearch {
     }
   }
 
+  /** Dict-coded block whose symtab lacks AT LEAST ONE of `ts` —
+    * a block that cannot contain every query token, decided from the
+    * sorted dictionary alone (one binary search per query token; the
+    * payload is not decoded). The multi-token prune behind
+    * [[phraseSearchDocs]] and [[searchDocsWithAll]].
+    */
+  def dictRejectsAny(codecId: Int, symtab: Array[Byte], ts: Array[Int]): Boolean =
+    codecId == CodecIds.Dict && {
+      val dict = DictCodec.readDict(symtab)
+      var i = 0
+      while (i < ts.length) {
+        val p = lowerBound(dict, ts(i))
+        if (p >= dict.length || dict(p) != ts(i)) return true
+        i += 1
+      }
+      false
+    }
+
+  /** Zone-map CONTAINMENT predicate: the block's token range must
+    * contain EVERY query token (minTok <= min(ts) && maxTok >= max(ts))
+    * — necessary for any of its docs to hold all of `ts`, and strictly
+    * stronger than the intersection prune `zone` uses for ranges. Same
+    * null arms as `zone` for legacy (pre-zone-map) rows; both sides
+    * stay parquet-pushable.
+    */
+  private def zoneAll(ts: Array[Int]) =
+    (col("minTok").isNull || col("minTok") <= ts.min) &&
+      (col("maxTok").isNull || col("maxTok") >= ts.max)
+
+  /** Documents containing the EXACT CONTIGUOUS token phrase, with
+    * per-document occurrence counts (overlapping occurrences all
+    * count; phrases never cross document boundaries). Returns
+    * (doc_id, source, n_matches), only matching docs emitted.
+    *
+    * The compressed-domain wins compose: zoneAll demands the block
+    * RANGE contain every phrase token (pushed to the parquet scan),
+    * dict symtabs reject any block missing one (binary searches only
+    * — no payload decode), and only surviving blocks decode for the
+    * positional walk, which zone maps and symtabs cannot answer. At a
+    * selective phrase the decode and the shuffle are O(hit docs), not
+    * O(corpus).
+    */
+  def phraseSearchDocs(spark: SparkSession, outDir: String,
+                       phrase: Array[Int]): DataFrame = {
+    import spark.implicits._
+    require(phrase.nonEmpty, "phraseSearchDocs: empty phrase")
+    scanRowsMulti(spark, outDir, phrase) { (docId, source, tokens, off, n) =>
+      var c = 0L
+      var i = off
+      val last = off + n - phrase.length
+      while (i <= last) {
+        var k = 0
+        while (k < phrase.length && tokens(i + k) == phrase(k)) k += 1
+        if (k == phrase.length) c += 1
+        i += 1
+      }
+      if (c > 0) Iterator.single((docId, source, c)) else Iterator.empty
+    }
+      .toDF("doc_id", "source", "n_matches")
+      .groupBy("doc_id", "source")
+      .agg(sum("n_matches").as("n_matches"))
+  }
+
+  /** Conjunctive containment search: documents holding EVERY token in
+    * `ts` (any order, any position), with the total occurrence count
+    * of the query tokens. Returns (doc_id, source, n_hits).
+    *
+    * Same two-tier prune as [[phraseSearchDocs]] (zone containment +
+    * symtab membership). Each row emits at most |ts| pre-aggregated
+    * (doc, token, count) triples — only for tokens actually present —
+    * and the ALL-present gate is a countDistinct over those, so the
+    * exchange is bounded by |ts| x docs-with-any-hit and the
+    * semantics stay exact even if a doc_id spans several rows.
+    */
+  def searchDocsWithAll(spark: SparkSession, outDir: String,
+                        ts: Array[Int]): DataFrame = {
+    import spark.implicits._
+    require(ts.nonEmpty, "searchDocsWithAll: empty token set")
+    scanRowsMulti(spark, outDir, ts) { (docId, source, tokens, off, n) =>
+      val counts = new Array[Long](ts.length)
+      var i = off
+      while (i < off + n) {
+        val v = tokens(i)
+        var j = 0
+        while (j < ts.length) { // |ts| is tiny: linear probe beats a map
+          if (ts(j) == v) counts(j) += 1
+          j += 1
+        }
+        i += 1
+      }
+      ts.indices.iterator.filter(counts(_) > 0)
+        .map(j => (docId, source, ts(j), counts(j)))
+    }
+      .toDF("doc_id", "source", "token", "n")
+      .groupBy("doc_id", "source")
+      .agg(sum("n").as("n_hits"), countDistinct("token").as("__k"))
+      .where(col("__k") === ts.length)
+      .drop("__k")
+  }
+
+  /** Multi-token sibling of [[scanRows]]: zone CONTAINMENT of every
+    * query token + all-present symtab rejection, then the same
+    * decode-once row walk. Kept separate so the single-range path
+    * never pays the per-token loops.
+    */
+  private def scanRowsMulti[T](spark: SparkSession, outDir: String,
+                               ts: Array[Int])(
+      row: (String, String, Array[Int], Int, Int) => Iterator[T])(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    import spark.implicits._
+    TokenDecoder.committedBlocks(spark, outDir, None)
+      .where(zoneAll(ts))
+      .select("codecId", "postCodec", "symtab", "payload", "lengthsEnc",
+        "docIdsEnc", "sourcesEnc", "blockRows", "totalTokens")
+      .as[(Int, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte],
+        Array[Byte], Int, Long)]
+      .flatMap { case (cid, post, st, pay, lensEnc, dEnc, sEnc, nRows, nTok) =>
+        if (dictRejectsAny(cid, st, ts)) Iterator.empty
+        else {
+          val tokens = BlockCodec.decode(cid, post, st, pay, nTok.toInt)
+          val docIds = graft.codec.StringCols.decodeDocIds(dEnc, nRows)
+          val sources = graft.codec.StringCols.decodeSources(sEnc, nRows)
+          val lens = new ByteReader(lensEnc)
+          var off = 0
+          (0 until nRows).iterator.flatMap { i =>
+            val n = lens.readVarInt()
+            val out = row(docIds(i), sources(i), tokens, off, n)
+            off += n
+            out
+          }
+        }
+      }
+  }
+
   private def searchBlocks(spark: SparkSession, outDir: String,
                            partIds: Option[Set[Int]],
                            lo: Int, hi: Int): DataFrame = {

@@ -43,6 +43,8 @@ object UndatumCli {
         |          encode <tokenrows.parquet> --output <storeDir>
         |          decode <storeDir> [--output out]
         |          searchenc <storeDir> --lo N --hi N [--source s]
+        |          phraseenc <storeDir> --tokens a,b,c  (contiguous phrase)
+        |          conjenc <storeDir> --tokens a,b,c  (docs with ALL tokens)
         |          countenc <storeDir> --lo N --hi N
         |          frequencyenc <storeDir> [--lo N --hi N] [--by-source 1]
         |          driftenc <storeDir>   (per-source KL vs pool, micro-nats)
@@ -55,7 +57,7 @@ object UndatumCli {
         |          --format-out --delimiter --encoding --tagname
         |          --dictshare --chunksize --rule --mode --limit
         |          --lo --hi --source --by-source --doc --topk --pairs
-        |          --max-nll --rows-per-part""".stripMargin)
+        |          --tokens --max-nll --rows-per-part""".stripMargin)
     sys.exit(2)
   }
 
@@ -331,6 +333,14 @@ object UndatumCli {
         case None => graft.encode.CompressedSearch
           .searchDocs(spark, input, lo, hi).orderBy("doc_id")
       })
+    case "phraseenc" =>
+      Some(graft.encode.CompressedSearch
+        .phraseSearchDocs(spark, input, requiredTokens(flags))
+        .orderBy("doc_id"))
+    case "conjenc" =>
+      Some(graft.encode.CompressedSearch
+        .searchDocsWithAll(spark, input, requiredTokens(flags))
+        .orderBy("doc_id"))
     case "countenc" =>
       val (lo, hi) = requiredRange(flags)
       Some(graft.encode.CompressedSearch.countTokens(spark, input, lo, hi))
@@ -411,4 +421,12 @@ object UndatumCli {
   private def requiredRange(flags: Map[String, String]): (Int, Int) =
     (flags.getOrElse("lo", argError("this command needs --lo")).toInt,
       flags.getOrElse("hi", argError("this command needs --hi")).toInt)
+
+  private def requiredTokens(flags: Map[String, String]): Array[Int] = {
+    val ts = flags.getOrElse("tokens",
+      argError("this command needs --tokens a,b,c"))
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt)
+    if (ts.isEmpty) argError("--tokens must list at least one token")
+    ts
+  }
 }

@@ -145,6 +145,27 @@ class CliSpec extends SparkSpecBase {
     assert(freqTotal == ds.map(_.tokens.length.toLong).sum)
     val back = UndatumCli.run(s, "decode", store, Map.empty).get
     assert(back.count() == 400)
+    // phrase + conjunctive search against a brute replay of the synth
+    val ph = Array(27063, 19039, 11004) // synth phrase #0 ("web")
+    val bruteP = ds.map { r =>
+      (0 to r.tokens.length - 3)
+        .count(i => r.tokens(i) == ph(0) && r.tokens(i + 1) == ph(1) &&
+          r.tokens(i + 2) == ph(2)).toLong
+    }.sum
+    assert(bruteP > 0)
+    val gotP = UndatumCli.run(s, "phraseenc", store,
+      Map("tokens" -> "27063,19039,11004")).get
+      .agg(org.apache.spark.sql.functions.sum("n_matches"))
+      .collect()(0).getLong(0)
+    assert(gotP == bruteP)
+    val cj = Array(544938, 424295, 624351) // "news" lowcard vocab
+    val bruteC = ds.count(r => cj.forall(r.tokens.contains)).toLong
+    assert(bruteC > 0)
+    assert(UndatumCli.run(s, "conjenc", store,
+      Map("tokens" -> "544938,424295,624351")).get.count() == bruteC)
+    intercept[IllegalArgumentException] {
+      UndatumCli.run(s, "phraseenc", store, Map.empty)
+    }
     // --by-source splits the same mass per source; driftenc returns
     // one micro-nat KL row per source
     val bySrc = UndatumCli.run(s, "frequencyenc", store,

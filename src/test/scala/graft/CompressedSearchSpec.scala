@@ -353,6 +353,67 @@ class CompressedSearchSpec extends SparkSpecBase {
     assert(mass == back.map(_.n_tok.toLong).sum)
   }
 
+  test("phraseSearchDocs + searchDocsWithAll: brute parity incl. overlaps and dict rejection") {
+    import spark.implicits._
+    val rng = new scala.util.Random(47)
+    val phrase = Array(7, 8, 9)
+    val conj = Array(7, 500, 100000)
+    val rows = (0 until 120).map { i =>
+      val toks: Array[Int] =
+        if (i == 0) Array.emptyIntArray
+        else if (i == 1) Array(7, 8) // shorter than the phrase
+        else if (i == 2) Array(7, 8, 7, 8, 9, 7, 8, 9, 9) // two matches
+        else if (i == 3) Array(7, 7, 7, 8, 8, 9) // near-miss only
+        else if (i == 4) Array(100000, 7, 500, 500) // conj hit, no phrase
+        else if (i % 5 == 0) Array.tabulate(30)(k => Array(7, 8, 9)(k % 3)) // lowcard -> dict blocks with hits
+        else if (i % 5 == 1) Array.fill(30)(rng.nextInt(40) + 20) // dict blocks, phrase tokens absent
+        else Array.fill(25)(rng.nextInt(200000)) // wide regime
+      TokenRow(f"doc-$i%04d", toks, toks.length, if (i % 2 == 0) "a" else "b")
+    }
+    val dir = tmpDir("graft-phrase")
+    TokenEncoder.run(spark.createDataset(rows), dir,
+      TokenEncoder.EncodeConfig(targetRowsPerPart = 25))
+
+    def bruteMatches(t: Array[Int]): Long = {
+      var c = 0L
+      var i = 0
+      while (i <= t.length - phrase.length) {
+        if (phrase.indices.forall(k => t(i + k) == phrase(k))) c += 1
+        i += 1
+      }
+      c
+    }
+    val exp = rows.map(r => r.doc_id -> bruteMatches(r.tokens))
+      .filter(_._2 > 0).toMap
+    val got = CompressedSearch.phraseSearchDocs(spark, dir, phrase)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == exp)
+    assert(got("doc-0002") == 2L) // overlap-adjacent double match
+    assert(!got.contains("doc-0003"))
+
+    val expConj = rows.flatMap { r =>
+      val hits = r.tokens.count(conj.contains)
+      if (conj.forall(r.tokens.contains)) Some(r.doc_id -> hits.toLong) else None
+    }.toMap
+    val gotConj = CompressedSearch.searchDocsWithAll(spark, dir, conj)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(gotConj == expConj)
+    assert(gotConj.contains("doc-0004"))
+
+    // dictRejectsAny kernel: symtab of a lowcard block lacking one
+    // query token rejects; containing all, passes
+    val blk = spark.read.parquet(s"$dir/blocks")
+      .where(col("codecId") === CodecIds.Dict)
+      .select("codecId", "symtab").collect()
+    assert(blk.nonEmpty)
+    blk.foreach { r =>
+      val cid = r.getInt(0); val st = r.getAs[Array[Byte]](1)
+      val dict = graft.codec.DictCodec.readDict(st)
+      val expect = !phrase.forall(t => dict.contains(t))
+      assert(CompressedSearch.dictRejectsAny(cid, st, phrase) == expect)
+    }
+  }
+
   test("storeBigramFrequency + storeKnPerplexity: brute replay incl. backoff") {
     import spark.implicits._
     val rng = new scala.util.Random(23)
