@@ -1338,6 +1338,15 @@ object SparkEntry {
         .searchDocsWithAll(s, encodedStore(s, d),
           Array(544938, 424295, 624351))
         .orderBy("doc_id")),
+    "q_encoded_bm25" -> ((s, d) =>
+      // ranked retrieval over the encoded store: BM25 top-15 for a
+      // 4-token query (the web phrase + one news lowcard token, so
+      // idf spreads). N/avgdl from block metadata, df from a pruned
+      // block-preaggregated pass, scores fixed-point micro-nats,
+      // top-k a TakeOrdered — the oracle replays the whole model.
+      graft.encode.CompressedSearch
+        .bm25TopK(s, encodedStore(s, d),
+          Array(27063, 19039, 11004, 544938), 15)),
     "q_encoded_count" -> ((s, d) =>
       // same predicate as a pure aggregate: counts come from dict code
       // spans and RLE run lengths where those codecs won the block —
@@ -2957,6 +2966,29 @@ object SparkEntry {
         |FROM t WHERE tok IN (544938, 424295, 624351)
         |GROUP BY doc_id, source HAVING count(DISTINCT tok) = 3
         |ORDER BY doc_id""".stripMargin,
+    "q_encoded_bm25" ->
+      """WITH t AS (SELECT doc_id, source, tokens,
+        |    CAST(len(tokens) AS BIGINT) AS dl
+        |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')),
+        |st AS (SELECT CAST(count(*) AS BIGINT) n,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM t),
+        |q(qi, tok) AS (VALUES (0, 27063), (1, 19039), (2, 11004),
+        |  (3, 544938)),
+        |dfs AS (SELECT q.qi,
+        |  CAST(count(*) FILTER (list_contains(t.tokens, q.tok)) AS BIGINT) df
+        |  FROM q CROSS JOIN t GROUP BY 1),
+        |tfs AS (SELECT t.doc_id, t.source, t.dl, q.qi,
+        |  CAST(len(list_filter(t.tokens, x -> x = q.tok)) AS DOUBLE) tf
+        |  FROM t CROSS JOIN q),
+        |terms AS (SELECT tfs.doc_id, tfs.source,
+        |  CAST(floor(ln((st.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1)
+        |    * (tfs.tf * (1.2 + 1))
+        |    / (tfs.tf + 1.2 * (1 - 0.75 + 0.75 * tfs.dl / st.avgdl))
+        |    * 1e6 + 0.5) AS BIGINT) term
+        |  FROM tfs JOIN dfs USING (qi) CROSS JOIN st WHERE tfs.tf > 0)
+        |SELECT doc_id, source, CAST(sum(term) AS BIGINT) AS score_micro
+        |FROM terms GROUP BY 1, 2
+        |ORDER BY score_micro DESC, doc_id LIMIT 15""".stripMargin,
     "q_encoded_frequency" ->
       """SELECT tok AS token, CAST(count(*) AS BIGINT) AS n_occ
         |FROM (SELECT unnest(tokens) AS tok

@@ -723,6 +723,139 @@ object CompressedSearch {
       .drop("__k")
   }
 
+  /** BM25 ranked retrieval over the ENCODED store: top-`k` documents
+    * for a bag-of-tokens query, scored in FIXED POINT (each per-term
+    * BM25 contribution floored to micro-nats before the sum) so a SQL
+    * oracle replays every score bit-for-bit. Lucene-shape formula:
+    * idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1),
+    * term(d,t) = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+    *
+    * Scale shape: N and avgdl come from block METADATA only (one
+    * parquet agg over blockRows/totalTokens); document frequencies
+    * come from a pruned pass that pre-aggregates per block (the
+    * exchange is |query| rows per surviving block); scoring is a
+    * second pruned pass emitting one row per MATCHING doc, and the
+    * global top-k is orderBy+limit — Catalyst's TakeOrdered, a
+    * per-partition heap + driver merge of k rows, never a full sort.
+    * Both passes prune: zone maps must intersect at least one query
+    * token (pushed to the scan) and a dict block whose symtab holds
+    * none of the query tokens rejects without payload decode. Docs
+    * are scored per store ROW (the synth and every store this engine
+    * writes keep one row per doc_id; the oracle groups identically).
+    */
+  def bm25TopK(spark: SparkSession, outDir: String, query: Array[Int],
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    require(query.nonEmpty, "bm25TopK: empty query")
+    val meta = TokenDecoder.committedBlocks(spark, outDir, None)
+      .agg(sum("blockRows").cast("long"), sum("totalTokens").cast("long"))
+      .first()
+    val nDocs = meta.getLong(0)
+    val avgdl = meta.getLong(1).toDouble / nDocs
+    // pass 1: per-token document frequencies, pre-aggregated per block
+    val df = blocksAny(spark, outDir, query)
+      .flatMap { case (cid, post, st, pay, lensEnc, _, _, nRows, nTok) =>
+        val counts = new Array[Long](query.length)
+        val tokens = BlockCodec.decode(cid, post, st, pay, nTok.toInt)
+        val lens = new ByteReader(lensEnc)
+        val seen = new Array[Boolean](query.length)
+        var off = 0
+        var r = 0
+        while (r < nRows) {
+          val n = lens.readVarInt()
+          java.util.Arrays.fill(seen, false)
+          var i = off
+          while (i < off + n) {
+            var j = 0
+            while (j < query.length) {
+              if (query(j) == tokens(i) && !seen(j)) {
+                seen(j) = true; counts(j) += 1
+              }
+              j += 1
+            }
+            i += 1
+          }
+          off += n
+          r += 1
+        }
+        query.indices.iterator.filter(counts(_) > 0)
+          .map(j => (j, counts(j)))
+      }
+      .toDF("qi", "df").groupBy("qi").agg(sum("df").as("df"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val idf = Array.tabulate(query.length) { j =>
+      val d = df.getOrElse(j, 0L).toDouble
+      math.log((nDocs - d + 0.5) / (d + 0.5) + 1)
+    }
+    val bcIdf = spark.sparkContext.broadcast(idf)
+    // pass 2: score matching docs; one output row per hit doc
+    blocksAny(spark, outDir, query)
+      .flatMap { case (cid, post, st, pay, lensEnc, dEnc, sEnc, nRows, nTok) =>
+        val w = bcIdf.value
+        val tokens = BlockCodec.decode(cid, post, st, pay, nTok.toInt)
+        val docIds = graft.codec.StringCols.decodeDocIds(dEnc, nRows)
+        val sources = graft.codec.StringCols.decodeSources(sEnc, nRows)
+        val lens = new ByteReader(lensEnc)
+        val tf = new Array[Long](query.length)
+        var off = 0
+        (0 until nRows).iterator.flatMap { r =>
+          val n = lens.readVarInt()
+          java.util.Arrays.fill(tf, 0L)
+          var i = off
+          while (i < off + n) {
+            var j = 0
+            while (j < query.length) {
+              if (query(j) == tokens(i)) tf(j) += 1
+              j += 1
+            }
+            i += 1
+          }
+          off += n
+          var s = 0L
+          var any = false
+          var j = 0
+          while (j < query.length) {
+            if (tf(j) > 0) {
+              any = true
+              val t = tf(j).toDouble
+              // formula order frozen: the SQL oracle replays it
+              s += math.floor(w(j) * (t * (k1 + 1)) /
+                (t + k1 * (1 - b + b * n / avgdl)) * 1e6 + 0.5).toLong
+            }
+            j += 1
+          }
+          if (any) Iterator.single((docIds(r), sources(r), s))
+          else Iterator.empty
+        }
+      }
+      .toDF("doc_id", "source", "score_micro")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** ANY-token block scan feeding [[bm25TopK]]'s two passes: zone
+    * maps must intersect at least one query token (an Or-chain of
+    * pushable point containments) and a dict block whose symtab holds
+    * NONE of the query tokens rejects from the symtab alone.
+    */
+  private def blocksAny(spark: SparkSession, outDir: String,
+      ts: Array[Int]): Dataset[(Int, Int, Array[Byte], Array[Byte],
+      Array[Byte], Array[Byte], Array[Byte], Int, Long)] = {
+    import spark.implicits._
+    val zoneAny = ts.map(t =>
+      (col("minTok").isNull || col("minTok") <= t) &&
+        (col("maxTok").isNull || col("maxTok") >= t)).reduce(_ || _)
+    TokenDecoder.committedBlocks(spark, outDir, None)
+      .where(zoneAny)
+      .select("codecId", "postCodec", "symtab", "payload", "lengthsEnc",
+        "docIdsEnc", "sourcesEnc", "blockRows", "totalTokens")
+      .as[(Int, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte],
+        Array[Byte], Int, Long)]
+      .filter { r =>
+        !ts.forall(t => dictRejects(r._1, r._3, t, t))
+      }
+  }
+
   /** Multi-token sibling of [[scanRows]]: zone CONTAINMENT of every
     * query token + all-present symtab rejection, then the same
     * decode-once row walk. Kept separate so the single-range path

@@ -45,6 +45,7 @@ object UndatumCli {
         |          searchenc <storeDir> --lo N --hi N [--source s]
         |          phraseenc <storeDir> --tokens a,b,c  (contiguous phrase)
         |          conjenc <storeDir> --tokens a,b,c  (docs with ALL tokens)
+        |          bm25enc <storeDir> --tokens a,b,c [--topk N]  (ranked)
         |          countenc <storeDir> --lo N --hi N
         |          frequencyenc <storeDir> [--lo N --hi N] [--by-source 1]
         |          driftenc <storeDir>   (per-source KL vs pool, micro-nats)
@@ -341,6 +342,9 @@ object UndatumCli {
       Some(graft.encode.CompressedSearch
         .searchDocsWithAll(spark, input, requiredTokens(flags))
         .orderBy("doc_id"))
+    case "bm25enc" =>
+      Some(graft.encode.CompressedSearch.bm25TopK(spark, input,
+        requiredTokens(flags), flags.getOrElse("topk", "10").toInt))
     case "countenc" =>
       val (lo, hi) = requiredRange(flags)
       Some(graft.encode.CompressedSearch.countTokens(spark, input, lo, hi))

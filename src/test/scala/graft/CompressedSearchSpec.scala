@@ -414,6 +414,48 @@ class CompressedSearchSpec extends SparkSpecBase {
     }
   }
 
+  test("bm25TopK: exact fixed-point replay of the Lucene-shape model") {
+    import spark.implicits._
+    val rng = new scala.util.Random(61)
+    val query = Array(5, 77, 4242)
+    val rows = (0 until 150).map { i =>
+      val toks: Array[Int] =
+        if (i == 0) Array.emptyIntArray
+        else if (i == 1) Array(5, 5, 5, 5, 5) // tf-heavy short doc
+        else if (i == 2) Array.fill(300)(5) ++ Array(77) // long doc, dl norm bites
+        else if (i % 4 == 0) Array.fill(20)(rng.nextInt(10)) // many contain 5
+        else if (i % 4 == 1) Array.fill(40)(rng.nextInt(100)) // some contain 77
+        else Array.fill(30)(rng.nextInt(100000)) // 4242 is rare
+      TokenRow(f"doc-$i%04d", toks, toks.length, "s")
+    }
+    val dir = tmpDir("graft-bm25")
+    TokenEncoder.run(spark.createDataset(rows), dir,
+      TokenEncoder.EncodeConfig(targetRowsPerPart = 25))
+    val k1 = 1.2; val b = 0.75
+    val nDocs = rows.length.toLong
+    val avgdl = rows.map(_.tokens.length.toLong).sum.toDouble / nDocs
+    val idf = query.map { t =>
+      val d = rows.count(_.tokens.contains(t)).toDouble
+      math.log((nDocs - d + 0.5) / (d + 0.5) + 1)
+    }
+    val brute = rows.flatMap { r =>
+      val terms = query.indices.flatMap { j =>
+        val tf = r.tokens.count(_ == query(j)).toDouble
+        if (tf == 0) None
+        else Some(math.floor(idf(j) * (tf * (k1 + 1)) /
+          (tf + k1 * (1 - b + b * r.tokens.length / avgdl)) * 1e6 + 0.5).toLong)
+      }
+      if (terms.isEmpty) None else Some(r.doc_id -> terms.sum)
+    }.sortBy { case (id, s) => (-s, id) }
+    val got = CompressedSearch.bm25TopK(spark, dir, query, 10)
+      .collect().map(r => r.getString(0) -> r.getLong(2))
+    assert(got.toSeq == brute.take(10).toSeq)
+    // every hit doc scored (not just top-k): widen k past the hit count
+    val all = CompressedSearch.bm25TopK(spark, dir, query, 10000)
+      .collect().map(r => r.getString(0) -> r.getLong(2))
+    assert(all.toMap == brute.toMap)
+  }
+
   test("storeBigramFrequency + storeKnPerplexity: brute replay incl. backoff") {
     import spark.implicits._
     val rng = new scala.util.Random(23)
