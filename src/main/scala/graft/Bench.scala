@@ -383,7 +383,7 @@ object Bench {
     // fraction whose endpoints share an IVF cell at the q_semantic_dedup
     // settings (k=8, τ=0.35). Pairs straddling a cell boundary are the
     // ones semanticDedup cannot see.
-    val (semRecall, semTruePairs) = try {
+    val (semRecall, semRecallP2, semTruePairs) = try {
       import org.apache.spark.sql.functions.{col, xxhash64}
       val emb0 = sHi2.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("long").as("vec_id"),
@@ -397,15 +397,21 @@ object Bench {
         .select(col("id_a").cast("long"), col("id_b").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val idx = graft.sim.Ivf.train(emb, "embedding", 8)
-      val cell = graft.sim.Ivf.assign(emb, "embedding", idx)
-        .select(col("vec_id").cast("long"), col("ivf_cell"))
-        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // p=1 (single nearest cell) and p=2 (multi-probe, the
+      // q_semantic_dedup production setting) from ONE assignTop pass:
+      // cells(0) is the argmin, so both knob positions are measured
+      val cells = graft.sim.Ivf.assignTop(emb, "embedding", idx, 2)
+        .select(col("vec_id").cast("long"), col("ivf_cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
       emb.unpersist(blocking = false)
-      val captured = exact.count { case (a, b) => cell(a) == cell(b) }
-      (if (exact.isEmpty) 1.0 else captured.toDouble / exact.size, exact.size)
+      val captured1 = exact.count { case (a, b) => cells(a).head == cells(b).head }
+      val captured2 = exact.count { case (a, b) => cells(a).exists(cells(b).contains) }
+      (if (exact.isEmpty) 1.0 else captured1.toDouble / exact.size,
+        if (exact.isEmpty) 1.0 else captured2.toDouble / exact.size,
+        exact.size)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] semdedup recall FAILED: ${e.getMessage}")
-      (-1.0, -1)
+      (-1.0, -1.0, -1)
     }
 
     // the query surface + recall phases above are the hottest window
@@ -443,7 +449,7 @@ object Bench {
     val ratio = rawHi.toDouble / math.max(1L, encHi)
 
     val encodeJson =
-      f"""{"rows":$benchRows,"tokens":$tokHi,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"tokens_per_sec_lo":${thrLo.toLong},"tokens_per_sec_hi":${thrHi.toLong},"reps":$reps,"inversion_retries":$inversionRetries,"final_retry_pairs":$finalRetryPairs,"inversion_unresolved":$inversionUnresolved,"pair_scaling_efficiency_best":$pairEffBest%.3f,"decode_retries":$decodeRetries,"scaling_efficiency":$eff%.3f,"tokens_per_sec_c2":${thr2.toLong},"tokens_per_sec_c8":${thr8.toLong},"scaling_efficiency_2_8":$eff28%.3f,"noshuffle_tokens_per_sec_lo":${thrNsLo.toLong},"noshuffle_tokens_per_sec_hi":${thrNsHi.toLong},"kernel_tokens_per_sec_1":${kern1.toLong},"kernel_tokens_per_sec_8":${kern8.toLong},"kernel_scaling_1_8":$kernEff18%.3f,"decode_tokens_per_sec":${thrDec.toLong},"decode_tokens_per_sec_lo":${thrDecLoF.toLong},"decode_scaling_efficiency":$effDec%.3f,"ann_recall_lsh":$recallLsh%.3f,"ann_scanned_lsh":$fracLsh%.3f,"ann_recall_ivf":$recallIvf%.3f,"ann_scanned_ivf":$fracIvf%.3f,"ann_queries":$AnnQueries,"ann_k":$AnnK,"semdedup_recall":$semRecall%.3f,"semdedup_true_pairs":$semTruePairs,"vector_compression_ratio":$vecRatio%.3f,"vector_encode_mb_per_sec":${vecMBps.toLong},"vector_kernel_mb_per_sec":${vecKernelMBps.toLong},"compression_ratio":$ratio%.3f}"""
+      f"""{"rows":$benchRows,"tokens":$tokHi,"cpus_lo":$cpusLo,"cpus_hi":$cpusHi,"tokens_per_sec_lo":${thrLo.toLong},"tokens_per_sec_hi":${thrHi.toLong},"reps":$reps,"inversion_retries":$inversionRetries,"final_retry_pairs":$finalRetryPairs,"inversion_unresolved":$inversionUnresolved,"pair_scaling_efficiency_best":$pairEffBest%.3f,"decode_retries":$decodeRetries,"scaling_efficiency":$eff%.3f,"tokens_per_sec_c2":${thr2.toLong},"tokens_per_sec_c8":${thr8.toLong},"scaling_efficiency_2_8":$eff28%.3f,"noshuffle_tokens_per_sec_lo":${thrNsLo.toLong},"noshuffle_tokens_per_sec_hi":${thrNsHi.toLong},"kernel_tokens_per_sec_1":${kern1.toLong},"kernel_tokens_per_sec_8":${kern8.toLong},"kernel_scaling_1_8":$kernEff18%.3f,"decode_tokens_per_sec":${thrDec.toLong},"decode_tokens_per_sec_lo":${thrDecLoF.toLong},"decode_scaling_efficiency":$effDec%.3f,"ann_recall_lsh":$recallLsh%.3f,"ann_scanned_lsh":$fracLsh%.3f,"ann_recall_ivf":$recallIvf%.3f,"ann_scanned_ivf":$fracIvf%.3f,"ann_queries":$AnnQueries,"ann_k":$AnnK,"semdedup_recall":$semRecall%.3f,"semdedup_recall_p2":$semRecallP2%.3f,"semdedup_true_pairs":$semTruePairs,"vector_compression_ratio":$vecRatio%.3f,"vector_encode_mb_per_sec":${vecMBps.toLong},"vector_kernel_mb_per_sec":${vecKernelMBps.toLong},"compression_ratio":$ratio%.3f}"""
 
     // full per-query map -> sibling file; the stdout line stays a
     // compact summary (round 3 lost the bench signal when the 71-query

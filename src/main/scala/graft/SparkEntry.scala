@@ -864,19 +864,24 @@ object SparkEntry {
         .orderBy("qid", "vec_id")
     }),
     "q_semantic_dedup" -> ((s, d) => {
-      // SemDeDup (embedding-level near-dup pruning): the deterministic
-      // IVF cell assignment dumps to the side channel; the oracle
-      // recomputes within-cell cosine pairs + recursive-CTE clusters
-      // in DuckDB and derives the identical survivor set. The prune
-      // runs off the SAME dumped assignment (semanticDedupAssigned),
-      // so scoring, clustering, and the keep-min rule are verified
+      // SemDeDup (embedding-level near-dup pruning), MULTI-PROBE p=2:
+      // each row enters its two nearest IVF cells, recovering pairs
+      // that straddle one cell boundary (the paper's cross-cell-miss
+      // knob, now a measured lever: BENCH semdedup_recall vs _p2).
+      // The exploded (vec_id, ivf_cell) assignment dumps to the side
+      // channel; the oracle's self-join finds pairs sharing ANY cell
+      // (its UNION dedups two-shared-cell edges) + recursive-CTE
+      // clusters, deriving the identical survivor set. The prune runs
+      // off the SAME dumped assignment (semanticDedupAssigned), so
+      // scoring, clustering, and the keep-min rule are verified
       // value-for-value; only the k-means itself rides its own
       // determinism (seeded, and the dump pins its output anyway).
       val emb = t(s, d, "embeddings")
       val idx = graft.sim.Ivf.train(emb, "embedding", k = 8)
       val cells = dumpSide(
-        graft.sim.Ivf.assign(emb, "embedding", idx)
-          .select("vec_id", "ivf_cell"), "semdedup_cells")
+        graft.sim.Ivf.assignTop(emb, "embedding", idx, 2)
+          .select(col("vec_id"), explode(col("ivf_cells")).as("ivf_cell")),
+        "semdedup_cells")
       Dedup.semanticDedupAssigned(emb, emb.join(cells, Seq("vec_id")),
           "vec_id", "embedding", 0.35)
         .select("vec_id").orderBy("vec_id")

@@ -776,9 +776,20 @@ object Dedup {
                     threshold: Double, k: Int = 16,
                     onHotBlock: String = "error",
                     ccMaxIter: Int = 20,
-                    ccCheckpointDir: Option[String] = None): DataFrame = {
+                    ccCheckpointDir: Option[String] = None,
+                    probes: Int = 1): DataFrame = {
     val idx = graft.sim.Ivf.train(df, vecCol, k)
-    val assigned = graft.sim.Ivf.assign(df, vecCol, idx)
+    // probes > 1 = multi-probe recall recovery: each row enters its
+    // `probes` nearest cells (Ivf.assignTop), so a pair straddling one
+    // boundary still meets when either side carries the runner-up
+    // cell. Duplicate pairs (two shared cells) just add parallel CC
+    // edges — reachability is unchanged. Cost is the paper's own
+    // trade: within-cell populations scale by p, pair work by ~p².
+    val assigned =
+      if (probes <= 1) graft.sim.Ivf.assign(df, vecCol, idx)
+      else graft.sim.Ivf.assignTop(df, vecCol, idx, probes)
+        .withColumn("ivf_cell", explode(col("ivf_cells")))
+        .drop("ivf_cells")
     semanticDedupAssigned(df, assigned, idCol, vecCol, threshold, onHotBlock,
       ccMaxIter, ccCheckpointDir)
   }

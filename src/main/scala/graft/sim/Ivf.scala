@@ -142,6 +142,33 @@ object Ivf {
       .drop("__ivf_d")
   }
 
+  /** Multi-probe assignment: the `probes` NEAREST cells per row as an
+    * `ivf_cells` array (ascending distance, deterministic index
+    * tie-break). SemDeDup's cross-cell-miss knob: a pair straddling
+    * one boundary still shares a cell when either side carries its
+    * runner-up, at Σ|cell|²·p² pair cost — the measured
+    * recall/cost lever (BENCH semdedup_recall vs _p2). Same broadcast
+    * centroid literals as [[assign]], map-side only; the HOF
+    * sort-of-k-structs is interpreted but k is small by construction.
+    */
+  def assignTop(df: DataFrame, vecCol: String, idx: IvfIndex,
+                probes: Int): DataFrame = {
+    graft.functions.VecDist2.register(df.sparkSession)
+    val k = idx.k
+    val p = math.max(1, math.min(probes, k))
+    val dists = idx.centroids.map { c =>
+      val cl = array(c.map(lit(_)): _*)
+      graft.functions.VecDist2.vecDist2(col(vecCol), cl)
+    }
+    df.withColumn("__ivf_d", array(dists.toIndexedSeq: _*))
+      .withColumn("ivf_cells",
+        slice(transform(array_sort(zip_with(col("__ivf_d"),
+          sequence(lit(0), lit(k - 1)),
+          (d, i) => struct(d.as("d"), i.as("i")))),
+          s => s.getField("i").cast("int")), 1, p))
+      .drop("__ivf_d")
+  }
+
   /** Persist an assigned (optionally PQ-coded) corpus PARTITIONED BY
     * CELL — the storage half of the index build. A post-scan
     * `where(ivf_cell ...)` filter still reads every file's footer and

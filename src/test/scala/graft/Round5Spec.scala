@@ -69,6 +69,46 @@ class SemanticDedupSpec extends SparkSpecBase {
       threshold = 0.5, k = 2)
     assert(out.count() == 5)
   }
+
+  test("multi-probe p=2 recovers a boundary-straddling near-dup pair") {
+    val dim = 4
+    def unit(a: Float, b: Float, j: Float): Array[Float] = {
+      val v = Array(a, b, j, 0f)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val e0 = axis(dim, 0); val e1 = axis(dim, 1)
+    // two clumps pin the k=2 centroids near e0/e1; the planted
+    // near-dup pair (cos ≈ 0.999) sits between them with 300 argmin
+    // on the e0 cell and 301 on the e1 cell — invisible at p=1
+    val clumpA = (0 until 4).map(i =>
+      (100L + i) -> { val v = e0.clone(); v(3) = 0.01f * i; v })
+    val clumpB = (0 until 4).map(i =>
+      (200L + i) -> { val v = e1.clone(); v(3) = 0.01f * i; v })
+    val rows = clumpA ++ clumpB ++ Seq(
+      300L -> unit(0.72f, 0.69f, 0.001f),
+      301L -> unit(0.69f, 0.72f, -0.001f))
+    val p1 = Dedup.semanticDedup(df(rows), "id", "vec",
+      threshold = 0.97, k = 2, probes = 1)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(p1 == Seq(100L, 200L, 300L, 301L)) // pair straddles, missed
+    val p2 = Dedup.semanticDedup(df(rows), "id", "vec",
+      threshold = 0.97, k = 2, probes = 2)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(p2 == Seq(100L, 200L, 300L)) // runner-up cell meets the pair
+    // assignTop contract: first element IS the argmin cell; distances
+    // ascend, so p=1 semantics embed in the multi-probe assignment
+    val idx = graft.sim.Ivf.train(df(rows), "vec", 2)
+    val one = graft.sim.Ivf.assign(df(rows), "vec", idx)
+      .select("id", "ivf_cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    graft.sim.Ivf.assignTop(df(rows), "vec", idx, 2)
+      .select("id", "ivf_cells").collect().foreach { r =>
+        val cs = r.getSeq[Int](1)
+        assert(cs.length == 2 && cs.distinct.length == 2)
+        assert(cs.head == one(r.getLong(0)))
+      }
+  }
 }
 
 class TfidfSpec extends SparkSpecBase {
