@@ -1438,6 +1438,24 @@ object SparkEntry {
       graft.encode.TokenDecoder.read(s, cur).toDF()
         .select("doc_id", "n_tok", "source").orderBy("doc_id")
     }),
+    "q_encoded_delete" -> ((s, d) => {
+      // surgical doc deletion (GDPR shape): the three lexicographically
+      // first doc_ids leave the store; bloom-clean partitions COPY at
+      // the parquet row level (payload never decoded), only
+      // may-contain partitions re-encode through run()'s own resume
+      // protocol. d1 versions the delete code; the exists-guard makes
+      // repeat Verify calls cheap (fresh-dir contract belongs to the
+      // production API — a crashed staging dir is cleaned by /tmp).
+      val store = encodedStore(s, d)
+      val del = s"$store-deleted-d1-first3"
+      val ids = graft.encode.TokenDecoder.read(s, store).toDF()
+        .select("doc_id").orderBy("doc_id").limit(3)
+        .collect().map(_.getString(0)).toSeq
+      if (!new java.io.File(del).exists())
+        graft.encode.TokenEncoder.deleteDocs(s, store, del, ids)
+      graft.encode.TokenDecoder.read(s, del).toDF()
+        .select("doc_id", "n_tok", "source").orderBy("doc_id")
+    }),
     "q_encoded_bigrams" -> ((s, d) =>
       // order-aware sibling of q_encoded_frequency: one decode pass,
       // per-partition packed-long LongMap pre-aggregation so the
@@ -3053,6 +3071,13 @@ object SparkEntry {
         |WHERE (CASE WHEN sc.n_tok IS NULL THEN 0
         |  ELSE floor(CAST(sc.s AS DOUBLE) / sc.n_tok + 0.5) END) <= 7000000
         |ORDER BY r.doc_id""".stripMargin,
+    "q_encoded_delete" ->
+      """SELECT doc_id, n_tok, source
+        |FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')
+        |WHERE doc_id NOT IN (SELECT doc_id
+        |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')
+        |  ORDER BY doc_id LIMIT 3)
+        |ORDER BY doc_id""".stripMargin,
     "q_encoded_bigrams" ->
       """WITH e AS (SELECT doc_id, unnest(tokens) AS tk,
         |    generate_subscripts(tokens, 1) AS i

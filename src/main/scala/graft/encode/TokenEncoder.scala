@@ -534,6 +534,95 @@ object TokenEncoder {
     rm(bak)
     total - keep
   }
+
+  /** SURGICAL document deletion (the GDPR/right-to-be-forgotten shape):
+    * rewrite the store at `inDir` into a FRESH store at `outDir` with
+    * every doc in `docIds` removed, re-encoding ONLY the partitions
+    * whose per-block doc-id Blooms may contain a target. Everything
+    * else — the overwhelming share of a 10^12-doc store for a bounded
+    * delete list — is copied at the parquet ROW level: blocks,
+    * lineage rows and commit markers of fully-clean partIds move
+    * verbatim, their payloads never decoded (the Bloom column is the
+    * only thing read to classify them).
+    *
+    * Protocol: the ORIGINAL plan.json is copied first, so surviving
+    * rows of dirty partitions re-route to their ORIGINAL partIds
+    * (partIdOf is a deterministic hash of doc_id) and the final
+    * [[run]] sees exactly the dirty partIds as pending — the delete
+    * rides the encoder's own commit-marker resume semantics for its
+    * re-encode half. Bloom false positives only cost a needless
+    * re-encode of one partition (content preserved); null-Bloom
+    * legacy blocks classify as may-contain (correct, just unpruned).
+    * A store with no plan.json (legacy) degrades to a full rewrite.
+    *
+    * `outDir` must not exist (or be empty): like EncodeStream.compact,
+    * each delete targets a fresh dir — a crashed delete is retried by
+    * removing the partial dir, never by appending into it. Returns
+    * (parts_total, parts_copied, parts_reencoded, rows_deleted).
+    */
+  def deleteDocs(spark: SparkSession, inDir: String, outDir: String,
+                 docIds: Seq[String],
+                 cfg: EncodeConfig = EncodeConfig()): (Int, Int, Int, Long) = {
+    import spark.implicits._
+    require(inDir != outDir, "deleteDocs: outDir must differ from inDir")
+    val outF = new java.io.File(outDir)
+    require(!outF.exists() ||
+      (outF.isDirectory && outF.listFiles().isEmpty),
+      s"deleteDocs targets a FRESH dir; $outDir exists and is non-empty " +
+        "(remove the partial dir to retry a crashed delete)")
+    val ids = docIds.toArray.toSeq
+    val idSet = ids.toSet
+    TokenEncoder.loadPlan(inDir) match {
+      case None =>
+        // legacy store without a plan: no partId bands to preserve —
+        // honest fallback is the full decode-filter-reencode
+        val kept = TokenDecoder.read(spark, inDir)
+          .filter(r => !idSet.contains(r.doc_id))
+        val before = TokenDecoder.read(spark, inDir).count()
+        TokenEncoder.run(kept, outDir, cfg)
+        val after = TokenDecoder.read(spark, outDir).count()
+        (1, 0, 1, before - after)
+      case Some(plan) =>
+        TokenEncoder.savePlan(plan, outDir)
+        val live = TokenDecoder.committedBlocks(spark, inDir, None)
+        // classify partIds from the Bloom column alone
+        val dirty = live.select("partId", "docBloomEnc")
+          .as[(Int, Array[Byte])]
+          .filter { case (_, bloom) =>
+            graft.codec.DocBloom.mayContainAny(bloom, ids)
+          }
+          .map(_._1).distinct().collect().toSet
+        val allParts = TokenEncoder.allPartIds(plan)
+        val cleanParts = allParts -- dirty
+        // verbatim copy of the clean share: blocks, their lineage rows
+        // (keyed by blockId, so crashed-run orphans never travel), and
+        // ALL markers of clean partIds (a marked-but-empty partId stays
+        // marked — run() must not re-encode it)
+        val cleanBlocks = live.where(!col("partId").isInCollection(dirty))
+        cleanBlocks.write.mode("append")
+          .option("compression", "uncompressed")
+          .parquet(s"$outDir/blocks")
+        val copiedIds = cleanBlocks.select("blockId")
+        spark.read.parquet(s"$inDir/lineage")
+          .join(copiedIds, Seq("blockId"), "left_semi")
+          .write.mode("append").parquet(s"$outDir/lineage")
+        spark.read.parquet(s"$inDir/completed")
+          .where(!col("partId").isInCollection(dirty))
+          .write.mode("append").parquet(s"$outDir/completed")
+        // re-encode ONLY the dirty partitions' survivors; partIdOf
+        // routes them back to the same pending partIds under the
+        // copied plan, and run() marks exactly those complete
+        val before = TokenDecoder.readBlocks(spark, inDir, Some(dirty),
+          verifyChecksums = false).count()
+        val kept = TokenDecoder.readBlocks(spark, inDir, Some(dirty),
+          verifyChecksums = false)
+          .filter(r => !idSet.contains(r.doc_id))
+        TokenEncoder.run(kept, outDir, cfg)
+        val after = TokenDecoder.readBlocks(spark, outDir, Some(dirty),
+          verifyChecksums = false).count()
+        (allParts.size, cleanParts.size, dirty.size, before - after)
+    }
+  }
 }
 
 /** Symmetric decode: blocks -> TokenRow, ignoring uncommitted blocks. */
@@ -712,7 +801,7 @@ object TokenDecoder {
         Seq("partId", "runId"), "left_semi")
   }
 
-  private def readBlocks(spark: SparkSession, outDir: String,
+  private[encode] def readBlocks(spark: SparkSession, outDir: String,
                          partIds: Option[Set[Int]],
                          verifyChecksums: Boolean,
                          blockIds: Option[Set[String]] = None): Dataset[TokenRow] = {

@@ -54,6 +54,7 @@ object UndatumCli {
         |          bigramenc <storeDir>  (adjacent-pair frequency)
         |          knenc <storeDir> [--pairs N]  (Kneser-Ney doc NLL)
         |          curateenc <storeDir> --output <newStore> --max-nll N
+        |          deleteenc <storeDir> --output <newStore> --doc id[,id...]
         |flags:    --output --fields --filter --query --format-in
         |          --format-out --delimiter --encoding --tagname
         |          --dictshare --chunksize --rule --mode --limit
@@ -323,6 +324,19 @@ object UndatumCli {
       val sm = lineage.toDF()
         .agg(count(lit(1)), coalesce(sum("rowCount"), lit(0L))).collect()(0)
       println(s"curated: $out blocks=${sm.getLong(0)} rows=${sm.getLong(1)}")
+      None
+    case "deleteenc" =>
+      // surgical delete store->store; --output IS the new store dir
+      // (fresh-dir contract), so the generic epilogue must not fire
+      val out = flags.getOrElse("output",
+        argError("deleteenc needs --output <newStoreDir>"))
+      val ids = flags.getOrElse("doc",
+        argError("deleteenc needs --doc id[,id...]"))
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val (total, copied, reenc, deleted) =
+        graft.encode.TokenEncoder.deleteDocs(spark, input, out, ids)
+      println(s"deleted: $out parts=$total copied=$copied " +
+        s"reencoded=$reenc rows_deleted=$deleted")
       None
     case "decode" =>
       Some(graft.encode.TokenDecoder.read(spark, input).toDF())

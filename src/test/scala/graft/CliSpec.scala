@@ -214,6 +214,18 @@ class CliSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       UndatumCli.run(s, "curateenc", store, Map.empty)
     }
+    // surgical delete store->store (API covered in PipelineSpec; this
+    // is the CLI wiring + fresh-dir flag contract)
+    val delStore = s"${tmpDir("cli-deleted")}/store"
+    val victim = curBack.map(_.getAs[String]("doc_id")).min
+    assert(UndatumCli.run(s, "deleteenc", curated,
+      Map("output" -> delStore, "doc" -> victim)).isEmpty)
+    val delBack = UndatumCli.run(s, "decode", delStore, Map.empty).get
+      .select("doc_id").collect().map(_.getString(0))
+    assert(delBack.length == curBack.length - 1 && !delBack.contains(victim))
+    intercept[IllegalArgumentException] {
+      UndatumCli.run(s, "deleteenc", curated, Map("output" -> delStore))
+    }
   }
 
   test("schema: per-field layout plus xxhash64 identity key") {

@@ -346,4 +346,57 @@ class PipelineSpec extends SparkSpecBase {
     info(s"ours=$ours zstd-parquet=$ref ratio=${ref.toDouble / ours}")
     assert(ours <= ref, s"encoded $ours > zstd-parquet baseline $ref")
   }
+
+  test("deleteDocs: surgical rewrite — clean partitions copied verbatim, targets gone") {
+    import spark.implicits._
+    val s = spark
+    val rows = graft.synth.TokenSynth.dataset(s, 800)
+    val in = tmpDir("del-in")
+    graft.encode.TokenEncoder.run(rows, in,
+      graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 100))
+    val all = graft.encode.TokenDecoder.read(s, in).collect()
+    // pick targets from three different sources so several partitions
+    // go dirty while most stay clean
+    val targets = all.groupBy(_.source).toSeq.sortBy(_._1).take(3)
+      .map(_._2.minBy(_.doc_id).doc_id)
+    val out = s"${tmpDir("del-out")}/st"
+    val (total, copied, reenc, deleted) =
+      graft.encode.TokenEncoder.deleteDocs(s, in, out, targets)
+    assert(deleted == targets.length.toLong)
+    assert(reenc >= 1 && copied >= 1 && copied + reenc == total)
+    // content: exactly the survivors, token payloads intact
+    val back = graft.encode.TokenDecoder.read(s, out).collect()
+    assert(back.map(_.doc_id).toSet == all.map(_.doc_id).toSet -- targets)
+    val origById = all.map(r => r.doc_id -> r.tokens.toSeq).toMap
+    assert(back.forall(r => r.tokens.toSeq == origById(r.doc_id)))
+    // surgical: every clean partition's blocks moved VERBATIM — same
+    // blockId + checksum (no re-encode); dirty partitions carry a
+    // fresh runId prefix
+    val inBlk = s.read.parquet(s"$in/blocks")
+      .select("partId", "blockId", "checksum").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val outBlk = s.read.parquet(s"$out/blocks")
+      .select("partId", "blockId", "checksum").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val dirtyParts = outBlk.map(_._1).toSet --
+      outBlk.filter(b => inBlk.contains(b)).map(_._1).toSet
+    val cleanIn = inBlk.filterNot(b => dirtyParts.contains(b._1)).toSet
+    val cleanOut = outBlk.filterNot(b => dirtyParts.contains(b._1)).toSet
+    assert(cleanIn == cleanOut && cleanIn.nonEmpty)
+    // the new store is first-class: source-pruned reads and
+    // compressed-domain queries run over mixed copied/re-encoded parts
+    val mass = graft.encode.CompressedSearch.tokenFrequency(s, out)
+      .agg(org.apache.spark.sql.functions.sum("n_occ"))
+      .collect()(0).getLong(0)
+    assert(mass == back.map(_.n_tok.toLong).sum)
+    // point lookup on a deleted id finds nothing; a survivor resolves
+    assert(graft.encode.TokenDecoder.readDocsById(s, out, targets).isEmpty)
+    val survivor = back.head.doc_id
+    assert(graft.encode.TokenDecoder.readDocsById(s, out, Seq(survivor))
+      .collect().map(_.doc_id).toSeq == Seq(survivor))
+    // fresh-dir contract: re-running into the same dir refuses
+    intercept[IllegalArgumentException] {
+      graft.encode.TokenEncoder.deleteDocs(s, in, out, targets)
+    }
+  }
 }
