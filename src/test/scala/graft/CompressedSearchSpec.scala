@@ -400,6 +400,18 @@ class CompressedSearchSpec extends SparkSpecBase {
     assert(gotConj == expConj)
     assert(gotConj.contains("doc-0004"))
 
+    // the multi-token zone predicates reach the parquet scan: the
+    // containment prune (phrase/conj) and the ANY-token Or-chain
+    // (bm25's blocksAny) must both show as PushedFilters on minTok
+    val pplan = CompressedSearch.phraseSearchDocs(spark, dir, phrase)
+      .queryExecution.executedPlan.toString
+    assert(pplan.contains("PushedFilters") && pplan.contains("minTok"),
+      s"zoneAll containment predicate not pushed:\n$pplan")
+    val bplan = CompressedSearch.bm25TopK(spark, dir, phrase, 5)
+      .queryExecution.executedPlan.toString
+    assert(bplan.contains("PushedFilters") && bplan.contains("minTok"),
+      s"zoneAny Or-chain predicate not pushed:\n$bplan")
+
     // dictRejectsAny kernel: symtab of a lowcard block lacking one
     // query token rejects; containing all, passes
     val blk = spark.read.parquet(s"$dir/blocks")
