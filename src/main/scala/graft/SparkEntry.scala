@@ -1443,16 +1443,26 @@ object SparkEntry {
       // first doc_ids leave the store; bloom-clean partitions COPY at
       // the parquet row level (payload never decoded), only
       // may-contain partitions re-encode through run()'s own resume
-      // protocol. d1 versions the delete code; the exists-guard makes
-      // repeat Verify calls cheap (fresh-dir contract belongs to the
-      // production API — a crashed staging dir is cleaned by /tmp).
+      // protocol. d1 versions the delete code. The guard is a DONE
+      // sentinel written only after deleteDocs returns — a bare
+      // exists() check would wedge forever on a crashed partial dir
+      // (the fresh-dir contract would then refuse every retry); an
+      // undone partial dir is instead removed and the delete redone.
       val store = encodedStore(s, d)
       val del = s"$store-deleted-d1-first3"
       val ids = graft.encode.TokenDecoder.read(s, store).toDF()
         .select("doc_id").orderBy("doc_id").limit(3)
         .collect().map(_.getString(0)).toSeq
-      if (!new java.io.File(del).exists())
+      val done = new java.io.File(s"$del/_delete_done")
+      if (!done.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(del))
         graft.encode.TokenEncoder.deleteDocs(s, store, del, ids)
+        done.createNewFile(): Unit
+      }
       graft.encode.TokenDecoder.read(s, del).toDF()
         .select("doc_id", "n_tok", "source").orderBy("doc_id")
     }),

@@ -641,6 +641,22 @@ object CompressedSearch {
       false
     }
 
+  /** Dict-coded block whose symtab holds NONE of `ts` — the ANY-token
+    * sibling of [[dictRejectsAny]] (one readDict, one binary search
+    * per token), used by [[blocksAny]]'s ranked-retrieval prune.
+    */
+  def dictRejectsEvery(codecId: Int, symtab: Array[Byte], ts: Array[Int]): Boolean =
+    codecId == CodecIds.Dict && {
+      val dict = DictCodec.readDict(symtab)
+      var i = 0
+      while (i < ts.length) {
+        val p = lowerBound(dict, ts(i))
+        if (p < dict.length && dict(p) == ts(i)) return false
+        i += 1
+      }
+      true
+    }
+
   /** Zone-map CONTAINMENT predicate: the block's token range must
     * contain EVERY query token (minTok <= min(ts) && maxTok >= max(ts))
     * — necessary for any of its docs to hold all of `ts`, and strictly
@@ -698,9 +714,13 @@ object CompressedSearch {
     * semantics stay exact even if a doc_id spans several rows.
     */
   def searchDocsWithAll(spark: SparkSession, outDir: String,
-                        ts: Array[Int]): DataFrame = {
+                        ts0: Array[Int]): DataFrame = {
     import spark.implicits._
-    require(ts.nonEmpty, "searchDocsWithAll: empty token set")
+    require(ts0.nonEmpty, "searchDocsWithAll: empty token set")
+    // dedupe: a repeated query token is one membership requirement —
+    // without this the countDistinct gate below could never reach
+    // ts.length and every doc would silently drop
+    val ts = ts0.distinct
     scanRowsMulti(spark, outDir, ts) { (docId, source, tokens, off, n) =>
       val counts = new Array[Long](ts.length)
       var i = off
@@ -739,17 +759,26 @@ object CompressedSearch {
     * per-partition heap + driver merge of k rows, never a full sort.
     * Both passes prune: zone maps must intersect at least one query
     * token (pushed to the scan) and a dict block whose symtab holds
-    * none of the query tokens rejects without payload decode. Docs
-    * are scored per store ROW (the synth and every store this engine
-    * writes keep one row per doc_id; the oracle groups identically).
+    * none of the query tokens rejects without payload decode.
+    *
+    * CONTRACT: docs are scored per store ROW — doc_ids must be unique
+    * across rows (true of every store this engine writes; enforcing it
+    * here would cost a corpus-wide distinct, the opposite of this
+    * query's shape). Under violated uniqueness each row ranks
+    * independently with its own length normalization. Duplicate query
+    * tokens dedupe (one requirement, not a double-counted term).
     */
-  def bm25TopK(spark: SparkSession, outDir: String, query: Array[Int],
+  def bm25TopK(spark: SparkSession, outDir: String, query0: Array[Int],
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import spark.implicits._
-    require(query.nonEmpty, "bm25TopK: empty query")
+    require(query0.nonEmpty, "bm25TopK: empty query")
+    val query = query0.distinct
     val meta = TokenDecoder.committedBlocks(spark, outDir, None)
       .agg(sum("blockRows").cast("long"), sum("totalTokens").cast("long"))
       .first()
+    require(!meta.isNullAt(0) && meta.getLong(0) > 0,
+      s"bm25TopK: no committed blocks in $outDir (empty store, or an " +
+        "encode that never committed — resume it before querying)")
     val nDocs = meta.getLong(0)
     val avgdl = meta.getLong(1).toDouble / nDocs
     // pass 1: per-token document frequencies, pre-aggregated per block
@@ -851,9 +880,7 @@ object CompressedSearch {
         "docIdsEnc", "sourcesEnc", "blockRows", "totalTokens")
       .as[(Int, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte],
         Array[Byte], Int, Long)]
-      .filter { r =>
-        !ts.forall(t => dictRejects(r._1, r._3, t, t))
-      }
+      .filter(r => !dictRejectsEvery(r._1, r._3, ts))
   }
 
   /** Multi-token sibling of [[scanRows]]: zone CONTAINMENT of every

@@ -570,18 +570,27 @@ object TokenEncoder {
       (outF.isDirectory && outF.listFiles().isEmpty),
       s"deleteDocs targets a FRESH dir; $outDir exists and is non-empty " +
         "(remove the partial dir to retry a crashed delete)")
+    require(docIds.exists(_.nonEmpty),
+      "deleteDocs: empty doc-id list (a no-op delete would still burn " +
+        "a full store copy — refuse loudly instead)")
     val ids = docIds.toArray.toSeq
     val idSet = ids.toSet
+    // row counts come from metadata (blockRows / the run's lineage),
+    // never from extra decode passes — the only payload decode a
+    // delete pays is the one run() needs for the dirty share
+    def rowsOf(blocks: DataFrame): Long = blocks
+      .agg(coalesce(sum("blockRows"), lit(0L))).first().getLong(0)
+    def rowsEncoded(lineage: Dataset[LineageRecord]): Long = lineage
+      .toDF().agg(coalesce(sum("rowCount"), lit(0L))).first().getLong(0)
     TokenEncoder.loadPlan(inDir) match {
       case None =>
         // legacy store without a plan: no partId bands to preserve —
         // honest fallback is the full decode-filter-reencode
+        val before = rowsOf(TokenDecoder.committedBlocks(spark, inDir, None))
         val kept = TokenDecoder.read(spark, inDir)
           .filter(r => !idSet.contains(r.doc_id))
-        val before = TokenDecoder.read(spark, inDir).count()
-        TokenEncoder.run(kept, outDir, cfg)
-        val after = TokenDecoder.read(spark, outDir).count()
-        (1, 0, 1, before - after)
+        val lineage = TokenEncoder.run(kept, outDir, cfg)
+        (1, 0, 1, before - rowsEncoded(lineage))
       case Some(plan) =>
         TokenEncoder.savePlan(plan, outDir)
         val live = TokenDecoder.committedBlocks(spark, inDir, None)
@@ -612,15 +621,13 @@ object TokenEncoder {
         // re-encode ONLY the dirty partitions' survivors; partIdOf
         // routes them back to the same pending partIds under the
         // copied plan, and run() marks exactly those complete
-        val before = TokenDecoder.readBlocks(spark, inDir, Some(dirty),
-          verifyChecksums = false).count()
+        val before = rowsOf(live.where(col("partId").isInCollection(dirty)))
         val kept = TokenDecoder.readBlocks(spark, inDir, Some(dirty),
           verifyChecksums = false)
           .filter(r => !idSet.contains(r.doc_id))
-        TokenEncoder.run(kept, outDir, cfg)
-        val after = TokenDecoder.readBlocks(spark, outDir, Some(dirty),
-          verifyChecksums = false).count()
-        (allParts.size, cleanParts.size, dirty.size, before - after)
+        val lineage = TokenEncoder.run(kept, outDir, cfg)
+        (allParts.size, cleanParts.size, dirty.size,
+          before - rowsEncoded(lineage))
     }
   }
 }

@@ -333,6 +333,9 @@ object UndatumCli {
       val ids = flags.getOrElse("doc",
         argError("deleteenc needs --doc id[,id...]"))
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      if (ids.isEmpty)
+        argError("--doc must list at least one id (an empty delete " +
+          "would burn a full store copy for nothing)")
       val (total, copied, reenc, deleted) =
         graft.encode.TokenEncoder.deleteDocs(spark, input, out, ids)
       println(s"deleted: $out parts=$total copied=$copied " +

@@ -399,6 +399,12 @@ class CompressedSearchSpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(gotConj == expConj)
     assert(gotConj.contains("doc-0004"))
+    // a duplicated query token is ONE membership requirement — the
+    // all-present gate must not demand an unreachable distinct count
+    val dupConj = CompressedSearch.searchDocsWithAll(spark, dir,
+      Array(conj(0), conj(0)) ++ conj)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(dupConj == expConj)
 
     // the multi-token zone predicates reach the parquet scan: the
     // containment prune (phrase/conj) and the ANY-token Or-chain
@@ -466,6 +472,11 @@ class CompressedSearchSpec extends SparkSpecBase {
     val all = CompressedSearch.bm25TopK(spark, dir, query, 10000)
       .collect().map(r => r.getString(0) -> r.getLong(2))
     assert(all.toMap == brute.toMap)
+    // duplicate query tokens dedupe — no double-counted term
+    val dup = CompressedSearch.bm25TopK(spark, dir,
+      Array(query(0), query(0)) ++ query, 10)
+      .collect().map(r => r.getString(0) -> r.getLong(2))
+    assert(dup.toSeq == got.toSeq)
   }
 
   test("storeBigramFrequency + storeKnPerplexity: brute replay incl. backoff") {
