@@ -231,7 +231,7 @@ object WarcLocal {
     val dt = hdr(date)
     val payload = text.getBytes(UTF_8)
     val idSrc = java.security.MessageDigest.getInstance("MD5")
-      .digest((uri + " " + date + " " + text).getBytes(UTF_8))
+      .digest((uri + "\u0000" + date + "\u0000" + text).getBytes(UTF_8))
     val hex = idSrc.map(b => f"$b%02x").mkString
     val header =
       "WARC/1.0\r\n" +
