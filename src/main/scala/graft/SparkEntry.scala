@@ -1466,6 +1466,53 @@ object SparkEntry {
       graft.encode.TokenDecoder.read(s, del).toDF()
         .select("doc_id", "n_tok", "source").orderBy("doc_id")
     }),
+    "q_encoded_merge" -> ((s, d) => {
+      // zero-decode store union (the periodic-ingest append path):
+      // the synth corpus encodes as TWO half-stores pinned to ONE
+      // shared plan (savePlan exists precisely for inheriting a
+      // master plan), mergeStores concatenates them at the parquet
+      // ROW level — blocks/lineage/markers move verbatim, payloads
+      // never decoded. require(rowLevel) makes the oracle gate also
+      // prove the zero-decode arm engaged (a plan mismatch would
+      // silently pass through the re-encode arm otherwise). The
+      // read-back aggregates per source with token-value sums, so a
+      // payload corrupted by the byte-level move cannot hash-match.
+      // m1 versions the staging; DONE sentinel as in q_encoded_delete.
+      val store = encodedStore(s, d) // ensures the oracle side dump
+      val base = s"$store-merge-m1"
+      val done = new java.io.File(s"$base/_merge_done")
+      if (!done.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        val ds = graft.synth.TokenSynth.dataset(s, 3000)
+        val halfA = ds.filter(r => (r.doc_id.hashCode & 1) == 0)
+        val halfB = ds.filter(r => (r.doc_id.hashCode & 1) == 1)
+        val plan = graft.encode.TokenEncoder.partitionPlan(ds, 1000)
+        graft.encode.TokenEncoder.savePlan(plan, s"$base/a")
+        graft.encode.TokenEncoder.savePlan(plan, s"$base/b")
+        graft.encode.TokenEncoder.run(halfA, s"$base/a",
+          graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 1000,
+            inputFile = "merge_half_a"))
+        graft.encode.TokenEncoder.run(halfB, s"$base/b",
+          graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 1000,
+            inputFile = "merge_half_b"))
+        val (_, _, rowLevel) = graft.encode.TokenEncoder.mergeStores(
+          s, Seq(s"$base/a", s"$base/b"), s"$base/m")
+        require(rowLevel,
+          "q_encoded_merge: same-plan merge must take the row-level path")
+        done.createNewFile(): Unit
+      }
+      graft.encode.TokenDecoder.read(s, s"$base/m").toDF()
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tok").cast("long")).as("sum_tok"),
+          sum(aggregate(col("tokens"), lit(0L),
+            (acc, x) => acc + x)).as("sum_tok_vals"))
+        .orderBy("source")
+    }),
     "q_encoded_bigrams" -> ((s, d) =>
       // order-aware sibling of q_encoded_frequency: one decode pass,
       // per-partition packed-long LongMap pre-aggregation so the
@@ -3088,6 +3135,17 @@ object SparkEntry {
         |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')
         |  ORDER BY doc_id LIMIT 3)
         |ORDER BY doc_id""".stripMargin,
+    "q_encoded_merge" ->
+      // the merged union of the two halves IS the full synth table;
+      // coalesce: DuckDB's list_aggregate is NULL on an empty list
+      // where the Spark fold is 0 — identical under sum only when
+      // coalesced
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+        |CAST(sum(coalesce(list_aggregate(tokens, 'sum'), 0)) AS BIGINT)
+        |  AS sum_tok_vals
+        |FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_encoded_bigrams" ->
       """WITH e AS (SELECT doc_id, unnest(tokens) AS tk,
         |    generate_subscripts(tokens, 1) AS i

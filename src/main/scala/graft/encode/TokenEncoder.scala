@@ -630,6 +630,98 @@ object TokenEncoder {
           before - rowsEncoded(lineage))
     }
   }
+
+  /** Zero-decode UNION of committed stores that share one pinned
+    * partition plan — the append path for periodic ingest at 10^12
+    * scale: each batch pins the master plan (savePlan, which exists
+    * precisely so a caller can inherit a plan before run) and encodes
+    * into its own dir; merge then concatenates the stores at the
+    * parquet ROW level — blocks, their lineage rows and commit
+    * markers move verbatim, payloads never decoded, cost O(bytes
+    * moved) with no shuffle at all. The row-level complement of
+    * [[graft.streaming.EncodeStream.compact]], which pays a full
+    * decode+re-encode to obtain a FRESH right-sized plan; merge keeps
+    * the shared plan and just moves bytes.
+    *
+    * Readers are union-safe by construction: commit markers are
+    * (partId, runId) pairs and blockIds are runId-prefixed, so blocks
+    * of the same partId from different runs coexist exactly as a
+    * resumed store's already do — readSource's band pruning,
+    * CompressedSearch's zone/symtab pruning and deleteDocs' bloom
+    * classification all see one consistent store. Only COMMITTED
+    * blocks travel (crashed-run orphans stay behind — vacuum
+    * semantics for free). Duplicate doc_ids across inputs are
+    * preserved like any table union; dedup is a separate operator.
+    *
+    * Inputs with missing or differing plans — or the astronomically
+    * rare runId collision between stores, which would make blockIds
+    * ambiguous — fall back to the honest full decode+union+re-encode
+    * under a fresh plan sized for the union (the compact shape).
+    *
+    * `outDir` must be fresh (the deleteDocs/compact contract): a
+    * crashed merge is retried by removing the partial dir. Returns
+    * (blocksCopied, rowsTotal, rowLevel).
+    */
+  def mergeStores(spark: SparkSession, inDirs: Seq[String], outDir: String,
+                  cfg: EncodeConfig = EncodeConfig()): (Long, Long, Boolean) = {
+    import spark.implicits._
+    require(inDirs.size >= 2, "mergeStores: need at least two input stores")
+    require(!inDirs.contains(outDir),
+      "mergeStores: outDir must differ from every input store")
+    val outF = new java.io.File(outDir)
+    require(!outF.exists() ||
+      (outF.isDirectory && outF.listFiles().isEmpty),
+      s"mergeStores targets a FRESH dir; $outDir exists and is non-empty " +
+        "(remove the partial dir to retry a crashed merge)")
+    val plans = inDirs.map(loadPlan)
+    // runId sets come from the tiny commit-marker tables, so the
+    // collision guard is metadata-only
+    val runIdSets = inDirs.map { d =>
+      completedPairs(spark, d).select("runId").distinct()
+        .as[String].collect().toSet
+    }
+    val disjoint = runIdSets.map(_.size).sum == runIdSets.reduce(_ ++ _).size
+    if (plans.head.isDefined && plans.forall(_ == plans.head) && disjoint) {
+      savePlan(plans.head.get, outDir)
+      var blocksCopied = 0L
+      var rowsTotal = 0L
+      inDirs.foreach { d =>
+        // committedBlocks backfills legacy stores' missing zone/bloom
+        // columns with the no-pruning sentinels, so mixed-era inputs
+        // merge into one uniform schema
+        val live = TokenDecoder.committedBlocks(spark, d, None)
+        // payloads are already codec+zstd compressed (same reasoning
+        // as run()'s block write)
+        live.write.mode("append").option("compression", "uncompressed")
+          .parquet(s"$outDir/blocks")
+        // lineage keyed by blockId: crashed-run orphan rows never travel
+        spark.read.parquet(s"$d/lineage")
+          .join(live.select("blockId"), Seq("blockId"), "left_semi")
+          .write.mode("append").parquet(s"$outDir/lineage")
+        // markers verbatim — a marked-but-empty partId stays marked,
+        // so run()-resume over the merged store is a no-op
+        completedPairs(spark, d)
+          .write.mode("append").parquet(s"$outDir/completed")
+        val sm = live.agg(count(lit(1)), coalesce(sum("blockRows"), lit(0L)))
+          .first()
+        blocksCopied += sm.getLong(0)
+        rowsTotal += sm.getLong(1)
+      }
+      (blocksCopied, rowsTotal, true)
+    } else {
+      // differing/missing plans (or colliding runIds): full
+      // decode+union+re-encode; run() sizes a fresh plan for the union
+      val rows = inDirs.map(d => TokenDecoder.read(spark, d))
+        .reduce(_ union _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val lineage = run(rows, outDir, cfg.copy(cacheInput = false))
+        val sm = lineage.toDF()
+          .agg(count(lit(1)), coalesce(sum("rowCount"), lit(0L))).first()
+        (0L, sm.getLong(1), false)
+      } finally { rows.unpersist(blocking = false); () }
+    }
+  }
 }
 
 /** Symmetric decode: blocks -> TokenRow, ignoring uncommitted blocks. */

@@ -55,11 +55,12 @@ object UndatumCli {
         |          knenc <storeDir> [--pairs N]  (Kneser-Ney doc NLL)
         |          curateenc <storeDir> --output <newStore> --max-nll N
         |          deleteenc <storeDir> --output <newStore> --doc id[,id...]
+        |          mergeenc <storeDir> --with <store2>[,...] --output <newStore>
         |flags:    --output --fields --filter --query --format-in
         |          --format-out --delimiter --encoding --tagname
         |          --dictshare --chunksize --rule --mode --limit
         |          --lo --hi --source --by-source --doc --topk --pairs
-        |          --tokens --max-nll --rows-per-part""".stripMargin)
+        |          --tokens --max-nll --rows-per-part --with""".stripMargin)
     sys.exit(2)
   }
 
@@ -340,6 +341,24 @@ object UndatumCli {
         graft.encode.TokenEncoder.deleteDocs(spark, input, out, ids)
       println(s"deleted: $out parts=$total copied=$copied " +
         s"reencoded=$reenc rows_deleted=$deleted")
+      None
+    case "mergeenc" =>
+      // store union store->store; --output IS the new store dir
+      // (fresh-dir contract), so the generic epilogue must not fire.
+      // Same-plan inputs concatenate at the parquet row level (zero
+      // decode); otherwise the merge re-encodes under a fresh plan.
+      val out = flags.getOrElse("output",
+        argError("mergeenc needs --output <newStoreDir>"))
+      val others = flags.getOrElse("with",
+        argError("mergeenc needs --with <storeDir>[,storeDir...]"))
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      if (others.isEmpty)
+        argError("--with must list at least one store dir")
+      val (blocks, rows, rowLevel) = graft.encode.TokenEncoder
+        .mergeStores(spark, input +: others, out)
+      println(s"merged: $out stores=${1 + others.size} rows=$rows " +
+        (if (rowLevel) s"blocks_copied=$blocks (row-level, zero decode)"
+         else "reencoded (plans differ)"))
       None
     case "decode" =>
       Some(graft.encode.TokenDecoder.read(spark, input).toDF())

@@ -226,6 +226,21 @@ class CliSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       UndatumCli.run(s, "deleteenc", curated, Map("output" -> delStore))
     }
+    // store union: curated + deleted merge back (plans differ — the
+    // curate and delete rewrites each pinned their own — so this
+    // exercises the CLI's re-encode arm; the zero-decode row-level arm
+    // is API-covered in PipelineSpec). Duplicates are preserved:
+    // every doc in BOTH inputs appears twice.
+    val mergedStore = s"${tmpDir("cli-merged")}/store"
+    assert(UndatumCli.run(s, "mergeenc", curated,
+      Map("with" -> delStore, "output" -> mergedStore)).isEmpty)
+    val mBack = UndatumCli.run(s, "decode", mergedStore, Map.empty).get
+      .select("doc_id").collect().map(_.getString(0))
+    assert(mBack.length == curBack.length + delBack.length)
+    assert(mBack.count(_ == victim) == 1)
+    intercept[IllegalArgumentException] {
+      UndatumCli.run(s, "mergeenc", curated, Map("output" -> mergedStore))
+    }
   }
 
   test("schema: per-field layout plus xxhash64 identity key") {

@@ -399,4 +399,81 @@ class PipelineSpec extends SparkSpecBase {
       graft.encode.TokenEncoder.deleteDocs(s, in, out, targets)
     }
   }
+
+  test("mergeStores: same-plan stores concatenate at the row level, zero decode") {
+    val s = spark
+    val full = graft.synth.TokenSynth.dataset(s, 900)
+    val halfA = full.filter(r => (r.doc_id.hashCode & 1) == 0)
+    val halfB = full.filter(r => (r.doc_id.hashCode & 1) == 1)
+    // the ingest pattern merge exists for: both batches pin the SAME
+    // master plan (sized for the full corpus) before encoding
+    val plan = TokenEncoder.partitionPlan(full, targetRowsPerPart = 120)
+    val (dirA, dirB) = (tmpDir("mg-a"), tmpDir("mg-b"))
+    TokenEncoder.savePlan(plan, dirA)
+    TokenEncoder.savePlan(plan, dirB)
+    TokenEncoder.run(halfA, dirA, EncodeConfig(targetRowsPerPart = 120))
+    TokenEncoder.run(halfB, dirB, EncodeConfig(targetRowsPerPart = 120))
+    val out = s"${tmpDir("mg-out")}/st"
+    val (blocks, rows, rowLevel) =
+      TokenEncoder.mergeStores(s, Seq(dirA, dirB), out)
+    assert(rowLevel, "same-plan merge must take the zero-decode path")
+    assert(rows == full.count())
+    // content: the merged store reads back as exactly the union
+    assertSameTable(full, TokenDecoder.read(s, out))
+    // row-level means BYTE-level: every input block travels verbatim —
+    // blockId+checksum set of the output is the union of the inputs
+    def blkSet(d: String) = s.read.parquet(s"$d/blocks")
+      .select("blockId", "checksum").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(blkSet(out) == blkSet(dirA) ++ blkSet(dirB))
+    assert(blocks == (blkSet(dirA) ++ blkSet(dirB)).size.toLong)
+    // the merged store is first-class: compressed-domain mass check,
+    // source-pruned read, and run()-resume sees nothing pending
+    val mass = graft.encode.CompressedSearch.tokenFrequency(s, out)
+      .agg(org.apache.spark.sql.functions.sum("n_occ"))
+      .collect()(0).getLong(0)
+    assert(mass == full.collect().map(_.n_tok.toLong).sum)
+    val src = full.collect().map(_.source).distinct.sorted.head
+    assert(TokenDecoder.readSource(s, out, src).count() ==
+      full.filter(_.source == src).count())
+    assert(TokenEncoder.run(full, out,
+      EncodeConfig(targetRowsPerPart = 120)).count() == 0,
+      "merged store must read as fully committed (resume no-op)")
+    // fresh-dir contract
+    intercept[IllegalArgumentException] {
+      TokenEncoder.mergeStores(s, Seq(dirA, dirB), out)
+    }
+    intercept[IllegalArgumentException] {
+      TokenEncoder.mergeStores(s, Seq(dirA), tmpDir("mg-one"))
+    }
+    intercept[IllegalArgumentException] {
+      TokenEncoder.mergeStores(s, Seq(dirA, dirB), dirB)
+    }
+  }
+
+  test("mergeStores: differing plans fall back to full re-encode; duplicates preserved") {
+    val s = spark
+    val full = graft.synth.TokenSynth.dataset(s, 600)
+    val halfA = full.filter(r => (r.doc_id.hashCode & 1) == 0)
+    val halfB = full.filter(r => (r.doc_id.hashCode & 1) == 1)
+    val (dirA, dirB) = (tmpDir("mgf-a"), tmpDir("mgf-b"))
+    // each store computes its OWN plan (no shared pin) — plans differ
+    TokenEncoder.run(halfA, dirA, EncodeConfig(targetRowsPerPart = 80))
+    TokenEncoder.run(halfB, dirB, EncodeConfig(targetRowsPerPart = 200))
+    val out = s"${tmpDir("mgf-out")}/st"
+    val (blocks, rows, rowLevel) =
+      TokenEncoder.mergeStores(s, Seq(dirA, dirB), out)
+    assert(!rowLevel && blocks == 0L && rows == full.count())
+    assertSameTable(full, TokenDecoder.read(s, out))
+    // same store twice: the runId-collision guard forces the re-encode
+    // path (identical runIds would make blockIds ambiguous), and the
+    // duplicate rows are PRESERVED like any table union
+    val out2 = s"${tmpDir("mgf-dup")}/st"
+    val (_, rows2, rowLevel2) =
+      TokenEncoder.mergeStores(s, Seq(dirA, dirA), out2)
+    assert(!rowLevel2 && rows2 == 2L * halfA.count())
+    val backIds = TokenDecoder.read(s, out2).collect().map(_.doc_id)
+    assert(backIds.length == 2 * halfA.count().toInt)
+    assert(backIds.toSet == halfA.collect().map(_.doc_id).toSet)
+  }
 }
