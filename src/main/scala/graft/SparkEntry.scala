@@ -1513,6 +1513,19 @@ object SparkEntry {
             (acc, x) => acc + x)).as("sum_tok_vals"))
         .orderBy("source")
     }),
+    "q_encoded_near" -> ((s, d) =>
+      // proximity (NEAR) member of the compressed-domain search
+      // family: the zone CONTAINMENT prune demands the block range
+      // hold BOTH tokens (pushed to the parquet scan), dict symtabs
+      // reject blocks missing either without payload decode, and only
+      // survivors decode for the two-pointer positional walk — the
+      // decode and shuffle are O(hit docs) at a selective pair. The
+      // tokens are phrase #0's first and last (always 2 apart inside
+      // a phrase occurrence), so matches are guaranteed and window 4
+      // also catches incidental co-occurrences the oracle replays.
+      graft.encode.CompressedSearch
+        .proximitySearchDocs(s, encodedStore(s, d), 27063, 11004, 4)
+        .orderBy("doc_id")),
     "q_encoded_bigrams" -> ((s, d) =>
       // order-aware sibling of q_encoded_frequency: one decode pass,
       // per-partition packed-long LongMap pre-aggregation so the
@@ -3146,6 +3159,18 @@ object SparkEntry {
         |  AS sum_tok_vals
         |FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_encoded_near" ->
+      // 1-based vs 0-based positions cancel inside abs(i-j)
+      """WITH e AS (SELECT doc_id, source, unnest(tokens) AS tk,
+        |    generate_subscripts(tokens, 1) AS i
+        |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')),
+        |pa AS (SELECT doc_id, source, i FROM e WHERE tk = 27063),
+        |pb AS (SELECT doc_id, i FROM e WHERE tk = 11004)
+        |SELECT pa.doc_id, pa.source,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(min(abs(pa.i - pb.i)) AS BIGINT) AS min_dist
+        |FROM pa JOIN pb ON pb.doc_id = pa.doc_id AND abs(pa.i - pb.i) <= 4
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q_encoded_bigrams" ->
       """WITH e AS (SELECT doc_id, unnest(tokens) AS tk,
         |    generate_subscripts(tokens, 1) AS i

@@ -743,6 +743,82 @@ object CompressedSearch {
       .drop("__k")
   }
 
+  /** Proximity (NEAR) search: documents where token `a` and token `b`
+    * co-occur within `window` positions, with the number of qualifying
+    * position pairs and the closest distance. Returns
+    * (doc_id, source, n_pairs, min_dist); only matching docs emitted.
+    * A pair is (i, j) with tokens(i)=a, tokens(j)=b and
+    * 1 <= |i-j| <= window; `a` and `b` must differ (self-proximity is
+    * repetition analysis, a different operator family).
+    *
+    * Same two-tier prune as [[phraseSearchDocs]]: zone containment of
+    * BOTH tokens reaches the parquet scan, dict symtabs reject blocks
+    * missing either without payload decode, and only survivors decode
+    * for the positional walk. Per row the walk is a linear two-pointer
+    * merge over the two (sorted by construction) position lists —
+    * O(n_tok) per doc, never |posA| x |posB|.
+    */
+  def proximitySearchDocs(spark: SparkSession, outDir: String,
+                          a: Int, b: Int, window: Int): DataFrame = {
+    import spark.implicits._
+    require(window >= 1, "proximitySearchDocs: window must be >= 1")
+    require(a != b,
+      "proximitySearchDocs: tokens must differ (for self-proximity use " +
+        "the repetition operators)")
+    scanRowsMulti(spark, outDir, Array(a, b)) { (docId, source, tokens, off, n) =>
+      // collect positions (0-based within the doc) of each target
+      var nA = 0; var nB = 0
+      var i = off
+      while (i < off + n) {
+        val v = tokens(i)
+        if (v == a) nA += 1 else if (v == b) nB += 1
+        i += 1
+      }
+      if (nA == 0 || nB == 0) Iterator.empty
+      else {
+        val posA = new Array[Int](nA); val posB = new Array[Int](nB)
+        var ia = 0; var ib = 0
+        i = off
+        while (i < off + n) {
+          val v = tokens(i)
+          if (v == a) { posA(ia) = i - off; ia += 1 }
+          else if (v == b) { posB(ib) = i - off; ib += 1 }
+          i += 1
+        }
+        // two-pointer sliding window: for each a-position, b-positions
+        // in [pa-window, pa+window]; lo/hi only ever advance, so the
+        // count is O(nA + nB) regardless of window size
+        var pairs = 0L
+        var lo = 0; var hi = 0
+        ia = 0
+        while (ia < nA) {
+          val pa = posA(ia)
+          while (lo < nB && posB(lo) < pa - window) lo += 1
+          if (hi < lo) hi = lo
+          while (hi < nB && posB(hi) <= pa + window) hi += 1
+          if (hi > lo) pairs += (hi - lo).toLong
+          ia += 1
+        }
+        // min distance: one merge over the two sorted lists — the
+        // global minimum, which any within-window pair bounds by
+        // `window`, so pairs > 0 implies minDist <= window
+        var minDist = Int.MaxValue
+        var x = 0; var y = 0
+        while (x < nA && y < nB) {
+          val d = math.abs(posA(x) - posB(y))
+          if (d < minDist) minDist = d
+          if (posA(x) < posB(y)) x += 1 else y += 1
+        }
+        if (pairs > 0)
+          Iterator.single((docId, source, pairs, minDist.toLong))
+        else Iterator.empty
+      }
+    }
+      .toDF("doc_id", "source", "n_pairs", "min_dist")
+      .groupBy("doc_id", "source")
+      .agg(sum("n_pairs").as("n_pairs"), min("min_dist").as("min_dist"))
+  }
+
   /** BM25 ranked retrieval over the ENCODED store: top-`k` documents
     * for a bag-of-tokens query, scored in FIXED POINT (each per-term
     * BM25 contribution floored to micro-nats before the sum) so a SQL

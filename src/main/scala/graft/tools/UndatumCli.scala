@@ -46,6 +46,7 @@ object UndatumCli {
         |          phraseenc <storeDir> --tokens a,b,c  (contiguous phrase)
         |          conjenc <storeDir> --tokens a,b,c  (docs with ALL tokens)
         |          bm25enc <storeDir> --tokens a,b,c [--topk N]  (ranked)
+        |          nearenc <storeDir> --tokens a,b [--window N]  (NEAR)
         |          countenc <storeDir> --lo N --hi N
         |          frequencyenc <storeDir> [--lo N --hi N] [--by-source 1]
         |          driftenc <storeDir>   (per-source KL vs pool, micro-nats)
@@ -60,7 +61,7 @@ object UndatumCli {
         |          --format-out --delimiter --encoding --tagname
         |          --dictshare --chunksize --rule --mode --limit
         |          --lo --hi --source --by-source --doc --topk --pairs
-        |          --tokens --max-nll --rows-per-part --with""".stripMargin)
+        |          --tokens --max-nll --rows-per-part --with --window""".stripMargin)
     sys.exit(2)
   }
 
@@ -381,6 +382,14 @@ object UndatumCli {
     case "bm25enc" =>
       Some(graft.encode.CompressedSearch.bm25TopK(spark, input,
         requiredTokens(flags), flags.getOrElse("topk", "10").toInt))
+    case "nearenc" =>
+      val ts = requiredTokens(flags)
+      if (ts.length != 2)
+        argError("nearenc needs exactly two tokens: --tokens a,b")
+      Some(graft.encode.CompressedSearch
+        .proximitySearchDocs(spark, input, ts(0), ts(1),
+          flags.getOrElse("window", "5").toInt)
+        .orderBy("doc_id"))
     case "countenc" =>
       val (lo, hi) = requiredRange(flags)
       Some(graft.encode.CompressedSearch.countTokens(spark, input, lo, hi))

@@ -166,6 +166,21 @@ class CliSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       UndatumCli.run(s, "phraseenc", store, Map.empty)
     }
+    // proximity: docs where phrase #0's first/last tokens sit within
+    // the window — brute replay over the raw rows
+    val (na, nb, nw) = (27063, 11004, 4)
+    val bruteN = ds.count { r =>
+      val pa = r.tokens.indices.filter(r.tokens(_) == na)
+      val pb = r.tokens.indices.filter(r.tokens(_) == nb)
+      pa.exists(i => pb.exists(j => math.abs(i - j) <= nw))
+    }.toLong
+    assert(bruteN > 0)
+    assert(UndatumCli.run(s, "nearenc", store,
+      Map("tokens" -> s"$na,$nb", "window" -> nw.toString)).get
+      .count() == bruteN)
+    intercept[IllegalArgumentException] {
+      UndatumCli.run(s, "nearenc", store, Map("tokens" -> "1,2,3"))
+    }
     // --by-source splits the same mass per source; driftenc returns
     // one micro-nat KL row per source
     val bySrc = UndatumCli.run(s, "frequencyenc", store,

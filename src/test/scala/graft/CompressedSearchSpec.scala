@@ -432,6 +432,57 @@ class CompressedSearchSpec extends SparkSpecBase {
     }
   }
 
+  test("proximitySearchDocs: brute parity, window edge, order independence") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val A = 7; val B = 9; val W = 3
+    val rows = (0 until 100).map { i =>
+      val toks: Array[Int] =
+        if (i == 0) Array(A, 1, 2, B) // dist 3 == W: exact-edge match
+        else if (i == 1) Array(A, 1, 2, 3, B) // dist 4 > W: no match
+        else if (i == 2) Array(A, B, 5, 5, 5, 5, 5, 5, 5, 5, A, 5, B) // pairs d1+d2
+        else if (i == 3) Array(B, 5, A) // b before a: order independence
+        else if (i == 4) Array(A, A, A) // one side only
+        else if (i == 5) Array.emptyIntArray
+        else if (i % 4 == 0) Array.tabulate(40)(k => Array(A, 5, B, 6)(k % 4)) // dense
+        else if (i % 4 == 1) Array.fill(30)(rng.nextInt(40) + 20) // neither token
+        else Array.fill(25)(rng.nextInt(50)) // random small vocab
+      TokenRow(f"nd-$i%04d", toks, toks.length, if (i % 2 == 0) "a" else "b")
+    }
+    val dir = tmpDir("graft-near")
+    TokenEncoder.run(spark.createDataset(rows), dir,
+      TokenEncoder.EncodeConfig(targetRowsPerPart = 25))
+    def brute(t: Array[Int]): Option[(Long, Long)] = {
+      val pa = t.indices.filter(t(_) == A)
+      val pb = t.indices.filter(t(_) == B)
+      val within = for { i <- pa; j <- pb; if math.abs(i - j) <= W }
+        yield math.abs(i - j)
+      if (within.isEmpty) None
+      else Some((within.size.toLong, within.min.toLong))
+    }
+    val exp = rows.flatMap(r => brute(r.tokens).map(v => r.doc_id -> v)).toMap
+    val got = CompressedSearch.proximitySearchDocs(spark, dir, A, B, W)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == exp)
+    assert(got("nd-0000") == ((1L, 3L)))
+    assert(!got.contains("nd-0001"))
+    assert(got("nd-0002") == ((2L, 1L)))
+    assert(got("nd-0003") == ((1L, 2L)))
+    assert(!got.contains("nd-0004"))
+    // same two-tier prune as phrase/conj: containment predicate pushed
+    val plan = CompressedSearch.proximitySearchDocs(spark, dir, A, B, W)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("minTok"),
+      s"proximity containment predicate not pushed:\n$plan")
+    intercept[IllegalArgumentException] {
+      CompressedSearch.proximitySearchDocs(spark, dir, A, A, W)
+    }
+    intercept[IllegalArgumentException] {
+      CompressedSearch.proximitySearchDocs(spark, dir, A, B, 0)
+    }
+  }
+
   test("bm25TopK: exact fixed-point replay of the Lucene-shape model") {
     import spark.implicits._
     val rng = new scala.util.Random(61)
