@@ -743,6 +743,35 @@ object CompressedSearch {
       .drop("__k")
   }
 
+  /** Store-level statistics from block METADATA alone: one row per
+    * (codec, postCodec) with block/row/token counts, raw/encoded/meta
+    * byte totals and the aggregate compression ratio. The payload and
+    * symtab columns are never projected, so the parquet scan reads a
+    * few numeric columns per block regardless of store size — the
+    * ops-surface answer to "what did codec auto-selection decide and
+    * what did it buy" without touching a single compressed byte.
+    */
+  def storeStats(spark: SparkSession, outDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.typedLit
+    graft.encode.TokenDecoder.committedBlocks(spark, outDir, None)
+      .groupBy("codecId", "postCodec")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("blockRows").cast("long")).as("n_rows"),
+        sum("totalTokens").as("n_tokens"),
+        sum("rawBytes").as("raw_bytes"),
+        sum("encodedBytes").as("encoded_bytes"),
+        sum("metaBytes").as("meta_bytes"))
+      .withColumn("codec",
+        coalesce(element_at(typedLit(graft.codec.CodecIds.names),
+          col("codecId")), lit("?")))
+      .withColumn("ratio",
+        round(col("raw_bytes").cast("double") /
+          greatest(col("encoded_bytes"), lit(1L)).cast("double"), 3))
+      .select("codec", "codecId", "postCodec", "n_blocks", "n_rows",
+        "n_tokens", "raw_bytes", "encoded_bytes", "meta_bytes", "ratio")
+      .orderBy("codecId", "postCodec")
+  }
+
   /** Proximity (NEAR) search: documents where token `a` and token `b`
     * co-occur within `window` positions, with the number of qualifying
     * position pairs and the closest distance. Returns

@@ -47,6 +47,7 @@ object UndatumCli {
         |          conjenc <storeDir> --tokens a,b,c  (docs with ALL tokens)
         |          bm25enc <storeDir> --tokens a,b,c [--topk N]  (ranked)
         |          nearenc <storeDir> --tokens a,b [--window N]  (NEAR)
+        |          statenc <storeDir>  (per-codec stats, metadata only)
         |          countenc <storeDir> --lo N --hi N
         |          frequencyenc <storeDir> [--lo N --hi N] [--by-source 1]
         |          driftenc <storeDir>   (per-source KL vs pool, micro-nats)
@@ -382,6 +383,9 @@ object UndatumCli {
     case "bm25enc" =>
       Some(graft.encode.CompressedSearch.bm25TopK(spark, input,
         requiredTokens(flags), flags.getOrElse("topk", "10").toInt))
+    case "statenc" =>
+      // per-codec store statistics from block metadata only
+      Some(graft.encode.CompressedSearch.storeStats(spark, input))
     case "nearenc" =>
       val ts = requiredTokens(flags)
       if (ts.length != 2)

@@ -181,6 +181,18 @@ class CliSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       UndatumCli.run(s, "nearenc", store, Map("tokens" -> "1,2,3"))
     }
+    // per-codec store stats from metadata only: mass conserved, every
+    // codec id resolves to a name, payload column never projected
+    val statDf = UndatumCli.run(s, "statenc", store, Map.empty).get
+    val stats = statDf.collect()
+    assert(stats.map(_.getAs[Long]("n_rows")).sum == ds.length.toLong)
+    assert(stats.map(_.getAs[Long]("n_tokens")).sum ==
+      ds.map(_.n_tok.toLong).sum)
+    assert(stats.forall(_.getAs[String]("codec") != "?"))
+    assert(stats.forall(_.getAs[Double]("ratio") > 0.0))
+    val statPlan = statDf.queryExecution.executedPlan.toString
+    assert(!statPlan.contains("payload"),
+      s"storeStats must not project the payload column:\n$statPlan")
     // --by-source splits the same mass per source; driftenc returns
     // one micro-nat KL row per source
     val bySrc = UndatumCli.run(s, "frequencyenc", store,
