@@ -1455,11 +1455,7 @@ object SparkEntry {
         .collect().map(_.getString(0)).toSeq
       val done = new java.io.File(s"$del/_delete_done")
       if (!done.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(del))
+        graft.encode.TokenEncoder.rmTree(new java.io.File(del))
         graft.encode.TokenEncoder.deleteDocs(s, store, del, ids)
         done.createNewFile(): Unit
       }
@@ -1482,11 +1478,7 @@ object SparkEntry {
       val base = s"$store-merge-m1"
       val done = new java.io.File(s"$base/_merge_done")
       if (!done.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        graft.encode.TokenEncoder.rmTree(new java.io.File(base))
         val ds = graft.synth.TokenSynth.dataset(s, 3000)
         val halfA = ds.filter(r => (r.doc_id.hashCode & 1) == 0)
         val halfB = ds.filter(r => (r.doc_id.hashCode & 1) == 1)
@@ -1499,10 +1491,11 @@ object SparkEntry {
         graft.encode.TokenEncoder.run(halfB, s"$base/b",
           graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 1000,
             inputFile = "merge_half_b"))
-        val (_, _, rowLevel) = graft.encode.TokenEncoder.mergeStores(
+        val mr = graft.encode.TokenEncoder.mergeStores(
           s, Seq(s"$base/a", s"$base/b"), s"$base/m")
-        require(rowLevel,
-          "q_encoded_merge: same-plan merge must take the row-level path")
+        require(mr.rowLevel,
+          "q_encoded_merge: same-plan merge must take the row-level " +
+            s"path (fallback: ${mr.fallbackReason.getOrElse("?")})")
         done.createNewFile(): Unit
       }
       graft.encode.TokenDecoder.read(s, s"$base/m").toDF()

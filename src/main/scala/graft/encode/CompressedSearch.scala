@@ -762,7 +762,10 @@ object CompressedSearch {
         sum("encodedBytes").as("encoded_bytes"),
         sum("metaBytes").as("meta_bytes"))
       .withColumn("codec",
-        coalesce(element_at(typedLit(graft.codec.CodecIds.names),
+        // try_element_at: ANSI element_at throws on a missing map key,
+        // which would kill statenc on a store from a newer code version
+        // carrying a codecId this build doesn't know — "?" is the point.
+        coalesce(try_element_at(typedLit(graft.codec.CodecIds.names),
           col("codecId")), lit("?")))
       .withColumn("ratio",
         round(col("raw_bytes").cast("double") /
@@ -821,7 +824,9 @@ object CompressedSearch {
         var lo = 0; var hi = 0
         ia = 0
         while (ia < nA) {
-          val pa = posA(ia)
+          // Long bounds: pa + window overflows Int for a near-MaxValue
+          // "unbounded" window, silently emptying the result
+          val pa = posA(ia).toLong
           while (lo < nB && posB(lo) < pa - window) lo += 1
           if (hi < lo) hi = lo
           while (hi < nB && posB(hi) <= pa + window) hi += 1

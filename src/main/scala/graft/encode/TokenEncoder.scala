@@ -68,10 +68,33 @@ object TokenEncoder {
       noShuffle: Boolean = false
   )
 
+  /** Outcome of [[mergeStores]]: `rowLevel` says whether the
+    * zero-decode arm ran; when it didn't, `fallbackReason` names the
+    * actual trigger (missing plan / differing plans / runId collision)
+    * so operators aren't told "plans differ" for a collision.
+    * `blocksCopied` is 0 on the re-encode path.
+    */
+  final case class MergeResult(blocksCopied: Long, rowsTotal: Long,
+                               rowLevel: Boolean,
+                               fallbackReason: Option[String])
+
   /** Deterministic 64-bit string hash (FNV-1a) — stable across runs,
     * independent of JVM String.hashCode.
     */
   def hash64(s: String): Long = graft.codec.Hash.fnv64(s)
+
+  /** Recursive local-FS delete — THE one copy (vacuum's swap cleanup
+    * and SparkEntry's staging resets all share it). listFiles is
+    * null-guarded: it returns null on an I/O error or a non-directory
+    * race, which must not abort a cleanup half-way.
+    */
+  private[graft] def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rmTree)
+    }
+    f.delete(): Unit
+  }
 
   /** source -> (partId base, salt count), partIds globally unique.
     * Salting only needs approximate per-source counts, so the plan
@@ -527,11 +550,7 @@ object TokenEncoder {
       require(bak.renameTo(fs), s"vacuum swap failed AND restore failed: blocks at $bak")
       throw new IllegalStateException(s"vacuum swap failed; original restored at $blocksPath")
     }
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(bak)
+    rmTree(bak)
     total - keep
   }
 
@@ -659,11 +678,10 @@ object TokenEncoder {
     * under a fresh plan sized for the union (the compact shape).
     *
     * `outDir` must be fresh (the deleteDocs/compact contract): a
-    * crashed merge is retried by removing the partial dir. Returns
-    * (blocksCopied, rowsTotal, rowLevel).
+    * crashed merge is retried by removing the partial dir.
     */
   def mergeStores(spark: SparkSession, inDirs: Seq[String], outDir: String,
-                  cfg: EncodeConfig = EncodeConfig()): (Long, Long, Boolean) = {
+                  cfg: EncodeConfig = EncodeConfig()): MergeResult = {
     import spark.implicits._
     require(inDirs.size >= 2, "mergeStores: need at least two input stores")
     require(!inDirs.contains(outDir),
@@ -674,52 +692,69 @@ object TokenEncoder {
       s"mergeStores targets a FRESH dir; $outDir exists and is non-empty " +
         "(remove the partial dir to retry a crashed merge)")
     val plans = inDirs.map(loadPlan)
-    // runId sets come from the tiny commit-marker tables, so the
-    // collision guard is metadata-only
-    val runIdSets = inDirs.map { d =>
-      completedPairs(spark, d).select("runId").distinct()
-        .as[String].collect().toSet
+    // plan check first — it's free (driver-side json reads), so the
+    // marker-collection jobs only run when it alone doesn't already
+    // force the fallback
+    val planReason =
+      if (plans.exists(_.isEmpty))
+        Some("an input store has no pinned plan")
+      else if (!plans.forall(_ == plans.head)) Some("plans differ")
+      else None
+    // commit markers are tiny metadata tables (one (partId, runId)
+    // pair per completed partition); collected ONCE per input and
+    // reused for both the collision guard and the marker copy
+    val markerPairs: Seq[Array[(Int, String)]] =
+      if (planReason.isEmpty)
+        inDirs.map(d => completedPairs(spark, d).as[(Int, String)].collect())
+      else Seq.empty
+    val reason = planReason.orElse {
+      val runIdSets = markerPairs.map(_.iterator.map(_._2).toSet)
+      // a runId collision between stores would make blockIds ambiguous
+      if (runIdSets.map(_.size).sum != runIdSets.reduce(_ ++ _).size)
+        Some("runId collision between stores")
+      else None
     }
-    val disjoint = runIdSets.map(_.size).sum == runIdSets.reduce(_ ++ _).size
-    if (plans.head.isDefined && plans.forall(_ == plans.head) && disjoint) {
-      savePlan(plans.head.get, outDir)
-      var blocksCopied = 0L
-      var rowsTotal = 0L
-      inDirs.foreach { d =>
-        // committedBlocks backfills legacy stores' missing zone/bloom
-        // columns with the no-pruning sentinels, so mixed-era inputs
-        // merge into one uniform schema
-        val live = TokenDecoder.committedBlocks(spark, d, None)
-        // payloads are already codec+zstd compressed (same reasoning
-        // as run()'s block write)
-        live.write.mode("append").option("compression", "uncompressed")
-          .parquet(s"$outDir/blocks")
-        // lineage keyed by blockId: crashed-run orphan rows never travel
-        spark.read.parquet(s"$d/lineage")
-          .join(live.select("blockId"), Seq("blockId"), "left_semi")
-          .write.mode("append").parquet(s"$outDir/lineage")
-        // markers verbatim — a marked-but-empty partId stays marked,
-        // so run()-resume over the merged store is a no-op
-        completedPairs(spark, d)
-          .write.mode("append").parquet(s"$outDir/completed")
-        val sm = live.agg(count(lit(1)), coalesce(sum("blockRows"), lit(0L)))
-          .first()
-        blocksCopied += sm.getLong(0)
-        rowsTotal += sm.getLong(1)
-      }
-      (blocksCopied, rowsTotal, true)
-    } else {
-      // differing/missing plans (or colliding runIds): full
-      // decode+union+re-encode; run() sizes a fresh plan for the union
-      val rows = inDirs.map(d => TokenDecoder.read(spark, d))
-        .reduce(_ union _)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val lineage = run(rows, outDir, cfg.copy(cacheInput = false))
-        val sm = lineage.toDF()
+    reason match {
+      case None =>
+        savePlan(plans.head.get, outDir)
+        inDirs.zip(markerPairs).foreach { case (d, pairs) =>
+          // committedBlocks backfills legacy stores' missing zone/bloom
+          // columns with the no-pruning sentinels, so mixed-era inputs
+          // merge into one uniform schema
+          val live = TokenDecoder.committedBlocks(spark, d, None)
+          // payloads are already codec+zstd compressed (same reasoning
+          // as run()'s block write)
+          live.write.mode("append").option("compression", "uncompressed")
+            .parquet(s"$outDir/blocks")
+          // lineage keyed by blockId: crashed-run orphan rows never travel
+          spark.read.parquet(s"$d/lineage")
+            .join(live.select("blockId"), Seq("blockId"), "left_semi")
+            .write.mode("append").parquet(s"$outDir/lineage")
+          // markers from the already-collected pairs — a marked-but-empty
+          // partId stays marked, so run()-resume over the merge is a no-op
+          spark.createDataset(pairs).toDF("partId", "runId")
+            .write.mode("append").parquet(s"$outDir/completed")
+        }
+        // counts from the COPIED lineage (one row per live block,
+        // rowCount = blockRows): a single agg over the merged store's
+        // small lineage table — a readback validation of the copy —
+        // instead of re-executing the committedBlocks scan+joins per
+        // input just to count
+        val sm = spark.read.parquet(s"$outDir/lineage")
           .agg(count(lit(1)), coalesce(sum("rowCount"), lit(0L))).first()
-        (0L, sm.getLong(1), false)
-      } finally { rows.unpersist(blocking = false); () }
+        MergeResult(sm.getLong(0), sm.getLong(1), rowLevel = true, None)
+      case Some(why) =>
+        // fallback: full decode+union+re-encode; run() sizes a fresh
+        // plan for the union
+        val rows = inDirs.map(d => TokenDecoder.read(spark, d))
+          .reduce(_ union _)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val lineage = run(rows, outDir, cfg.copy(cacheInput = false))
+          val sm = lineage.toDF()
+            .agg(coalesce(sum("rowCount"), lit(0L))).first()
+          MergeResult(0L, sm.getLong(0), rowLevel = false, Some(why))
+        } finally { rows.unpersist(blocking = false); () }
     }
   }
 }

@@ -356,11 +356,12 @@ object UndatumCli {
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       if (others.isEmpty)
         argError("--with must list at least one store dir")
-      val (blocks, rows, rowLevel) = graft.encode.TokenEncoder
+      val mr = graft.encode.TokenEncoder
         .mergeStores(spark, input +: others, out)
-      println(s"merged: $out stores=${1 + others.size} rows=$rows " +
-        (if (rowLevel) s"blocks_copied=$blocks (row-level, zero decode)"
-         else "reencoded (plans differ)"))
+      println(s"merged: $out stores=${1 + others.size} rows=${mr.rowsTotal} " +
+        (if (mr.rowLevel)
+          s"blocks_copied=${mr.blocksCopied} (row-level, zero decode)"
+         else s"reencoded (${mr.fallbackReason.getOrElse("fallback")})"))
       None
     case "decode" =>
       Some(graft.encode.TokenDecoder.read(spark, input).toDF())

@@ -465,6 +465,21 @@ class CompressedSearchSpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3))))
       .toMap
     assert(got == exp)
+    // "unbounded" window: Int.MaxValue must mean no upper bound —
+    // regression for the Int-overflowing `pa + window` bound, which
+    // silently returned EMPTY for near-MaxValue windows
+    val expAll = rows.flatMap { r =>
+      val pa = r.tokens.indices.filter(r.tokens(_) == A)
+      val pb = r.tokens.indices.filter(r.tokens(_) == B)
+      if (pa.isEmpty || pb.isEmpty) None
+      else Some(r.doc_id -> ((pa.size.toLong * pb.size,
+        (for { i <- pa; j <- pb } yield math.abs(i - j)).min.toLong)))
+    }.toMap
+    val gotAll = CompressedSearch
+      .proximitySearchDocs(spark, dir, A, B, Int.MaxValue)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(gotAll == expAll)
     assert(got("nd-0000") == ((1L, 3L)))
     assert(!got.contains("nd-0001"))
     assert(got("nd-0002") == ((2L, 1L)))
@@ -606,5 +621,29 @@ class CompressedSearchSpec extends SparkSpecBase {
     })
     assert(allPairs.exists { case (a, b) => !pm.contains((a, b)) && lm.contains(a) })
     assert(allPairs.exists { case (a, _) => !lm.contains(a) })
+  }
+
+  test("storeStats: unknown codecId reports '?' (ANSI-safe map lookup)") {
+    import spark.implicits._
+    val ds = graft.synth.TokenSynth.dataset(spark, 120)
+    val dir = tmpDir("graft-statenc-unknown")
+    TokenEncoder.run(ds, dir, TokenEncoder.EncodeConfig(targetRowsPerPart = 60))
+    // emulate a store written by a NEWER build: a codecId this build's
+    // CodecIds.names doesn't know. Under ANSI, element_at on the name
+    // map would throw MAP_KEY_DOES_NOT_EXIST — the "?" fallback is the
+    // regression under test.
+    val mutated = spark.read.parquet(s"$dir/blocks")
+      .withColumn("codecId", lit(99).cast("int"))
+    val tmp = tmpDir("graft-statenc-unknown-blocks")
+    mutated.write.mode("overwrite")
+      .option("compression", "uncompressed").parquet(tmp)
+    TokenEncoder.rmTree(new java.io.File(s"$dir/blocks"))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(s"$dir/blocks"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val st = CompressedSearch.storeStats(spark, dir).collect()
+    assert(st.nonEmpty)
+    assert(st.forall(_.getAs[String]("codec") == "?"))
+    assert(st.map(_.getAs[Long]("n_rows")).sum == 120L)
   }
 }

@@ -414,10 +414,10 @@ class PipelineSpec extends SparkSpecBase {
     TokenEncoder.run(halfA, dirA, EncodeConfig(targetRowsPerPart = 120))
     TokenEncoder.run(halfB, dirB, EncodeConfig(targetRowsPerPart = 120))
     val out = s"${tmpDir("mg-out")}/st"
-    val (blocks, rows, rowLevel) =
-      TokenEncoder.mergeStores(s, Seq(dirA, dirB), out)
-    assert(rowLevel, "same-plan merge must take the zero-decode path")
-    assert(rows == full.count())
+    val mr = TokenEncoder.mergeStores(s, Seq(dirA, dirB), out)
+    assert(mr.rowLevel, "same-plan merge must take the zero-decode path")
+    assert(mr.fallbackReason.isEmpty)
+    assert(mr.rowsTotal == full.count())
     // content: the merged store reads back as exactly the union
     assertSameTable(full, TokenDecoder.read(s, out))
     // row-level means BYTE-level: every input block travels verbatim —
@@ -426,7 +426,7 @@ class PipelineSpec extends SparkSpecBase {
       .select("blockId", "checksum").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(blkSet(out) == blkSet(dirA) ++ blkSet(dirB))
-    assert(blocks == (blkSet(dirA) ++ blkSet(dirB)).size.toLong)
+    assert(mr.blocksCopied == (blkSet(dirA) ++ blkSet(dirB)).size.toLong)
     // the merged store is first-class: compressed-domain mass check,
     // source-pruned read, and run()-resume sees nothing pending
     val mass = graft.encode.CompressedSearch.tokenFrequency(s, out)
@@ -461,17 +461,19 @@ class PipelineSpec extends SparkSpecBase {
     TokenEncoder.run(halfA, dirA, EncodeConfig(targetRowsPerPart = 80))
     TokenEncoder.run(halfB, dirB, EncodeConfig(targetRowsPerPart = 200))
     val out = s"${tmpDir("mgf-out")}/st"
-    val (blocks, rows, rowLevel) =
-      TokenEncoder.mergeStores(s, Seq(dirA, dirB), out)
-    assert(!rowLevel && blocks == 0L && rows == full.count())
+    val mr = TokenEncoder.mergeStores(s, Seq(dirA, dirB), out)
+    assert(!mr.rowLevel && mr.blocksCopied == 0L &&
+      mr.rowsTotal == full.count())
+    assert(mr.fallbackReason.contains("plans differ"))
     assertSameTable(full, TokenDecoder.read(s, out))
     // same store twice: the runId-collision guard forces the re-encode
     // path (identical runIds would make blockIds ambiguous), and the
-    // duplicate rows are PRESERVED like any table union
+    // duplicate rows are PRESERVED like any table union — and the
+    // fallback reason names the COLLISION, not a plan mismatch
     val out2 = s"${tmpDir("mgf-dup")}/st"
-    val (_, rows2, rowLevel2) =
-      TokenEncoder.mergeStores(s, Seq(dirA, dirA), out2)
-    assert(!rowLevel2 && rows2 == 2L * halfA.count())
+    val mr2 = TokenEncoder.mergeStores(s, Seq(dirA, dirA), out2)
+    assert(!mr2.rowLevel && mr2.rowsTotal == 2L * halfA.count())
+    assert(mr2.fallbackReason.contains("runId collision between stores"))
     val backIds = TokenDecoder.read(s, out2).collect().map(_.doc_id)
     assert(backIds.length == 2 * halfA.count().toInt)
     assert(backIds.toSet == halfA.collect().map(_.doc_id).toSet)
