@@ -1506,6 +1506,57 @@ object SparkEntry {
             (acc, x) => acc + x)).as("sum_tok_vals"))
         .orderBy("source")
     }),
+    "q_encoded_compact" -> ((s, d) => {
+      // selective compaction (the maintenance op the zero-decode merge
+      // path makes necessary): HALF the synth corpus (split by source,
+      // so partId bands are disjoint) encodes with deliberately tiny
+      // blocks, the other half with full ones; a same-plan row-level
+      // merge then yields a store where SOME partitions are fragmented
+      // and some are not. compactStore must re-encode exactly the
+      // fragmented share, move the rest verbatim at the parquet row
+      // level, and strictly reduce the block count — the requires
+      // prove both paths engaged, the oracle proves the content
+      // survived. c1 versions the staging; DONE sentinel as in
+      // q_encoded_delete.
+      val store = encodedStore(s, d) // ensures the oracle side dump
+      val base = s"$store-compact-c1"
+      val done = new java.io.File(s"$base/_compact_done")
+      if (!done.exists()) {
+        graft.encode.TokenEncoder.rmTree(new java.io.File(base))
+        val ds = graft.synth.TokenSynth.dataset(s, 3000)
+        val sa = Set("web", "books", "code", "wiki")
+        val halfA = ds.filter(r => sa.contains(r.source))
+        val halfB = ds.filter(r => !sa.contains(r.source))
+        val plan = graft.encode.TokenEncoder.partitionPlan(ds, 1000)
+        graft.encode.TokenEncoder.savePlan(plan, s"$base/a")
+        graft.encode.TokenEncoder.savePlan(plan, s"$base/b")
+        graft.encode.TokenEncoder.run(halfA, s"$base/a",
+          graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 1000,
+            blockRows = 48, inputFile = "compact_half_a"))
+        graft.encode.TokenEncoder.run(halfB, s"$base/b",
+          graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 1000,
+            inputFile = "compact_half_b"))
+        val mr = graft.encode.TokenEncoder.mergeStores(
+          s, Seq(s"$base/a", s"$base/b"), s"$base/m")
+        require(mr.rowLevel, "q_encoded_compact: staging merge must be " +
+          s"row-level (fallback: ${mr.fallbackReason.getOrElse("?")})")
+        val cr = graft.encode.TokenEncoder.compactStore(
+          s, s"$base/m", s"$base/c")
+        require(cr.partsReencoded > 0 && cr.partsCopied > 0,
+          s"q_encoded_compact: both paths must engage, got $cr")
+        require(cr.blocksAfter < cr.blocksBefore,
+          s"q_encoded_compact: block count must strictly drop, got $cr")
+        done.createNewFile(): Unit
+      }
+      graft.encode.TokenDecoder.read(s, s"$base/c").toDF()
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tok").cast("long")).as("sum_tok"),
+          sum(aggregate(col("tokens"), lit(0L),
+            (acc, x) => acc + x)).as("sum_tok_vals"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("source")
+    }),
     "q_encoded_near" -> ((s, d) =>
       // proximity (NEAR) member of the compressed-domain search
       // family: the zone CONTAINMENT prune demands the block range
@@ -3150,6 +3201,17 @@ object SparkEntry {
         |CAST(sum(n_tok) AS BIGINT) AS sum_tok,
         |CAST(sum(coalesce(list_aggregate(tokens, 'sum'), 0)) AS BIGINT)
         |  AS sum_tok_vals
+        |FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_encoded_compact" ->
+      // the compacted store is a content-preserving rewrite of the
+      // full synth table (same corpus as q_encoded_merge's staging);
+      // min/max doc_id pins the per-source membership, not just sums
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+        |CAST(sum(coalesce(list_aggregate(tokens, 'sum'), 0)) AS BIGINT)
+        |  AS sum_tok_vals,
+        |min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_encoded_near" ->

@@ -78,6 +78,15 @@ object TokenEncoder {
                                rowLevel: Boolean,
                                fallbackReason: Option[String])
 
+  /** Outcome of [[compactStore]]. `partsCopied` partitions moved at
+    * the parquet row level (payloads never decoded); `partsReencoded`
+    * were fragmented and rewrote through run()'s resume protocol.
+    */
+  final case class CompactResult(partsTotal: Int, partsCopied: Int,
+                                 partsReencoded: Int,
+                                 blocksBefore: Long, blocksAfter: Long,
+                                 rowsTotal: Long)
+
   /** Deterministic 64-bit string hash (FNV-1a) — stable across runs,
     * independent of JVM String.hashCode.
     */
@@ -622,21 +631,7 @@ object TokenEncoder {
           .map(_._1).distinct().collect().toSet
         val allParts = TokenEncoder.allPartIds(plan)
         val cleanParts = allParts -- dirty
-        // verbatim copy of the clean share: blocks, their lineage rows
-        // (keyed by blockId, so crashed-run orphans never travel), and
-        // ALL markers of clean partIds (a marked-but-empty partId stays
-        // marked — run() must not re-encode it)
-        val cleanBlocks = live.where(!col("partId").isInCollection(dirty))
-        cleanBlocks.write.mode("append")
-          .option("compression", "uncompressed")
-          .parquet(s"$outDir/blocks")
-        val copiedIds = cleanBlocks.select("blockId")
-        spark.read.parquet(s"$inDir/lineage")
-          .join(copiedIds, Seq("blockId"), "left_semi")
-          .write.mode("append").parquet(s"$outDir/lineage")
-        spark.read.parquet(s"$inDir/completed")
-          .where(!col("partId").isInCollection(dirty))
-          .write.mode("append").parquet(s"$outDir/completed")
+        copyPartsVerbatim(spark, inDir, outDir, live, dirty)
         // re-encode ONLY the dirty partitions' survivors; partIdOf
         // routes them back to the same pending partIds under the
         // copied plan, and run() marks exactly those complete
@@ -648,6 +643,31 @@ object TokenEncoder {
         (allParts.size, cleanParts.size, dirty.size,
           before - rowsEncoded(lineage))
     }
+  }
+
+  /** Verbatim row-level copy of a store's share EXCLUDING
+    * `reencodeParts`: their blocks, those blocks' lineage rows (keyed
+    * by blockId, so crashed-run orphans never travel), and ALL their
+    * commit markers (a marked-but-empty partId stays marked — run()
+    * must not re-encode it). Shared by deleteDocs (clean share) and
+    * compactStore (unfragmented share); payloads are never decoded.
+    */
+  private def copyPartsVerbatim(spark: SparkSession, inDir: String,
+                                outDir: String, live: DataFrame,
+                                reencodeParts: Set[Int]): Unit = {
+    val keep =
+      if (reencodeParts.isEmpty) lit(true)
+      else !col("partId").isInCollection(reencodeParts)
+    val cleanBlocks = live.where(keep)
+    cleanBlocks.write.mode("append")
+      .option("compression", "uncompressed")
+      .parquet(s"$outDir/blocks")
+    spark.read.parquet(s"$inDir/lineage")
+      .join(cleanBlocks.select("blockId"), Seq("blockId"), "left_semi")
+      .write.mode("append").parquet(s"$outDir/lineage")
+    spark.read.parquet(s"$inDir/completed")
+      .where(keep)
+      .write.mode("append").parquet(s"$outDir/completed")
   }
 
   /** Zero-decode UNION of committed stores that share one pinned
@@ -755,6 +775,80 @@ object TokenEncoder {
             .agg(coalesce(sum("rowCount"), lit(0L))).first()
           MergeResult(0L, sm.getLong(0), rowLevel = false, Some(why))
         } finally { rows.unpersist(blocking = false); () }
+    }
+  }
+
+  /** Selective compaction: rewrite ONLY the fragmented partitions of a
+    * store into full-size blocks; everything else moves verbatim at
+    * the parquet row level. Fragmentation accrues from the zero-decode
+    * paths that deliberately never repack — mergeStores concatenates
+    * each input's remainder blocks per partId, streaming ingest lands
+    * one remainder per micro-batch — and each undersized block costs a
+    * symtab + dictionary probe + task overhead per read forever after.
+    *
+    * Classification is METADATA-ONLY (blockRows/totalTokens per
+    * partId): a partId is fragmented when its block count exceeds the
+    * minimum the target shape admits,
+    * max(ceil(rows/blockRows), ceil(tokens/blockTokens), 1) — one
+    * trailing remainder block is NORMAL, never a compaction trigger.
+    * Per-partId stats collect to the driver: bounded by the partition
+    * plan's size, the same envelope loadPlan already holds.
+    *
+    * Fragmented partitions decode ONCE and re-encode through run()'s
+    * own resume protocol under the store's pinned plan (partIdOf
+    * routes every row back to its own partId); a crash resumes by
+    * removing the partial dir, exactly the deleteDocs/merge contract.
+    * A store with no plan.json (legacy) degrades to a full rewrite.
+    */
+  def compactStore(spark: SparkSession, inDir: String, outDir: String,
+                   cfg: EncodeConfig = EncodeConfig()): CompactResult = {
+    import spark.implicits._
+    require(inDir != outDir, "compactStore: outDir must differ from inDir")
+    val outF = new java.io.File(outDir)
+    require(!outF.exists() ||
+      (outF.isDirectory && outF.listFiles().isEmpty),
+      s"compactStore targets a FRESH dir; $outDir exists and is " +
+        "non-empty (remove the partial dir to retry a crashed compact)")
+    def storeShape(dir: String): (Long, Long) = {
+      val live = TokenDecoder.committedBlocks(spark, dir, None)
+      val r = live.agg(count(lit(1)),
+        coalesce(sum("blockRows"), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    loadPlan(inDir) match {
+      case None =>
+        // legacy store without a plan: no partId bands to preserve —
+        // honest fallback is the full decode+re-encode
+        val (blocksBefore, _) = storeShape(inDir)
+        run(TokenDecoder.read(spark, inDir), outDir, cfg)
+        val (blocksAfter, rows) = storeShape(outDir)
+        CompactResult(1, 0, 1, blocksBefore, blocksAfter, rows)
+      case Some(plan) =>
+        savePlan(plan, outDir)
+        val live = TokenDecoder.committedBlocks(spark, inDir, None)
+        val perPart = live.groupBy("partId")
+          .agg(count(lit(1)).as("k"),
+            coalesce(sum("blockRows"), lit(0L)).as("rows"),
+            coalesce(sum("totalTokens"), lit(0L)).as("toks"))
+          .as[(Int, Long, Long, Long)].collect()
+        def ceilDiv(n: Long, d: Long): Long = (n + d - 1) / d
+        val frag = perPart.filter { case (_, k, rows, toks) =>
+          k > math.max(math.max(ceilDiv(rows, cfg.blockRows.toLong),
+            ceilDiv(toks, cfg.blockTokens.toLong)), 1L)
+        }.map(_._1).toSet
+        val allParts = allPartIds(plan)
+        copyPartsVerbatim(spark, inDir, outDir, live, frag)
+        if (frag.nonEmpty) {
+          // decode ONLY the fragmented partitions; checksums are
+          // re-derived by the re-encode, so skip the verify decode
+          val rows = TokenDecoder.readBlocks(spark, inDir, Some(frag),
+            verifyChecksums = false)
+          run(rows, outDir, cfg)
+          ()
+        }
+        val (blocksAfter, rowsTotal) = storeShape(outDir)
+        CompactResult(allParts.size, (allParts -- frag).size, frag.size,
+          perPart.map(_._2).sum, blocksAfter, rowsTotal)
     }
   }
 }

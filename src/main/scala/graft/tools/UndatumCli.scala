@@ -58,6 +58,7 @@ object UndatumCli {
         |          curateenc <storeDir> --output <newStore> --max-nll N
         |          deleteenc <storeDir> --output <newStore> --doc id[,id...]
         |          mergeenc <storeDir> --with <store2>[,...] --output <newStore>
+        |          compactenc <storeDir> --output <newStore>
         |flags:    --output --fields --filter --query --format-in
         |          --format-out --delimiter --encoding --tagname
         |          --dictshare --chunksize --rule --mode --limit
@@ -362,6 +363,16 @@ object UndatumCli {
         (if (mr.rowLevel)
           s"blocks_copied=${mr.blocksCopied} (row-level, zero decode)"
          else s"reencoded (${mr.fallbackReason.getOrElse("fallback")})"))
+      None
+    case "compactenc" =>
+      // selective compaction store->store; --output IS the new store
+      // dir (fresh-dir contract), so the generic epilogue must not fire
+      val out = flags.getOrElse("output",
+        argError("compactenc needs --output <newStoreDir>"))
+      val cr = graft.encode.TokenEncoder.compactStore(spark, input, out)
+      println(s"compacted: $out parts=${cr.partsTotal} " +
+        s"copied=${cr.partsCopied} reencoded=${cr.partsReencoded} " +
+        s"blocks=${cr.blocksBefore}->${cr.blocksAfter} rows=${cr.rowsTotal}")
       None
     case "decode" =>
       Some(graft.encode.TokenDecoder.read(spark, input).toDF())

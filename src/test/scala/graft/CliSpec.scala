@@ -268,6 +268,20 @@ class CliSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       UndatumCli.run(s, "mergeenc", curated, Map("output" -> mergedStore))
     }
+    // compaction: the merged store re-encoded under one fresh plan, so
+    // nothing is fragmented — the CLI must report zero re-encodes and
+    // the compacted store must decode identically (wiring + fresh-dir
+    // contract; the fragmented paths are API-covered in PipelineSpec)
+    val compactStore = s"${tmpDir("cli-compacted")}/store"
+    assert(UndatumCli.run(s, "compactenc", mergedStore,
+      Map("output" -> compactStore)).isEmpty)
+    val cBack = UndatumCli.run(s, "decode", compactStore, Map.empty).get
+      .select("doc_id").collect().map(_.getString(0))
+    assert(cBack.sorted.toSeq == mBack.sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      UndatumCli.run(s, "compactenc", mergedStore,
+        Map("output" -> compactStore))
+    }
   }
 
   test("schema: per-field layout plus xxhash64 identity key") {

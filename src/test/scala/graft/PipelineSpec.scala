@@ -478,4 +478,79 @@ class PipelineSpec extends SparkSpecBase {
     assert(backIds.length == 2 * halfA.count().toInt)
     assert(backIds.toSet == halfA.collect().map(_.doc_id).toSet)
   }
+
+  test("compactStore: fragmented partitions re-encode, full ones move verbatim") {
+    val s = spark
+    val full = graft.synth.TokenSynth.dataset(s, 900)
+    // split by SOURCE so partId bands are disjoint between the halves:
+    // half A encodes with deliberately tiny blocks (fragmented), half
+    // B with full ones — the merged store then has both kinds
+    val sa = Set("web", "books", "code", "wiki")
+    val halfA = full.filter(r => sa.contains(r.source))
+    val halfB = full.filter(r => !sa.contains(r.source))
+    val plan = TokenEncoder.partitionPlan(full, targetRowsPerPart = 300)
+    val (dirA, dirB) = (tmpDir("cp-a"), tmpDir("cp-b"))
+    TokenEncoder.savePlan(plan, dirA)
+    TokenEncoder.savePlan(plan, dirB)
+    TokenEncoder.run(halfA, dirA,
+      EncodeConfig(targetRowsPerPart = 300, blockRows = 16))
+    TokenEncoder.run(halfB, dirB, EncodeConfig(targetRowsPerPart = 300))
+    val merged = s"${tmpDir("cp-m")}/st"
+    assert(TokenEncoder.mergeStores(s, Seq(dirA, dirB), merged).rowLevel)
+    val out = s"${tmpDir("cp-out")}/st"
+    val cr = TokenEncoder.compactStore(s, merged, out)
+    assert(cr.partsReencoded > 0, s"tiny-block partitions must rewrite: $cr")
+    assert(cr.partsCopied > 0, s"full-block partitions must copy: $cr")
+    assert(cr.blocksAfter < cr.blocksBefore, s"block count must drop: $cr")
+    assert(cr.rowsTotal == full.count())
+    // content survives exactly
+    assertSameTable(full, TokenDecoder.read(s, out))
+    // the unfragmented share moved VERBATIM: every half-B block
+    // (blockId+checksum) is present untouched in the compacted store
+    def blkSet(d: String) = s.read.parquet(s"$d/blocks")
+      .select("blockId", "checksum").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(blkSet(dirB).subsetOf(blkSet(out)))
+    // ...and the fragmented share did NOT: none of half-A's block ids
+    // survive (they were consolidated under a fresh runId)
+    assert(blkSet(dirA).intersect(blkSet(out)).isEmpty)
+    // the compacted store is first-class: resume is a no-op, and the
+    // fresh-dir contract refuses a rerun into the same dir
+    assert(TokenEncoder.run(full, out,
+      EncodeConfig(targetRowsPerPart = 300)).count() == 0,
+      "compacted store must read as fully committed (resume no-op)")
+    intercept[IllegalArgumentException] {
+      TokenEncoder.compactStore(s, merged, out)
+    }
+  }
+
+  test("compactStore: already-compact store copies everything, no re-encode") {
+    val s = spark
+    val full = graft.synth.TokenSynth.dataset(s, 400)
+    val in = tmpDir("cpn-in")
+    TokenEncoder.run(full, in, EncodeConfig(targetRowsPerPart = 150))
+    val out = s"${tmpDir("cpn-out")}/st"
+    val cr = TokenEncoder.compactStore(s, in, out)
+    assert(cr.partsReencoded == 0, s"nothing is fragmented: $cr")
+    assert(cr.blocksAfter == cr.blocksBefore)
+    def blkSet(d: String) = s.read.parquet(s"$d/blocks")
+      .select("blockId", "checksum").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(blkSet(out) == blkSet(in))
+    assertSameTable(full, TokenDecoder.read(s, out))
+  }
+
+  test("compactStore: legacy store without a plan degrades to a full rewrite") {
+    val s = spark
+    val full = graft.synth.TokenSynth.dataset(s, 300)
+    val in = tmpDir("cpl-in")
+    TokenEncoder.run(full, in,
+      EncodeConfig(targetRowsPerPart = 100, blockRows = 16))
+    assert(new java.io.File(s"$in/plan.json").delete())
+    val out = s"${tmpDir("cpl-out")}/st"
+    val cr = TokenEncoder.compactStore(s, in, out)
+    assert(cr.partsCopied == 0 && cr.partsReencoded == 1)
+    assert(cr.blocksAfter < cr.blocksBefore)
+    assertSameTable(full, TokenDecoder.read(s, out))
+  }
 }
