@@ -1578,6 +1578,15 @@ object SparkEntry {
         .storeBigramFrequency(s, encodedStore(s, d))
         .orderBy(col("n_occ").desc, col("tok_a"), col("tok_b"))
         .limit(30)),
+    "q_encoded_pmi" -> ((s, d) =>
+      // collocation extraction ON TOP of the bigram pass: PMI with
+      // margins and total mass all from the same pair table. ln is
+      // monotone, so top-k orders by the raw ratio (pure IEEE
+      // mult/div, bit-identical in both engines) and only the k
+      // winners reach the driver, where math.log micro-scores them —
+      // the same JVM/DuckDB ln-parity path the KN/BM25 oracles use
+      graft.encode.CompressedSearch
+        .storePmiTopK(s, encodedStore(s, d), 30, 5L)),
     "q_encoded_kn" -> ((s, d) =>
       // Kneser-Ney bigram gate trained FROM the encoded store: model
       // cut to top-4096 pairs (TakeOrdered), broadcast, one decode
@@ -3233,6 +3242,31 @@ object SparkEntry {
         |SELECT a.tk AS tok_a, c.tk AS tok_b, CAST(count(*) AS BIGINT) AS n_occ
         |FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.i = a.i + 1
         |GROUP BY 1, 2 ORDER BY n_occ DESC, tok_a, tok_b LIMIT 30""".stripMargin,
+    "q_encoded_pmi" ->
+      // replay: pair counts as in q_encoded_bigrams, margins + total
+      // from the SAME pair table, ORDER BY the raw ratio (ln is
+      // monotone — identical ordering, no transcendental in the sort
+      // key), ln only for the displayed micro score
+      """WITH e AS (SELECT doc_id, unnest(tokens) AS tk,
+        |    generate_subscripts(tokens, 1) AS i
+        |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')),
+        |pc AS (SELECT a.tk AS tok_a, c.tk AS tok_b,
+        |    CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.i = a.i + 1
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_occ) AS BIGINT) AS n FROM pc),
+        |lm AS (SELECT tok_a, CAST(sum(n_occ) AS BIGINT) AS c_left
+        |  FROM pc GROUP BY 1),
+        |rm AS (SELECT tok_b, CAST(sum(n_occ) AS BIGINT) AS c_right
+        |  FROM pc GROUP BY 1),
+        |r AS (SELECT p.tok_a, p.tok_b, p.n_occ,
+        |    (CAST(p.n_occ AS DOUBLE) * CAST(tot.n AS DOUBLE)) /
+        |    (CAST(lm.c_left AS DOUBLE) * CAST(rm.c_right AS DOUBLE)) AS ratio
+        |  FROM pc p JOIN lm USING (tok_a) JOIN rm USING (tok_b)
+        |  CROSS JOIN tot WHERE p.n_occ >= 5)
+        |SELECT tok_a, tok_b, n_occ,
+        |  CAST(floor(ln(ratio) * 1e6 + 0.5) AS BIGINT) AS pmi_micro
+        |FROM r ORDER BY ratio DESC, tok_a, tok_b LIMIT 30""".stripMargin,
     "q_encoded_kn" ->
       """WITH e AS (SELECT doc_id, unnest(tokens) AS tk,
         |    generate_subscripts(tokens, 1) AS i

@@ -469,6 +469,48 @@ object CompressedSearch {
   private def packPair(a: Int, b: Int): Long =
     (a.toLong << 32) | (b.toLong & 0xFFFFFFFFL)
 
+  /** Top-k collocations by pointwise mutual information of ADJACENT
+    * token pairs, computed entirely from the encoded store's bigram
+    * table (one decode pass, map-side pre-aggregated):
+    * PMI(a,b) = ln(c(a,b)·N / (cl(a)·cr(b))) with the left/right
+    * margins and total mass N all taken from the SAME pair table, so
+    * the score is self-consistent. `minCount` floors c(a,b) — the
+    * rare-pair blowup is Church & Hanks 1990's own caveat.
+    *
+    * Scale shape: the pair table (distinct adjacent pairs, never token
+    * mass) persists across the margin aggregations; ln is MONOTONE, so
+    * top-k orders by the raw ratio — pure IEEE mult/div, bit-identical
+    * in any engine — via TakeOrdered (partitions ship local top-k).
+    * Only the k winners reach the driver, where the micro-int PMI is
+    * computed with math.log (the JVM/DuckDB-parity path every LM score
+    * in this engine uses).
+    */
+  def storePmiTopK(spark: SparkSession, outDir: String, k: Int = 30,
+                   minCount: Long = 5L): DataFrame = {
+    import spark.implicits._
+    val bi = storeBigramFrequency(spark, outDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = bi.agg(coalesce(sum("n_occ"), lit(0L))).first().getLong(0)
+      val cl = bi.groupBy("tok_a").agg(sum("n_occ").as("c_left"))
+      val cr = bi.groupBy("tok_b").agg(sum("n_occ").as("c_right"))
+      val top = bi.where(col("n_occ") >= minCount)
+        .join(cl, "tok_a").join(cr, "tok_b")
+        .withColumn("ratio",
+          (col("n_occ").cast("double") * lit(n).cast("double")) /
+            (col("c_left").cast("double") * col("c_right").cast("double")))
+        .orderBy(col("ratio").desc, col("tok_a"), col("tok_b"))
+        .limit(k)
+        .select("tok_a", "tok_b", "n_occ", "ratio")
+        .collect()
+        .map { r =>
+          (r.getInt(0), r.getInt(1), r.getLong(2),
+            math.floor(math.log(r.getDouble(3)) * 1e6 + 0.5).toLong)
+        }.toSeq
+      top.toDF("tok_a", "tok_b", "n_occ", "pmi_micro")
+    } finally { bi.unpersist(blocking = false); () }
+  }
+
   /** Interpolated Kneser-Ney bigram LM trained FROM the encoded store
     * and scored in one decode pass — the higher-order companion of
     * [[storePerplexity]], completing the CCNet gate family without a

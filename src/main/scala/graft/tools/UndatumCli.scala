@@ -54,6 +54,7 @@ object UndatumCli {
         |          getenc <storeDir> --doc id[,id...]  (bloom point lookup)
         |          perplexenc <storeDir> [--topk N]  (unigram-LM doc NLL)
         |          bigramenc <storeDir>  (adjacent-pair frequency)
+        |          pmienc <storeDir> [--topk N] [--min-count N]  (collocations)
         |          knenc <storeDir> [--pairs N]  (Kneser-Ney doc NLL)
         |          curateenc <storeDir> --output <newStore> --max-nll N
         |          deleteenc <storeDir> --output <newStore> --doc id[,id...]
@@ -63,7 +64,8 @@ object UndatumCli {
         |          --format-out --delimiter --encoding --tagname
         |          --dictshare --chunksize --rule --mode --limit
         |          --lo --hi --source --by-source --doc --topk --pairs
-        |          --tokens --max-nll --rows-per-part --with --window""".stripMargin)
+        |          --tokens --max-nll --rows-per-part --with --window
+        |          --min-count""".stripMargin)
     sys.exit(2)
   }
 
@@ -439,6 +441,11 @@ object UndatumCli {
       // adjacent-token pair frequency over the encoded store
       Some(graft.encode.CompressedSearch.storeBigramFrequency(spark, input)
         .orderBy(col("n_occ").desc, col("tok_a"), col("tok_b")))
+    case "pmienc" =>
+      // top-k adjacent-pair collocations by pointwise mutual information
+      Some(graft.encode.CompressedSearch.storePmiTopK(spark, input,
+        k = flags.get("topk").map(_.toInt).getOrElse(30),
+        minCount = flags.get("min-count").map(_.toLong).getOrElse(5L)))
     case "knenc" =>
       // Kneser-Ney bigram scoring, model trained from the store itself
       val pairs = flags.getOrElse("pairs", "4096").toInt

@@ -223,6 +223,12 @@ class CliSpec extends SparkSpecBase {
       .agg(org.apache.spark.sql.functions.sum("n_occ"))
       .collect()(0).getLong(0)
     assert(biTotal == ds.map(r => math.max(r.n_tok - 1, 0).toLong).sum)
+    // PMI collocations: bounded top-k, scores non-increasing
+    val pmi = UndatumCli.run(s, "pmienc", store,
+      Map("topk" -> "10", "min-count" -> "2")).get.collect()
+    assert(pmi.length <= 10 && pmi.nonEmpty)
+    val pmis = pmi.map(_.getAs[Long]("pmi_micro")).toSeq
+    assert(pmis == pmis.sortBy(-_))
     // KN scoring: one row per doc, worst first
     val kn = UndatumCli.run(s, "knenc", store,
       Map("pairs" -> "64")).get.collect()

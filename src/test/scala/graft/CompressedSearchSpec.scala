@@ -646,4 +646,45 @@ class CompressedSearchSpec extends SparkSpecBase {
     assert(st.forall(_.getAs[String]("codec") == "?"))
     assert(st.map(_.getAs[Long]("n_rows")).sum == 120L)
   }
+
+  test("storePmiTopK: brute-force PMI replay, ratio-ordered top-k") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val rows = (0 until 120).map { i =>
+      // a planted frequent token (7) plus uniform noise: some pairs
+      // are high-count low-PMI, some low-count high-PMI — the sort
+      // must be by PMI, not by count
+      val toks = Array.tabulate(20 + i % 10) { k =>
+        if (k % 3 == 0) 7 else rng.nextInt(40)
+      }
+      TokenRow(f"pmi-$i%04d", toks, toks.length, "s")
+    }
+    val ds = spark.createDataset(rows)
+    val dir = tmpDir("graft-pmistore")
+    TokenEncoder.run(ds, dir, TokenEncoder.EncodeConfig(targetRowsPerPart = 40))
+    val bi = rows.flatMap(_.tokens.sliding(2).collect {
+      case Array(a, b) => (a, b)
+    }).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = bi.values.sum
+    val cl = bi.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val cr = bi.groupBy(_._1._2).map { case (b, m) => b -> m.values.sum }
+    val (minCount, k) = (3L, 12)
+    val brute = bi.toSeq.collect { case ((a, b), c) if c >= minCount =>
+      val ratio = (c.toDouble * n.toDouble) /
+        (cl(a).toDouble * cr(b).toDouble)
+      (a, b, c, ratio)
+    }.sortBy { case (a, b, _, ratio) => (-ratio, a, b) }.take(k)
+      .map { case (a, b, c, ratio) =>
+        (a, b, c, math.floor(math.log(ratio) * 1e6 + 0.5).toLong)
+      }
+    assert(brute.size == k, "test corpus must overfill the top-k")
+    val got = CompressedSearch.storePmiTopK(spark, dir, k, minCount)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == brute)
+    // PMI order differs from count order on this corpus (the planted
+    // token's pairs are frequent but low-PMI)
+    assert(got.map(_._3) != got.map(_._3).sortBy(-_))
+  }
 }
