@@ -1578,6 +1578,13 @@ object SparkEntry {
         .storeBigramFrequency(s, encodedStore(s, d))
         .orderBy(col("n_occ").desc, col("tok_a"), col("tok_b"))
         .limit(30)),
+    "q_encoded_sources" -> ((s, d) =>
+      // per-source observability at METADATA cost: named partId bands
+      // aggregate from (blockRows, totalTokens) columns alone, only
+      // the overflow band walks its sources/lengths meta columns —
+      // the payload column is never projected on either arm
+      // (plan-asserted in CompressedSearchSpec)
+      graft.encode.CompressedSearch.sourceStats(s, encodedStore(s, d))),
     "q_encoded_pmi" -> ((s, d) =>
       // collocation extraction ON TOP of the bigram pass: PMI with
       // margins and total mass all from the same pair table. ln is
@@ -3242,6 +3249,13 @@ object SparkEntry {
         |SELECT a.tk AS tok_a, c.tk AS tok_b, CAST(count(*) AS BIGINT) AS n_occ
         |FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.i = a.i + 1
         |GROUP BY 1, 2 ORDER BY n_occ DESC, tok_a, tok_b LIMIT 30""".stripMargin,
+    "q_encoded_sources" ->
+      // the metadata the store carries per block must equal the truth
+      // the raw table computes per row
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(sum(n_tok) AS BIGINT) AS n_tok
+        |FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_encoded_pmi" ->
       // replay: pair counts as in q_encoded_bigrams, margins + total
       // from the SAME pair table, ORDER BY the raw ratio (ln is

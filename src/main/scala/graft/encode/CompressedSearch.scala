@@ -793,6 +793,64 @@ object CompressedSearch {
     * ops-surface answer to "what did codec auto-selection decide and
     * what did it buy" without touching a single compressed byte.
     */
+  /** Per-source document and token counts WITHOUT decoding any
+    * payload. The pinned plan maps every partId below the overflow
+    * band to exactly one source, so that share aggregates from the
+    * (blockRows, totalTokens) METADATA columns alone — zero bytes of
+    * block content read beyond the stats parquet already stores. Only
+    * the overflow band (several plan-unknown sources share its
+    * partIds) walks its sources/lengths META columns (a few bytes per
+    * row; the payload column is never projected, so parquet never
+    * reads it). A store with no plan degrades to the meta walk for
+    * every block. Returns (source, n_docs, n_tok) ordered by source —
+    * the observability call that tells a 10^12-row ingest what it
+    * holds per source at metadata cost.
+    */
+  def sourceStats(spark: SparkSession, outDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.typedLit
+    val blocks = TokenDecoder.committedBlocks(spark, outDir, None)
+    // meta walk: per-block pre-aggregation so the exchange carries
+    // (source, counts) pairs per block, never per row
+    def metaWalk(sel: DataFrame): DataFrame = sel
+      .select("sourcesEnc", "lengthsEnc", "blockRows")
+      .as[(Array[Byte], Array[Byte], Int)]
+      .flatMap { case (sEnc, lEnc, nRows) =>
+        val sources = graft.codec.StringCols.decodeSources(sEnc, nRows)
+        val lens = new ByteReader(lEnc)
+        val m = scala.collection.mutable.HashMap[String, (Long, Long)]()
+        var i = 0
+        while (i < nRows) {
+          val t = lens.readVarInt().toLong
+          val cur = m.getOrElse(sources(i), (0L, 0L))
+          m(sources(i)) = (cur._1 + 1L, cur._2 + t)
+          i += 1
+        }
+        m.iterator.map { case (s, (d, t)) => (s, d, t) }
+      }
+      .toDF("source", "n_docs", "n_tok")
+    val perSource = TokenEncoder.loadPlan(outDir) match {
+      case None => metaWalk(blocks)
+      case Some(plan) =>
+        val saltTotal = TokenEncoder.planSaltTotal(plan)
+        val named: Map[Int, String] = plan.toSeq.flatMap {
+          case (src, (base, salts)) => (base until base + salts).map(_ -> src)
+        }.toMap
+        // named bands: metadata columns only; try_element_at so a
+        // stray partId surfaces as "?" instead of an ANSI throw
+        val namedAgg = blocks.where(col("partId") < saltTotal)
+          .select(
+            coalesce(try_element_at(typedLit(named), col("partId")),
+              lit("?")).as("source"),
+            col("blockRows").cast("long").as("n_docs"),
+            col("totalTokens").as("n_tok"))
+        namedAgg.union(metaWalk(blocks.where(col("partId") >= saltTotal)))
+    }
+    perSource.groupBy("source")
+      .agg(sum("n_docs").as("n_docs"), sum("n_tok").as("n_tok"))
+      .orderBy("source")
+  }
+
   def storeStats(spark: SparkSession, outDir: String): DataFrame = {
     import org.apache.spark.sql.functions.typedLit
     graft.encode.TokenDecoder.committedBlocks(spark, outDir, None)

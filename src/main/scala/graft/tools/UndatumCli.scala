@@ -55,6 +55,7 @@ object UndatumCli {
         |          perplexenc <storeDir> [--topk N]  (unigram-LM doc NLL)
         |          bigramenc <storeDir>  (adjacent-pair frequency)
         |          pmienc <storeDir> [--topk N] [--min-count N]  (collocations)
+        |          sourcesenc <storeDir>  (per-source counts, metadata-only)
         |          knenc <storeDir> [--pairs N]  (Kneser-Ney doc NLL)
         |          curateenc <storeDir> --output <newStore> --max-nll N
         |          deleteenc <storeDir> --output <newStore> --doc id[,id...]
@@ -441,6 +442,9 @@ object UndatumCli {
       // adjacent-token pair frequency over the encoded store
       Some(graft.encode.CompressedSearch.storeBigramFrequency(spark, input)
         .orderBy(col("n_occ").desc, col("tok_a"), col("tok_b")))
+    case "sourcesenc" =>
+      // per-source doc/token counts at metadata cost (payload unread)
+      Some(graft.encode.CompressedSearch.sourceStats(spark, input))
     case "pmienc" =>
       // top-k adjacent-pair collocations by pointwise mutual information
       Some(graft.encode.CompressedSearch.storePmiTopK(spark, input,

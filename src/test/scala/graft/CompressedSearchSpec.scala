@@ -647,6 +647,40 @@ class CompressedSearchSpec extends SparkSpecBase {
     assert(st.map(_.getAs[Long]("n_rows")).sum == 120L)
   }
 
+  test("sourceStats: metadata-only per-source counts incl. the overflow band") {
+    import spark.implicits._
+    val full = graft.synth.TokenSynth.dataset(spark, 500)
+    // pin a plan that names only TWO sources: every other source
+    // routes to the overflow band, so both arms (metadata columns for
+    // named bands, meta walk for overflow) must contribute
+    val known = Set("web", "books")
+    val dir = tmpDir("graft-srcstats")
+    TokenEncoder.savePlan(TokenEncoder.partitionPlan(
+      full.filter(r => known.contains(r.source)), 100), dir)
+    TokenEncoder.run(full, dir,
+      TokenEncoder.EncodeConfig(targetRowsPerPart = 100))
+    val exp = full.collect().groupBy(_.source).map { case (s, rs) =>
+      (s, rs.length.toLong, rs.map(_.n_tok.toLong).sum)
+    }.toSeq.sortBy(_._1)
+    assert(exp.map(_._1).toSet.diff(known).nonEmpty,
+      "corpus must actually hit the overflow band")
+    val df = CompressedSearch.sourceStats(spark, dir)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == exp)
+    // payload-free AT THE SCAN on both arms: no parquet read in the
+    // plan projects the payload column
+    val vplan = df.queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<[^>]*".r.findAllIn(vplan).toList
+    assert(schemas.nonEmpty && schemas.forall(!_.contains("payload")),
+      s"sourceStats must never project payload:\n$vplan")
+    // legacy store (no plan): full meta walk, same answer
+    assert(new java.io.File(s"$dir/plan.json").delete())
+    val gotLegacy = CompressedSearch.sourceStats(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotLegacy == exp)
+  }
+
   test("storePmiTopK: brute-force PMI replay, ratio-ordered top-k") {
     import spark.implicits._
     val rng = new scala.util.Random(29)
