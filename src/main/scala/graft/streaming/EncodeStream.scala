@@ -17,18 +17,44 @@ import graft.model.TokenRow
   * re-encodes only its uncommitted remainder, never duplicating rows
   * (the same argument as the batch kill-and-resume test, per batch).
   * Batch dirs are independent: no cross-batch compaction is needed for
-  * correctness, and a periodic re-encode of many small batch dirs into
-  * one (read all + encode) is an offline maintenance job, not part of
-  * the ingest path.
+  * correctness. Periodic [[compact]]ion of many small batch dirs into
+  * one store is an offline maintenance job, not part of the ingest
+  * path — and because every batch pins the stream's master plan, it
+  * folds at the parquet ROW level (mergeStores + compactStore): only
+  * each batch's remainder blocks re-encode, clean blocks move as
+  * bytes.
   */
 object EncodeStream {
+
+  /** The stream's ONE pinned partition plan, created from the first
+    * nonempty micro-batch and stored at `outDir/plan.json`: every
+    * batch dir pins it, so [[compact]] takes the zero-decode row-level
+    * path (mergeStores + compactStore) instead of re-encoding clean
+    * data. Sources first seen in LATER batches route to the overflow
+    * band — still exact, occasionally skewed; a re-plan compaction
+    * into a fresh target is the repair. Idempotent across micro-batch
+    * retries: once written the plan is only ever read.
+    */
+  private def masterPlan(outDir: String, batch: Dataset[TokenRow],
+                         cfg: EncodeConfig): Option[Map[String, (Int, Int)]] =
+    TokenEncoder.loadPlan(outDir).orElse {
+      if (batch.isEmpty) None
+      else {
+        val p = TokenEncoder.partitionPlan(batch, cfg.targetRowsPerPart)
+        TokenEncoder.savePlan(p, outDir)
+        Some(p)
+      }
+    }
 
   def streamingEncode(stream: Dataset[TokenRow], outDir: String,
                       cfg: EncodeConfig = EncodeConfig()): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch { (batch: Dataset[TokenRow], batchId: Long) =>
-        TokenEncoder.run(batch, s"$outDir/batch=$batchId",
+        val dir = s"$outDir/batch=$batchId"
+        masterPlan(outDir, batch, cfg)
+          .foreach(p => TokenEncoder.savePlan(p, dir))
+        TokenEncoder.run(batch, dir,
           cfg.copy(inputFile = s"batch-$batchId"))
         ()
       }
@@ -101,7 +127,10 @@ object EncodeStream {
             .grow(spark, vocabDir, counts, maxVocab)
           val rows = graft.text.TextOps.tokenizeMap(
             gated, "doc_id", "text", "source", merged, oovId).as[TokenRow]
-          TokenEncoder.run(rows, s"$outDir/batch=$batchId",
+          val dir = s"$outDir/batch=$batchId"
+          masterPlan(outDir, rows, cfg)
+            .foreach(p => TokenEncoder.savePlan(p, dir))
+          TokenEncoder.run(rows, dir,
             cfg.copy(inputFile = s"batch-$batchId"))
           ()
         } finally { gated.unpersist(blocking = false); () }
@@ -109,21 +138,33 @@ object EncodeStream {
       .start()
   }
 
-  /** Offline compaction: re-encode the accumulated micro-batch dirs
-    * into ONE store at `targetDir` (fresh partition plan sized for the
-    * full row count, fewer+larger blocks), verify EVERY batch row is
-    * present in the compacted store, and only then drop exactly the
-    * batch dirs that were read — a batch committed by a still-running
-    * stream after the listing is untouched and survives for the next
-    * compaction. Verify-before-delete + containment (not equality)
-    * makes a crash mid-delete re-runnable: the rerun reads the
-    * surviving batches, run() resumes the already-complete target as
-    * a no-op, containment still holds, and the remaining dirs are
-    * dropped. Each compaction targets a FRESH dir; pointing a
-    * completed target at genuinely NEW batches fails the containment
-    * verify and keeps the batches (the new rows map to partitions the
-    * pinned plan already committed, so resume would skip them — the
-    * verify catches this instead of losing data).
+  /** Offline compaction: fold the accumulated micro-batch dirs into
+    * ONE store at `targetDir`, verify EVERY batch row is present in
+    * the compacted store, and only then drop exactly the batch dirs
+    * that were read — a batch committed by a still-running stream
+    * after the listing is untouched and survives for the next
+    * compaction.
+    *
+    * When every batch pins the stream's master plan (what
+    * [[streamingEncode]] arranges) and `targetDir` is fresh, the fold
+    * is ZERO-DECODE on the encode side: a row-level mergeStores union
+    * followed by compactStore, so only fragmented partitions (each
+    * batch's remainder blocks) re-encode and clean blocks move as
+    * parquet bytes. Otherwise (differing plans, or a crashed prior
+    * attempt left a partial `targetDir`) it falls back to the classic
+    * decode + run() re-encode, whose resume protocol makes the rerun
+    * idempotent. The containment verify always decodes the target
+    * once — the byte-moved fast path earns no verification discount.
+    *
+    * Verify-before-delete + containment (not equality) makes a crash
+    * mid-delete re-runnable: the rerun reads the surviving batches,
+    * run() resumes the already-complete target as a no-op,
+    * containment still holds, and the remaining dirs are dropped.
+    * Each compaction targets a FRESH dir; pointing a completed target
+    * at genuinely NEW batches fails the containment verify and keeps
+    * the batches (the new rows map to partitions the pinned plan
+    * already committed, so resume would skip them — the verify
+    * catches this instead of losing data).
     */
   def compact(spark: SparkSession, outDir: String, targetDir: String,
               cfg: EncodeConfig = EncodeConfig()): Long = {
@@ -134,7 +175,36 @@ object EncodeStream {
     val rows = readDirs(spark, dirs, verifyChecksums = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      TokenEncoder.run(rows, targetDir, cfg.copy(cacheInput = false))
+      val plans = dirs.map(TokenEncoder.loadPlan)
+      // fresh = the same contract compactStore itself enforces; a
+      // NON-empty target is a crashed prior attempt, which only the
+      // legacy run()-resume path can finish
+      val tf = new java.io.File(targetDir)
+      val fresh = !tf.exists() ||
+        (tf.isDirectory && tf.listFiles().isEmpty)
+      val fastEligible = fresh &&
+        plans.head.isDefined && plans.forall(_ == plans.head)
+      if (fastEligible && dirs.size == 1) {
+        TokenEncoder.compactStore(spark, dirs.head, targetDir, cfg)
+        ()
+      } else if (fastEligible) {
+        val staging = s"$targetDir.merge"
+        TokenEncoder.rmTree(new java.io.File(staging))
+        val mr = TokenEncoder.mergeStores(spark, dirs, staging, cfg)
+        if (mr.rowLevel) {
+          TokenEncoder.compactStore(spark, staging, targetDir, cfg)
+          TokenEncoder.rmTree(new java.io.File(staging))
+        } else {
+          // a runId collision (the one remaining fallback trigger)
+          // already re-encoded the union into staging — adopt it
+          require(new java.io.File(staging)
+            .renameTo(new java.io.File(targetDir)),
+            s"compact: could not move $staging to $targetDir")
+        }
+      } else {
+        TokenEncoder.run(rows, targetDir, cfg.copy(cacheInput = false))
+        ()
+      }
       val back = TokenDecoder.read(spark, targetDir, verifyChecksums = true)
       val missing = rows.toDF().exceptAll(back.toDF()).count()
       require(missing == 0,
@@ -142,15 +212,11 @@ object EncodeStream {
           s"$targetDir — batch dirs kept")
       val n = back.count()
       dirs.foreach { d =>
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
         // drop the COMMIT MARKERS first: a crash mid-delete then
         // leaves an uncommitted-looking dir that the rerun's listing
         // skips, instead of a "committed" dir with half its data gone
-        rm(new java.io.File(s"$d/completed"))
-        rm(new java.io.File(d))
+        TokenEncoder.rmTree(new java.io.File(s"$d/completed"))
+        TokenEncoder.rmTree(new java.io.File(d))
       }
       n
     } finally { rows.unpersist(blocking = false); () }

@@ -203,6 +203,54 @@ class StreamingSpec extends SparkSpecBase {
     assert(back.toDF().exceptAll(want.toDF()).count() == 0)
   }
 
+  test("compact takes the zero-decode path when batches share the master plan") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val outDir = tmpDir("cmp-fast")
+    val mem = MemoryStream[graft.model.TokenRow]
+    // batch 0: one source, tiny blocks => its partition is FRAGMENTED;
+    // batch 1: a later source (routes to the overflow band of the
+    // master plan batch 0 created) small enough for a single block =>
+    // its partition is CLEAN and must move verbatim
+    val rows1 = (0 until 30).map(i =>
+      graft.model.TokenRow(s"f$i", Array.tabulate(10)(j => (i * 3 + j) % 61), 10, "sA"))
+    val rows2 = (30 until 36).map(i =>
+      graft.model.TokenRow(s"f$i", Array.fill(7)(i % 17), 7, "sB"))
+    val q = graft.streaming.EncodeStream.streamingEncode(mem.toDS(), outDir,
+      graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 100,
+        blockRows = 8))
+    try {
+      mem.addData(rows1: _*); q.processAllAvailable()
+      mem.addData(rows2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val master = graft.encode.TokenEncoder.loadPlan(outDir)
+    assert(master.isDefined, "streamingEncode must pin a master plan")
+    assert(master == graft.encode.TokenEncoder.loadPlan(s"$outDir/batch=0"))
+    assert(master == graft.encode.TokenEncoder.loadPlan(s"$outDir/batch=1"))
+    def blkSet(d: String) = s.read.parquet(s"$d/blocks")
+      .select("blockId", "checksum").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val (b0, b1) = (blkSet(s"$outDir/batch=0"), blkSet(s"$outDir/batch=1"))
+    assert(b0.size > 1, "batch 0 must be fragmented for this test")
+    assert(b1.size == 1, "batch 1 must be a single clean block")
+    val target = tmpDir("cmp-fast-target")
+    assert(graft.streaming.EncodeStream.compact(spark, outDir, target,
+      graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 100)) == 36)
+    // fast path evidence: the target keeps the MASTER plan (the legacy
+    // re-encode would have sized a fresh one), the clean block moved
+    // verbatim, and the fragmented batch's blocks were consolidated
+    assert(graft.encode.TokenEncoder.loadPlan(target) == master)
+    val tb = blkSet(target)
+    assert(b1.subsetOf(tb), "clean single-block partition must move verbatim")
+    assert(b0.intersect(tb).isEmpty, "fragmented partition must re-encode")
+    assert(tb.size < b0.size + b1.size)
+    val back = graft.encode.TokenDecoder.read(spark, target, verifyChecksums = true)
+    val want = (rows1 ++ rows2).toDS()
+    assert(want.toDF().exceptAll(back.toDF()).count() == 0)
+    assert(back.toDF().exceptAll(want.toDF()).count() == 0)
+  }
+
   test("compact rerun after a crash mid-delete completes cleanly") {
     val s = spark
     import s.implicits._
