@@ -1578,6 +1578,20 @@ object SparkEntry {
         .storeBigramFrequency(s, encodedStore(s, d))
         .orderBy(col("n_occ").desc, col("tok_a"), col("tok_b"))
         .limit(30)),
+    "q_encoded_audit" -> ((s, d) =>
+      // integrity fsck over the staged store, verify mode: every
+      // committed block decoded and re-hashed against its sealed
+      // checksum. The oracle pins what the RAW table can derive — the
+      // audited row mass equals the corpus, zero missing blocks, zero
+      // checksum failures, every partition ok. (orphan_blocks is
+      // deliberately NOT projected: leftovers of a crashed-then-
+      // resumed staging run are legal and vacuumable, not corruption.)
+      graft.encode.TokenDecoder
+        .auditStore(s, encodedStore(s, d), verifyChecksums = true)
+        .agg(sum("rows_blocks").as("n_docs"),
+          sum("missing_blocks").as("n_missing"),
+          sum("checksum_fails").as("n_fails"),
+          min(col("ok").cast("int")).as("all_ok"))),
     "q_encoded_sources" -> ((s, d) =>
       // per-source observability at METADATA cost: named partId bands
       // aggregate from (blockRows, totalTokens) columns alone, only
@@ -3249,6 +3263,11 @@ object SparkEntry {
         |SELECT a.tk AS tok_a, c.tk AS tok_b, CAST(count(*) AS BIGINT) AS n_occ
         |FROM e a JOIN e c ON c.doc_id = a.doc_id AND c.i = a.i + 1
         |GROUP BY 1, 2 ORDER BY n_occ DESC, tok_a, tok_b LIMIT 30""".stripMargin,
+    "q_encoded_audit" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(0 AS BIGINT) AS n_missing, CAST(0 AS BIGINT) AS n_fails,
+        |CAST(1 AS INTEGER) AS all_ok
+        |FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet')""".stripMargin,
     "q_encoded_sources" ->
       // the metadata the store carries per block must equal the truth
       // the raw table computes per row

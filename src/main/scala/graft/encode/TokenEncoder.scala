@@ -355,11 +355,11 @@ object TokenEncoder {
     * from a killed write job) — that state must read as "nothing
     * committed", not wedge every resume with an AnalysisException.
     */
-  private[encode] def safeReadParquet(spark: SparkSession,
-                              path: String): Option[org.apache.spark.sql.DataFrame] =
+  private[encode] def safeReadParquet(spark: SparkSession, path: String,
+      mergeSchema: Boolean = false): Option[org.apache.spark.sql.DataFrame] =
     if (!new java.io.File(path).exists()) None
     else {
-      try Some(spark.read.parquet(path))
+      try Some(spark.read.option("mergeSchema", mergeSchema).parquet(path))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     }
 
@@ -882,6 +882,101 @@ object TokenDecoder {
   def read(spark: SparkSession, outDir: String,
            verifyChecksums: Boolean = false): Dataset[TokenRow] =
     readBlocks(spark, outDir, None, verifyChecksums)
+
+  /** Store integrity audit — the fsck a resumable 10^12-row store
+    * wants before a merge/delete/compaction is trusted. Cross-checks
+    * the three metadata tables per partId: commit markers (who CLAIMS
+    * commitment), lineage (what each committed run SAYS it wrote),
+    * blocks (what is actually there). One row per partId seen in any
+    * of the three:
+    *
+    *  - `missing_blocks`: committed lineage rows whose block is absent
+    *    — data loss, `ok = false`.
+    *  - `orphan_blocks`: blocks of uncommitted runs — crash leftovers
+    *    readers already ignore and vacuum reclaims; `ok` stays true.
+    *  - `checksum_fails`: only with `verifyChecksums = true`, which
+    *    decodes every committed block and re-hashes it against the
+    *    checksum sealed at encode time (full-scan cost; the default
+    *    audit is METADATA-ONLY — block payloads unread).
+    *
+    * ok = marked && missing_blocks == 0 && rows_blocks == rows_lineage
+    * (&& checksum_fails == 0 when verified). Everything is exact
+    * per-partId aggregation — no driver-side listing beyond the plan.
+    */
+  def auditStore(spark: SparkSession, outDir: String,
+                 verifyChecksums: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val markers = TokenEncoder.safeReadParquet(spark, s"$outDir/completed")
+      .map(_.select(col("partId").cast("int").as("partId"), col("runId")))
+      .getOrElse(Seq.empty[(Int, String)].toDF("partId", "runId"))
+    val blocks = TokenEncoder
+      .safeReadParquet(spark, s"$outDir/blocks", mergeSchema = true)
+      .map(_.select(col("partId").cast("int").as("partId"), col("runId"),
+        col("blockId"), col("blockRows").cast("long").as("blockRows")))
+      .getOrElse(Seq.empty[(Int, String, String, Long)]
+        .toDF("partId", "runId", "blockId", "blockRows"))
+    // lineage lacks a runId column; blockIds are runId-prefixed with a
+    // FIXED-WIDTH id (newRunId: "r" + 15 hex chars), so derive it
+    val lineage = TokenEncoder.safeReadParquet(spark, s"$outDir/lineage")
+      .map(_.select(col("partId").cast("int").as("partId"),
+        col("blockId"), col("rowCount").cast("long").as("rowCount"))
+        .withColumn("runId", substring(col("blockId"), 1, 16)))
+      .getOrElse(Seq.empty[(Int, String, Long, String)]
+        .toDF("partId", "blockId", "rowCount", "runId"))
+    val linC = lineage.join(markers, Seq("partId", "runId"), "left_semi")
+    val blkC = blocks.join(markers, Seq("partId", "runId"), "left_semi")
+    val marked = markers.groupBy("partId")
+      .agg(count(lit(1)).as("n_markers"))
+    val blkAgg = blkC.groupBy("partId")
+      .agg(count(lit(1)).as("n_blocks"),
+        coalesce(sum("blockRows"), lit(0L)).as("rows_blocks"))
+    val linAgg = linC.groupBy("partId")
+      .agg(coalesce(sum("rowCount"), lit(0L)).as("rows_lineage"))
+    val missing = linC.join(blocks.select("blockId"), Seq("blockId"),
+        "left_anti")
+      .groupBy("partId").agg(count(lit(1)).as("missing_blocks"))
+    val orphans = blocks.join(markers, Seq("partId", "runId"), "left_anti")
+      .groupBy("partId").agg(count(lit(1)).as("orphan_blocks"))
+    val fails =
+      if (!verifyChecksums)
+        Seq.empty[(Int, Long)].toDF("partId", "checksum_fails")
+      else committedBlocks(spark, outDir, None)
+        .withColumn("minTok", coalesce(col("minTok"), lit(Int.MinValue)))
+        .withColumn("maxTok", coalesce(col("maxTok"), lit(Int.MaxValue)))
+        .as[EncodedBlock]
+        .map { b =>
+          // an audit REPORTS corruption — a payload mangled badly
+          // enough to blow up its codec must count as a failure, not
+          // kill the job the way the strict read path deliberately does
+          val failed =
+            try {
+              val tokens = BlockCodec.decode(b.codecId, b.postCodec,
+                b.symtab, b.payload, b.totalTokens.toInt)
+              BlockCodec.checksum(tokens, tokens.length) != b.checksum
+            } catch { case scala.util.control.NonFatal(_) => true }
+          (b.partId, if (failed) 1L else 0L)
+        }
+        .toDF("partId", "fail")
+        .groupBy("partId").agg(sum("fail").as("checksum_fails"))
+    marked.join(blkAgg, Seq("partId"), "full_outer")
+      .join(linAgg, Seq("partId"), "full_outer")
+      .join(missing, Seq("partId"), "full_outer")
+      .join(orphans, Seq("partId"), "full_outer")
+      .join(fails, Seq("partId"), "full_outer")
+      .select(col("partId"),
+        (coalesce(col("n_markers"), lit(0L)) > 0L).as("marked"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("rows_blocks"), lit(0L)).as("rows_blocks"),
+        coalesce(col("rows_lineage"), lit(0L)).as("rows_lineage"),
+        coalesce(col("missing_blocks"), lit(0L)).as("missing_blocks"),
+        coalesce(col("orphan_blocks"), lit(0L)).as("orphan_blocks"),
+        coalesce(col("checksum_fails"), lit(0L)).as("checksum_fails"))
+      .withColumn("ok",
+        col("marked") && col("missing_blocks") === 0L &&
+          col("rows_blocks") === col("rows_lineage") &&
+          col("checksum_fails") === 0L)
+      .orderBy("partId")
+  }
 
   /** Partition-pruned decode of ONE source: the pinned partition plan
     * maps the source to its contiguous partId band (plus the overflow

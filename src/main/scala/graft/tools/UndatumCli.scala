@@ -56,6 +56,7 @@ object UndatumCli {
         |          bigramenc <storeDir>  (adjacent-pair frequency)
         |          pmienc <storeDir> [--topk N] [--min-count N]  (collocations)
         |          sourcesenc <storeDir>  (per-source counts, metadata-only)
+        |          auditenc <storeDir> [--mode verify]  (integrity fsck)
         |          knenc <storeDir> [--pairs N]  (Kneser-Ney doc NLL)
         |          curateenc <storeDir> --output <newStore> --max-nll N
         |          deleteenc <storeDir> --output <newStore> --doc id[,id...]
@@ -442,6 +443,11 @@ object UndatumCli {
       // adjacent-token pair frequency over the encoded store
       Some(graft.encode.CompressedSearch.storeBigramFrequency(spark, input)
         .orderBy(col("n_occ").desc, col("tok_a"), col("tok_b")))
+    case "auditenc" =>
+      // per-partition integrity report (markers vs lineage vs blocks);
+      // --mode verify additionally decodes and re-hashes every block
+      Some(graft.encode.TokenDecoder.auditStore(spark, input,
+        verifyChecksums = flags.get("mode").contains("verify")))
     case "sourcesenc" =>
       // per-source doc/token counts at metadata cost (payload unread)
       Some(graft.encode.CompressedSearch.sourceStats(spark, input))

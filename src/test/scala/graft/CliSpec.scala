@@ -288,6 +288,11 @@ class CliSpec extends SparkSpecBase {
       UndatumCli.run(s, "compactenc", mergedStore,
         Map("output" -> compactStore))
     }
+    // integrity fsck: the compacted store audits clean in verify mode
+    val audit = UndatumCli.run(s, "auditenc", compactStore,
+      Map("mode" -> "verify")).get.collect()
+    assert(audit.nonEmpty && audit.forall(_.getAs[Boolean]("ok")))
+    assert(audit.map(_.getAs[Long]("rows_blocks")).sum == cBack.length.toLong)
   }
 
   test("schema: per-field layout plus xxhash64 identity key") {

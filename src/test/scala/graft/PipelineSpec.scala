@@ -479,6 +479,76 @@ class PipelineSpec extends SparkSpecBase {
     assert(backIds.toSet == halfA.collect().map(_.doc_id).toSet)
   }
 
+  test("auditStore: clean / orphan / missing / corrupted states reported") {
+    val s = spark
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val ds = graft.synth.TokenSynth.dataset(s, 300)
+    val dir = tmpDir("audit-in")
+    TokenEncoder.run(ds, dir, EncodeConfig(targetRowsPerPart = 100))
+    // clean store: every partId ok, row masses agree, verify passes
+    val a1 = TokenDecoder.auditStore(s, dir, verifyChecksums = true).collect()
+    assert(a1.nonEmpty && a1.forall(_.getAs[Boolean]("ok")))
+    assert(a1.map(_.getAs[Long]("rows_blocks")).sum == 300L)
+    assert(a1.map(_.getAs[Long]("rows_lineage")).sum == 300L)
+    assert(a1.forall(r => r.getAs[Long]("orphan_blocks") == 0L &&
+      r.getAs[Long]("missing_blocks") == 0L &&
+      r.getAs[Long]("checksum_fails") == 0L))
+    // orphan: a block under an UNMARKED runId (a crashed run's
+    // leftover) — tolerated (readers ignore it), ok stays true
+    s.read.parquet(s"$dir/blocks").limit(1)
+      .withColumn("runId", lit("rdeadbeefdeadbee"))
+      .withColumn("blockId",
+        concat(lit("rdeadbeefdeadbee-"), col("partId"), lit("-0")))
+      .write.mode("append").option("compression", "uncompressed")
+      .parquet(s"$dir/blocks")
+    val a2 = TokenDecoder.auditStore(s, dir).collect()
+    assert(a2.map(_.getAs[Long]("orphan_blocks")).sum == 1L)
+    assert(a2.forall(_.getAs[Boolean]("ok")))
+    // missing: drop one COMMITTED block's parquet row — its lineage
+    // row now dangles; that partId (and only it) must flag
+    val victim = s.read.parquet(s"$dir/lineage")
+      .orderBy("blockId").limit(1)
+      .select("blockId", "partId").collect()(0)
+    val (vBlock, vPart) = (victim.getString(0), victim.getInt(1))
+    val pruned = s.read.parquet(s"$dir/blocks")
+      .where(col("blockId") =!= vBlock)
+    val tmp = tmpDir("audit-pruned")
+    pruned.write.mode("overwrite")
+      .option("compression", "uncompressed").parquet(tmp)
+    TokenEncoder.rmTree(new java.io.File(s"$dir/blocks"))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(s"$dir/blocks"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val a3 = TokenDecoder.auditStore(s, dir).collect()
+    val bad = a3.filter(!_.getAs[Boolean]("ok"))
+    assert(bad.map(_.getAs[Int]("partId")).toSeq == Seq(vPart))
+    assert(bad.head.getAs[Long]("missing_blocks") == 1L)
+    assert(bad.head.getAs[Long]("rows_blocks") <
+      bad.head.getAs[Long]("rows_lineage"))
+    // corrupted payload: metadata audit stays blind to it; the verify
+    // audit reports it per partId instead of killing the job
+    val corruptId = s.read.parquet(s"$dir/lineage")
+      .where(col("blockId") =!= vBlock)
+      .agg(org.apache.spark.sql.functions.min("blockId"))
+      .first().getString(0)
+    val flipped = s.read.parquet(s"$dir/blocks")
+      .withColumn("payload",
+        org.apache.spark.sql.functions.when(col("blockId") === corruptId,
+          org.apache.spark.sql.functions.expr("substring(payload, 1, 5)"))
+          .otherwise(col("payload")))
+    val tmp2 = tmpDir("audit-flip")
+    flipped.write.mode("overwrite")
+      .option("compression", "uncompressed").parquet(tmp2)
+    TokenEncoder.rmTree(new java.io.File(s"$dir/blocks"))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp2),
+      java.nio.file.Paths.get(s"$dir/blocks"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val a4 = TokenDecoder.auditStore(s, dir, verifyChecksums = true).collect()
+    assert(a4.map(_.getAs[Long]("checksum_fails")).sum >= 1L)
+    assert(a4.exists(r => !r.getAs[Boolean]("ok") &&
+      r.getAs[Long]("checksum_fails") > 0L))
+  }
+
   test("compactStore: fragmented partitions re-encode, full ones move verbatim") {
     val s = spark
     val full = graft.synth.TokenSynth.dataset(s, 900)
