@@ -785,14 +785,6 @@ object CompressedSearch {
       .drop("__k")
   }
 
-  /** Store-level statistics from block METADATA alone: one row per
-    * (codec, postCodec) with block/row/token counts, raw/encoded/meta
-    * byte totals and the aggregate compression ratio. The payload and
-    * symtab columns are never projected, so the parquet scan reads a
-    * few numeric columns per block regardless of store size — the
-    * ops-surface answer to "what did codec auto-selection decide and
-    * what did it buy" without touching a single compressed byte.
-    */
   /** Per-source document and token counts WITHOUT decoding any
     * payload. The pinned plan maps every partId below the overflow
     * band to exactly one source, so that share aggregates from the
@@ -851,6 +843,14 @@ object CompressedSearch {
       .orderBy("source")
   }
 
+  /** Store-level statistics from block METADATA alone: one row per
+    * (codec, postCodec) with block/row/token counts, raw/encoded/meta
+    * byte totals and the aggregate compression ratio. The payload and
+    * symtab columns are never projected, so the parquet scan reads a
+    * few numeric columns per block regardless of store size — the
+    * ops-surface answer to "what did codec auto-selection decide and
+    * what did it buy" without touching a single compressed byte.
+    */
   def storeStats(spark: SparkSession, outDir: String): DataFrame = {
     import org.apache.spark.sql.functions.typedLit
     graft.encode.TokenDecoder.committedBlocks(spark, outDir, None)

@@ -105,6 +105,23 @@ object TokenEncoder {
     f.delete(): Unit
   }
 
+  /** The fresh-output contract every store rewrite shares
+    * (deleteDocs / mergeStores / compactStore / streaming compact):
+    * the target must not exist or be an empty directory — a crashed
+    * attempt is retried by REMOVING the partial dir, never by
+    * appending into it. ONE definition so the contract cannot drift
+    * between the rewrites and the eligibility checks that mirror it.
+    */
+  private[graft] def isFreshDir(dir: String): Boolean = {
+    val f = new java.io.File(dir)
+    !f.exists() || (f.isDirectory && f.listFiles().isEmpty)
+  }
+
+  private[graft] def requireFreshDir(dir: String, op: String): Unit =
+    require(isFreshDir(dir),
+      s"$op targets a FRESH dir; $dir exists and is non-empty " +
+        s"(remove the partial dir to retry a crashed $op)")
+
   /** source -> (partId base, salt count), partIds globally unique.
     * Salting only needs approximate per-source counts, so the plan
     * pass samples (seeded => deterministic) instead of scanning the
@@ -593,11 +610,7 @@ object TokenEncoder {
                  cfg: EncodeConfig = EncodeConfig()): (Int, Int, Int, Long) = {
     import spark.implicits._
     require(inDir != outDir, "deleteDocs: outDir must differ from inDir")
-    val outF = new java.io.File(outDir)
-    require(!outF.exists() ||
-      (outF.isDirectory && outF.listFiles().isEmpty),
-      s"deleteDocs targets a FRESH dir; $outDir exists and is non-empty " +
-        "(remove the partial dir to retry a crashed delete)")
+    requireFreshDir(outDir, "deleteDocs")
     require(docIds.exists(_.nonEmpty),
       "deleteDocs: empty doc-id list (a no-op delete would still burn " +
         "a full store copy — refuse loudly instead)")
@@ -706,11 +719,7 @@ object TokenEncoder {
     require(inDirs.size >= 2, "mergeStores: need at least two input stores")
     require(!inDirs.contains(outDir),
       "mergeStores: outDir must differ from every input store")
-    val outF = new java.io.File(outDir)
-    require(!outF.exists() ||
-      (outF.isDirectory && outF.listFiles().isEmpty),
-      s"mergeStores targets a FRESH dir; $outDir exists and is non-empty " +
-        "(remove the partial dir to retry a crashed merge)")
+    requireFreshDir(outDir, "mergeStores")
     val plans = inDirs.map(loadPlan)
     // plan check first — it's free (driver-side json reads), so the
     // marker-collection jobs only run when it alone doesn't already
@@ -787,10 +796,13 @@ object TokenEncoder {
     * symtab + dictionary probe + task overhead per read forever after.
     *
     * Classification is METADATA-ONLY (blockRows/totalTokens per
-    * partId): a partId is fragmented when its block count exceeds the
-    * minimum the target shape admits,
-    * max(ceil(rows/blockRows), ceil(tokens/blockTokens), 1) — one
-    * trailing remainder block is NORMAL, never a compaction trigger.
+    * partId): a partId is fragmented when its block count exceeds
+    * what one sequential pack of the same content could legitimately
+    * produce, floor(rows/blockRows) + floor(tokens/blockTokens) + 1
+    * (each sealed block consumed a full row-cap OR token-cap, plus
+    * one trailing remainder) — a remainder block is NORMAL, never a
+    * compaction trigger, and re-compacting a compacted store is a
+    * no-op by construction.
     * Per-partId stats collect to the driver: bounded by the partition
     * plan's size, the same envelope loadPlan already holds.
     *
@@ -804,11 +816,7 @@ object TokenEncoder {
                    cfg: EncodeConfig = EncodeConfig()): CompactResult = {
     import spark.implicits._
     require(inDir != outDir, "compactStore: outDir must differ from inDir")
-    val outF = new java.io.File(outDir)
-    require(!outF.exists() ||
-      (outF.isDirectory && outF.listFiles().isEmpty),
-      s"compactStore targets a FRESH dir; $outDir exists and is " +
-        "non-empty (remove the partial dir to retry a crashed compact)")
+    requireFreshDir(outDir, "compactStore")
     def storeShape(dir: String): (Long, Long) = {
       val live = TokenDecoder.committedBlocks(spark, dir, None)
       val r = live.agg(count(lit(1)),
@@ -818,7 +826,9 @@ object TokenEncoder {
     loadPlan(inDir) match {
       case None =>
         // legacy store without a plan: no partId bands to preserve —
-        // honest fallback is the full decode+re-encode
+        // honest fallback is the full decode+re-encode (run() samples
+        // a fresh plan AND encodes = two passes, so its default input
+        // caching stands here, unlike the pinned-plan arm below)
         val (blocksBefore, _) = storeShape(inDir)
         run(TokenDecoder.read(spark, inDir), outDir, cfg)
         val (blocksAfter, rows) = storeShape(outDir)
@@ -831,10 +841,17 @@ object TokenEncoder {
             coalesce(sum("blockRows"), lit(0L)).as("rows"),
             coalesce(sum("totalTokens"), lit(0L)).as("toks"))
           .as[(Int, Long, Long, Long)].collect()
-        def ceilDiv(n: Long, d: Long): Long = (n + d - 1) / d
+        // sequential packing seals a block when EITHER cap is reached,
+        // so a fresh encode can legitimately produce up to
+        // floor(rows/blockRows) + floor(tokens/blockTokens) + 1 blocks
+        // (each sealed block consumed a full row-cap OR a full
+        // token-cap, plus one trailing remainder). Only counts ABOVE
+        // that bound are true fragmentation — a tighter max(ceil,ceil)
+        // bound would re-flag alternating-seal partitions forever and
+        // compaction would never converge.
         val frag = perPart.filter { case (_, k, rows, toks) =>
-          k > math.max(math.max(ceilDiv(rows, cfg.blockRows.toLong),
-            ceilDiv(toks, cfg.blockTokens.toLong)), 1L)
+          k > rows / cfg.blockRows.toLong +
+            toks / cfg.blockTokens.toLong + 1L
         }.map(_._1).toSet
         val allParts = allPartIds(plan)
         copyPartsVerbatim(spark, inDir, outDir, live, frag)
@@ -843,7 +860,10 @@ object TokenEncoder {
           // re-derived by the re-encode, so skip the verify decode
           val rows = TokenDecoder.readBlocks(spark, inDir, Some(frag),
             verifyChecksums = false)
-          run(rows, outDir, cfg)
+          // the pinned plan is already saved, so run() never samples:
+          // the decode stream has exactly ONE consumer — caching it
+          // would materialize the fragmented share for nothing
+          run(rows, outDir, cfg.copy(cacheInput = false))
           ()
         }
         val (blocksAfter, rowsTotal) = storeShape(outDir)
@@ -940,21 +960,32 @@ object TokenDecoder {
     val fails =
       if (!verifyChecksums)
         Seq.empty[(Int, Long)].toDF("partId", "checksum_fails")
-      else committedBlocks(spark, outDir, None)
-        .withColumn("minTok", coalesce(col("minTok"), lit(Int.MinValue)))
-        .withColumn("maxTok", coalesce(col("maxTok"), lit(Int.MaxValue)))
-        .as[EncodedBlock]
-        .map { b =>
+      else TokenEncoder
+        // self-contained committed-block join, NOT committedBlocks:
+        // that reader fails loudly on marker-less / pre-protocol
+        // stores by design, but an fsck must still REPORT on exactly
+        // those stores (its metadata arms already do, via the same
+        // safeReadParquet tolerance)
+        .safeReadParquet(spark, s"$outDir/blocks", mergeSchema = true)
+        .map(_.join(markers, Seq("partId", "runId"), "left_semi")
+          .select(col("partId").cast("int"), col("codecId"),
+            col("postCodec"), col("symtab"), col("payload"),
+            col("totalTokens"), col("checksum")))
+        .getOrElse(Seq
+          .empty[(Int, Int, Int, Array[Byte], Array[Byte], Long, Long)]
+          .toDF("partId", "codecId", "postCodec", "symtab", "payload",
+            "totalTokens", "checksum"))
+        .as[(Int, Int, Int, Array[Byte], Array[Byte], Long, Long)]
+        .map { case (partId, cid, post, st, pay, nTok, chk) =>
           // an audit REPORTS corruption — a payload mangled badly
           // enough to blow up its codec must count as a failure, not
           // kill the job the way the strict read path deliberately does
           val failed =
             try {
-              val tokens = BlockCodec.decode(b.codecId, b.postCodec,
-                b.symtab, b.payload, b.totalTokens.toInt)
-              BlockCodec.checksum(tokens, tokens.length) != b.checksum
+              val tokens = BlockCodec.decode(cid, post, st, pay, nTok.toInt)
+              BlockCodec.checksum(tokens, tokens.length) != chk
             } catch { case scala.util.control.NonFatal(_) => true }
-          (b.partId, if (failed) 1L else 0L)
+          (partId, if (failed) 1L else 0L)
         }
         .toDF("partId", "fail")
         .groupBy("partId").agg(sum("fail").as("checksum_fails"))

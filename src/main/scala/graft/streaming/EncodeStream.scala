@@ -40,9 +40,21 @@ object EncodeStream {
     TokenEncoder.loadPlan(outDir).orElse {
       if (batch.isEmpty) None
       else {
-        val p = TokenEncoder.partitionPlan(batch, cfg.targetRowsPerPart)
-        TokenEncoder.savePlan(p, outDir)
-        Some(p)
+        // a tiny first batch can yield an EMPTY 5% plan sample;
+        // pinning an empty plan would route the stream's whole
+        // lifetime through the 16 overflow slots — resample
+        // exhaustively instead (the batch is tiny precisely when the
+        // sample comes back empty, so the full pass is cheap)
+        val sampled = TokenEncoder.partitionPlan(batch, cfg.targetRowsPerPart)
+        val p =
+          if (sampled.nonEmpty) sampled
+          else TokenEncoder.partitionPlan(batch, cfg.targetRowsPerPart,
+            sampleFraction = 1.0)
+        if (p.isEmpty) None
+        else {
+          TokenEncoder.savePlan(p, outDir)
+          Some(p)
+        }
       }
     }
 
@@ -176,20 +188,20 @@ object EncodeStream {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val plans = dirs.map(TokenEncoder.loadPlan)
-      // fresh = the same contract compactStore itself enforces; a
+      // a crashed prior fast-path attempt may have stranded a full
+      // row-level copy at the staging path; reclaim it up front,
+      // whichever branch runs now
+      val staging = s"$targetDir.merge"
+      TokenEncoder.rmTree(new java.io.File(staging))
+      // freshness = the same contract compactStore itself enforces; a
       // NON-empty target is a crashed prior attempt, which only the
       // legacy run()-resume path can finish
-      val tf = new java.io.File(targetDir)
-      val fresh = !tf.exists() ||
-        (tf.isDirectory && tf.listFiles().isEmpty)
-      val fastEligible = fresh &&
+      val fastEligible = TokenEncoder.isFreshDir(targetDir) &&
         plans.head.isDefined && plans.forall(_ == plans.head)
       if (fastEligible && dirs.size == 1) {
         TokenEncoder.compactStore(spark, dirs.head, targetDir, cfg)
         ()
       } else if (fastEligible) {
-        val staging = s"$targetDir.merge"
-        TokenEncoder.rmTree(new java.io.File(staging))
         val mr = TokenEncoder.mergeStores(spark, dirs, staging, cfg)
         if (mr.rowLevel) {
           TokenEncoder.compactStore(spark, staging, targetDir, cfg)

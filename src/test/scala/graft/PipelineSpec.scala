@@ -549,6 +549,25 @@ class PipelineSpec extends SparkSpecBase {
       r.getAs[Long]("checksum_fails") > 0L))
   }
 
+  test("auditStore verify mode reports (not throws) on a marker-less store") {
+    val s = spark
+    val ds = graft.synth.TokenSynth.dataset(s, 100)
+    val dir = tmpDir("audit-nomark")
+    TokenEncoder.run(ds, dir, EncodeConfig(targetRowsPerPart = 50))
+    TokenEncoder.rmTree(new java.io.File(s"$dir/completed"))
+    // the strict reader refuses this store by design...
+    intercept[IllegalStateException] {
+      TokenDecoder.read(s, dir).count()
+    }
+    // ...but the fsck exists to DIAGNOSE exactly this state: every
+    // partition unmarked, every block an orphan, nothing verified
+    val a = TokenDecoder.auditStore(s, dir, verifyChecksums = true).collect()
+    assert(a.nonEmpty && a.forall(!_.getAs[Boolean]("ok")))
+    assert(a.forall(!_.getAs[Boolean]("marked")))
+    assert(a.map(_.getAs[Long]("orphan_blocks")).sum > 0L)
+    assert(a.map(_.getAs[Long]("checksum_fails")).sum == 0L)
+  }
+
   test("compactStore: fragmented partitions re-encode, full ones move verbatim") {
     val s = spark
     val full = graft.synth.TokenSynth.dataset(s, 900)

@@ -203,6 +203,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(back.toDF().exceptAll(want.toDF()).count() == 0)
   }
 
+  test("a tiny first batch never pins an empty master plan") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val outDir = tmpDir("mp-tiny")
+    val mem = MemoryStream[graft.model.TokenRow]
+    // 5 rows: the default 5% plan sample is almost surely empty — the
+    // resample guard must keep the pinned plan NONEMPTY, else every
+    // later batch of the stream's lifetime lands in the overflow band
+    val tiny = (0 until 5).map(i =>
+      graft.model.TokenRow(s"t$i", Array.fill(6)(i % 7), 6, "sOnly"))
+    val q = graft.streaming.EncodeStream.streamingEncode(mem.toDS(), outDir)
+    try {
+      mem.addData(tiny: _*); q.processAllAvailable()
+    } finally q.stop()
+    val master = graft.encode.TokenEncoder.loadPlan(outDir)
+    assert(master.exists(_.nonEmpty),
+      s"master plan must be pinned and nonempty, got $master")
+    assert(master.get.contains("sOnly"))
+  }
+
   test("compact takes the zero-decode path when batches share the master plan") {
     val s = spark
     import s.implicits._
