@@ -62,6 +62,7 @@ object UndatumCli {
         |          deleteenc <storeDir> --output <newStore> --doc id[,id...]
         |          mergeenc <storeDir> --with <store2>[,...] --output <newStore>
         |          compactenc <storeDir> --output <newStore>
+        |          recodeenc <storeDir> --output <newStore> [--rows-per-part N]
         |flags:    --output --fields --filter --query --format-in
         |          --format-out --delimiter --encoding --tagname
         |          --dictshare --chunksize --rule --mode --limit
@@ -367,6 +368,23 @@ object UndatumCli {
         (if (mr.rowLevel)
           s"blocks_copied=${mr.blocksCopied} (row-level, zero decode)"
          else s"reencoded (${mr.fallbackReason.getOrElse("fallback")})"))
+      None
+    case "recodeenc" =>
+      // full rewrite under a FRESH plan sized for the store's current
+      // content — the repair for overflow-band skew after a long
+      // pinned-plan ingest (compactenc keeps the plan; this resizes it)
+      val out = flags.getOrElse("output",
+        argError("recodeenc needs --output <newStoreDir>"))
+      graft.encode.TokenEncoder.requireFreshDir(out, "recodeenc")
+      val cfg0 = graft.encode.TokenEncoder.EncodeConfig(
+        targetRowsPerPart = flags.get("rows-per-part").map(_.toInt)
+          .getOrElse(50000),
+        inputFile = "recode")
+      val lin = graft.encode.TokenEncoder.run(
+        graft.encode.TokenDecoder.read(spark, input), out, cfg0)
+      val n = lin.toDF()
+        .agg(coalesce(sum("rowCount"), lit(0L))).first().getLong(0)
+      println(s"recoded: $out rows=$n")
       None
     case "compactenc" =>
       // selective compaction store->store; --output IS the new store

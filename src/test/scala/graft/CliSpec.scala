@@ -293,6 +293,16 @@ class CliSpec extends SparkSpecBase {
       Map("mode" -> "verify")).get.collect()
     assert(audit.nonEmpty && audit.forall(_.getAs[Boolean]("ok")))
     assert(audit.map(_.getAs[Long]("rows_blocks")).sum == cBack.length.toLong)
+    // re-plan rewrite (overflow-skew repair): fresh plan, same content
+    val recoded = s"${tmpDir("cli-recoded")}/store"
+    assert(UndatumCli.run(s, "recodeenc", compactStore,
+      Map("output" -> recoded, "rows-per-part" -> "200")).isEmpty)
+    val rBack = UndatumCli.run(s, "decode", recoded, Map.empty).get
+      .select("doc_id").collect().map(_.getString(0))
+    assert(rBack.sorted.toSeq == cBack.sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      UndatumCli.run(s, "recodeenc", compactStore, Map("output" -> recoded))
+    }
   }
 
   test("schema: per-field layout plus xxhash64 identity key") {
