@@ -1322,6 +1322,24 @@ object SparkEntry {
         .searchDocs(s, encodedStore(s, d), 100, 116)
         .orderBy("doc_id")
     }),
+    "q_encoded_search_idx" -> ((s, d) => {
+      // the same compressed-domain search THROUGH the secondary token
+      // index: TokenIndex.build (one idempotent decode pass, guarded
+      // by the tokidx dir) attaches a per-block token bloom, and every
+      // predicate walk transparently consults it — blocks whose wide
+      // zones survive the range prune but whose bloom rejects the
+      // point token skip the payload DECODE entirely. The oracle
+      // proves the index is an accelerator, never a filter: results
+      // equal the raw-table truth for a single-token query.
+      val store = encodedStore(s, d)
+      if (!new java.io.File(graft.encode.TokenIndex.path(store)).exists()) {
+        graft.encode.TokenIndex.build(s, store)
+        ()
+      }
+      graft.encode.CompressedSearch
+        .searchDocs(s, store, 424295, 424295)
+        .orderBy("doc_id")
+    }),
     "q_encoded_phrase" -> ((s, d) =>
       // EXACT contiguous-phrase search over the encoded store: zone
       // CONTAINMENT of all three tokens is pushed to the parquet scan,
@@ -3110,6 +3128,12 @@ object SparkEntry {
         |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet'))
         |SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_hits
         |FROM t WHERE tok BETWEEN 100 AND 116
+        |GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
+    "q_encoded_search_idx" ->
+      """WITH t AS (SELECT doc_id, source, unnest(tokens) AS tok
+        |  FROM read_parquet('/tmp/graft_oracle_side/encsearch_tokens/*.parquet'))
+        |SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM t WHERE tok = 424295
         |GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
     "q_encoded_count" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_in_range

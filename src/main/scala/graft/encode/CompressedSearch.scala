@@ -149,12 +149,15 @@ object CompressedSearch {
   def countTokens(spark: SparkSession, outDir: String,
                   lo: Int, hi: Int): DataFrame = {
     import spark.implicits._
-    TokenDecoder.committedBlocks(spark, outDir, None)
-      .where(zone(lo, hi))
-      .select("codecId", "postCodec", "symtab", "payload", "totalTokens")
-      .as[(Int, Int, Array[Byte], Array[Byte], Long)]
-      .map { case (cid, post, st, pay, nTok) =>
-        countInRange(cid, post, st, pay, nTok.toInt, lo, hi)
+    TokenIndex.withBloom(spark, outDir,
+        TokenDecoder.committedBlocks(spark, outDir, None)
+          .where(zone(lo, hi)))
+      .select("codecId", "postCodec", "symtab", "payload", "totalTokens",
+        "bloomEnc")
+      .as[(Int, Int, Array[Byte], Array[Byte], Long, Array[Byte])]
+      .map { case (cid, post, st, pay, nTok, bloom) =>
+        if (!graft.codec.TokBloom.mayIntersectRange(bloom, lo, hi)) 0L
+        else countInRange(cid, post, st, pay, nTok.toInt, lo, hi)
       }
       .toDF("c")
       .agg(coalesce(sum("c"), lit(0L)).as("n_in_range"))
@@ -1084,13 +1087,16 @@ object CompressedSearch {
     val zoneAny = ts.map(t =>
       (col("minTok").isNull || col("minTok") <= t) &&
         (col("maxTok").isNull || col("maxTok") >= t)).reduce(_ || _)
-    TokenDecoder.committedBlocks(spark, outDir, None)
-      .where(zoneAny)
+    TokenIndex.withBloom(spark, outDir,
+        TokenDecoder.committedBlocks(spark, outDir, None)
+          .where(zoneAny))
       .select("codecId", "postCodec", "symtab", "payload", "lengthsEnc",
-        "docIdsEnc", "sourcesEnc", "blockRows", "totalTokens")
+        "docIdsEnc", "sourcesEnc", "blockRows", "totalTokens", "bloomEnc")
       .as[(Int, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte],
-        Array[Byte], Int, Long)]
-      .filter(r => !dictRejectsEvery(r._1, r._3, ts))
+        Array[Byte], Int, Long, Array[Byte])]
+      .filter(r => !dictRejectsEvery(r._1, r._3, ts) &&
+        graft.codec.TokBloom.mayContainAny(r._10, ts))
+      .map(r => (r._1, r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9))
   }
 
   /** Multi-token sibling of [[scanRows]]: zone CONTAINMENT of every
@@ -1103,14 +1109,17 @@ object CompressedSearch {
       row: (String, String, Array[Int], Int, Int) => Iterator[T])(
       implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
     import spark.implicits._
-    TokenDecoder.committedBlocks(spark, outDir, None)
-      .where(zoneAll(ts))
+    TokenIndex.withBloom(spark, outDir,
+        TokenDecoder.committedBlocks(spark, outDir, None)
+          .where(zoneAll(ts)))
       .select("codecId", "postCodec", "symtab", "payload", "lengthsEnc",
-        "docIdsEnc", "sourcesEnc", "blockRows", "totalTokens")
+        "docIdsEnc", "sourcesEnc", "blockRows", "totalTokens", "bloomEnc")
       .as[(Int, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte],
-        Array[Byte], Int, Long)]
-      .flatMap { case (cid, post, st, pay, lensEnc, dEnc, sEnc, nRows, nTok) =>
-        if (dictRejectsAny(cid, st, ts)) Iterator.empty
+        Array[Byte], Int, Long, Array[Byte])]
+      .flatMap { case (cid, post, st, pay, lensEnc, dEnc, sEnc, nRows, nTok,
+                       bloom) =>
+        if (dictRejectsAny(cid, st, ts) ||
+          !graft.codec.TokBloom.mayContainAll(bloom, ts)) Iterator.empty
         else {
           val tokens = BlockCodec.decode(cid, post, st, pay, nTok.toInt)
           val docIds = graft.codec.StringCols.decodeDocIds(dEnc, nRows)
@@ -1162,14 +1171,17 @@ object CompressedSearch {
       row: (String, String, Array[Int], Int, Int) => Iterator[T])(
       implicit enc: org.apache.spark.sql.Encoder[T]): org.apache.spark.sql.Dataset[T] = {
     import spark.implicits._
-    TokenDecoder.committedBlocks(spark, outDir, partIds)
-      .where(zone(lo, hi))
+    TokenIndex.withBloom(spark, outDir,
+        TokenDecoder.committedBlocks(spark, outDir, partIds)
+          .where(zone(lo, hi)))
       .select("codecId", "postCodec", "symtab", "payload", "lengthsEnc",
-        "docIdsEnc", "sourcesEnc", "blockRows", "totalTokens")
+        "docIdsEnc", "sourcesEnc", "blockRows", "totalTokens", "bloomEnc")
       .as[(Int, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte],
-        Array[Byte], Int, Long)]
-      .flatMap { case (cid, post, st, pay, lensEnc, dEnc, sEnc, nRows, nTok) =>
-        if (dictRejects(cid, st, lo, hi)) Iterator.empty
+        Array[Byte], Int, Long, Array[Byte])]
+      .flatMap { case (cid, post, st, pay, lensEnc, dEnc, sEnc, nRows, nTok,
+                       bloom) =>
+        if (dictRejects(cid, st, lo, hi) ||
+          !graft.codec.TokBloom.mayIntersectRange(bloom, lo, hi)) Iterator.empty
         else {
           val tokens = BlockCodec.decode(cid, post, st, pay, nTok.toInt)
           val docIds = graft.codec.StringCols.decodeDocIds(dEnc, nRows)

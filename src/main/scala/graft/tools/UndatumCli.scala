@@ -57,6 +57,7 @@ object UndatumCli {
         |          pmienc <storeDir> [--topk N] [--min-count N]  (collocations)
         |          sourcesenc <storeDir>  (per-source counts, metadata-only)
         |          auditenc <storeDir> [--mode verify]  (integrity fsck)
+        |          indexenc <storeDir>  (token-bloom index; search uses it)
         |          knenc <storeDir> [--pairs N]  (Kneser-Ney doc NLL)
         |          curateenc <storeDir> --output <newStore> --max-nll N
         |          deleteenc <storeDir> --output <newStore> --doc id[,id...]
@@ -461,6 +462,13 @@ object UndatumCli {
       // adjacent-token pair frequency over the encoded store
       Some(graft.encode.CompressedSearch.storeBigramFrequency(spark, input)
         .orderBy(col("n_occ").desc, col("tok_a"), col("tok_b")))
+    case "indexenc" =>
+      // build/refresh the secondary token-bloom index; searchenc /
+      // phraseenc / conjenc / nearenc / bm25enc / countenc consult it
+      // transparently when present
+      val n = graft.encode.TokenIndex.build(spark, input)
+      println(s"indexed: ${graft.encode.TokenIndex.path(input)} blocks=$n")
+      None
     case "auditenc" =>
       // per-partition integrity report (markers vs lineage vs blocks);
       // --mode verify additionally decodes and re-hashes every block

@@ -293,6 +293,12 @@ class CliSpec extends SparkSpecBase {
       Map("mode" -> "verify")).get.collect()
     assert(audit.nonEmpty && audit.forall(_.getAs[Boolean]("ok")))
     assert(audit.map(_.getAs[Long]("rows_blocks")).sum == cBack.length.toLong)
+    // token-bloom index: build is idempotent, search stays exact after
+    val preIdx = UndatumCli.run(s, "searchenc", compactStore,
+      Map("lo" -> "5", "hi" -> "5")).get.collect().toSeq
+    assert(UndatumCli.run(s, "indexenc", compactStore, Map.empty).isEmpty)
+    assert(UndatumCli.run(s, "searchenc", compactStore,
+      Map("lo" -> "5", "hi" -> "5")).get.collect().toSeq == preIdx)
     // re-plan rewrite (overflow-skew repair): fresh plan, same content
     val recoded = s"${tmpDir("cli-recoded")}/store"
     assert(UndatumCli.run(s, "recodeenc", compactStore,

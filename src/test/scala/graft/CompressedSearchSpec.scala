@@ -681,6 +681,74 @@ class CompressedSearchSpec extends SparkSpecBase {
     assert(gotLegacy == exp)
   }
 
+  test("TokenIndex: transparent pruning, no false negatives, over-cap abstains") {
+    import spark.implicits._
+    val ds = graft.synth.TokenSynth.dataset(spark, 400)
+    val dir = tmpDir("graft-tokidx")
+    TokenEncoder.run(ds, dir, TokenEncoder.EncodeConfig(targetRowsPerPart = 100))
+    // baselines BEFORE the index exists
+    def collectSearch(lo: Int, hi: Int) = CompressedSearch
+      .searchDocs(spark, dir, lo, hi).orderBy("doc_id").collect().toSeq
+    def collectCount(lo: Int, hi: Int) = CompressedSearch
+      .countTokens(spark, dir, lo, hi).collect()(0).getLong(0)
+    val someTok = ds.collect().flatMap(_.tokens).groupBy(identity)
+      .minBy { case (_, occ) => (occ.length, occ.head) }._1 // rarest token
+    val beforePoint = collectSearch(someTok, someTok)
+    val beforeRange = collectSearch(100, 116)
+    val beforeCount = collectCount(someTok, someTok)
+    val nIdx = graft.encode.TokenIndex.build(spark, dir)
+    assert(nIdx > 0)
+    // parity: the index is an accelerator, never a filter
+    assert(collectSearch(someTok, someTok) == beforePoint)
+    assert(collectSearch(100, 116) == beforeRange)
+    assert(collectCount(someTok, someTok) == beforeCount)
+    // no false negatives: every distinct token of every indexed block
+    // passes its own bloom
+    val idx = spark.read.parquet(graft.encode.TokenIndex.path(dir))
+      .collect().map(r => r.getAs[String]("blockId") ->
+        r.getAs[Array[Byte]]("bloomEnc")).toMap
+    val blocks = spark.read.parquet(s"$dir/blocks")
+      .select("blockId", "codecId", "postCodec", "symtab", "payload",
+        "totalTokens")
+      .collect()
+    var rejecting = 0
+    var indexedNonDict = 0
+    blocks.foreach { r =>
+      val bid = r.getString(0)
+      if (r.getInt(1) != graft.codec.CodecIds.Dict && idx.contains(bid)) {
+        indexedNonDict += 1
+        val vals = graft.codec.BlockCodec.decode(r.getInt(1), r.getInt(2),
+          r.getAs[Array[Byte]](3), r.getAs[Array[Byte]](4),
+          r.getLong(5).toInt)
+        val bloom = idx(bid)
+        assert(vals.distinct.forall(t =>
+          graft.codec.TokBloom.mayContain(bloom, t)),
+          s"false negative in block $bid")
+        if (!graft.codec.TokBloom.mayContain(bloom, someTok)) rejecting += 1
+      }
+    }
+    assert(indexedNonDict > 0)
+    // the rarest token's bloom actually PRUNES most non-dict blocks
+    assert(rejecting > indexedNonDict / 2,
+      s"expected most blocks to reject token $someTok: " +
+        s"$rejecting/$indexedNonDict")
+    // over-cap block: > MaxDistinct distinct values => null bloom, and
+    // search over that store stays exact
+    val wide = (0 until 20).map { i =>
+      val toks = Array.tabulate(8192)(j => i * 8192 + j)
+      graft.model.TokenRow(f"wide-$i%04d", toks, toks.length, "w")
+    }
+    val dir2 = tmpDir("graft-tokidx-wide")
+    TokenEncoder.run(spark.createDataset(wide), dir2,
+      TokenEncoder.EncodeConfig(targetRowsPerPart = 100))
+    graft.encode.TokenIndex.build(spark, dir2)
+    val idx2 = spark.read.parquet(graft.encode.TokenIndex.path(dir2)).collect()
+    assert(idx2.exists(_.getAs[Array[Byte]]("bloomEnc") == null),
+      "a >MaxDistinct block must abstain with a null bloom")
+    assert(CompressedSearch.searchDocs(spark, dir2, 8192, 8192)
+      .collect().map(_.getString(0)).toSeq == Seq("wide-0001"))
+  }
+
   test("storePmiTopK: brute-force PMI replay, ratio-ordered top-k") {
     import spark.implicits._
     val rng = new scala.util.Random(29)
