@@ -114,7 +114,11 @@ object TokenEncoder {
     */
   private[graft] def isFreshDir(dir: String): Boolean = {
     val f = new java.io.File(dir)
-    !f.exists() || (f.isDirectory && f.listFiles().isEmpty)
+    // listFiles returns null on an I/O error or a vanished-dir race:
+    // an unlistable existing dir is NOT fresh — refuse loudly rather
+    // than let a rewrite land on top of unknown contents
+    val kids = if (f.isDirectory) f.listFiles() else null
+    !f.exists() || (f.isDirectory && kids != null && kids.isEmpty)
   }
 
   private[graft] def requireFreshDir(dir: String, op: String): Unit =
@@ -926,11 +930,18 @@ object TokenDecoder {
   def auditStore(spark: SparkSession, outDir: String,
                  verifyChecksums: Boolean = false): DataFrame = {
     import spark.implicits._
+    // a pre-marker-protocol completed/ (no runId column) carries no
+    // usable commitment claims — the fsck treats it as marker-LESS
+    // (everything unmarked/orphaned, ok=false) and REPORTS, where the
+    // strict reader deliberately throws
     val markers = TokenEncoder.safeReadParquet(spark, s"$outDir/completed")
+      .filter(_.columns.contains("runId"))
       .map(_.select(col("partId").cast("int").as("partId"), col("runId")))
       .getOrElse(Seq.empty[(Int, String)].toDF("partId", "runId"))
     val blocks = TokenEncoder
       .safeReadParquet(spark, s"$outDir/blocks", mergeSchema = true)
+      .filter(df => Seq("partId", "runId", "blockId", "blockRows")
+        .forall(df.columns.contains))
       .map(_.select(col("partId").cast("int").as("partId"), col("runId"),
         col("blockId"), col("blockRows").cast("long").as("blockRows")))
       .getOrElse(Seq.empty[(Int, String, String, Long)]
@@ -967,7 +978,14 @@ object TokenDecoder {
         // those stores (its metadata arms already do, via the same
         // safeReadParquet tolerance)
         .safeReadParquet(spark, s"$outDir/blocks", mergeSchema = true)
+        .filter(df => Seq("partId", "runId", "codecId", "postCodec",
+          "symtab", "payload", "totalTokens", "checksum")
+          .forall(df.columns.contains))
         .map(_.join(markers, Seq("partId", "runId"), "left_semi")
+          // a mixed-era row missing its checksum or payload (nulls
+          // under mergeSchema) cannot be verified — the metadata arms
+          // still flag its partition via the row-mass comparison
+          .where(col("checksum").isNotNull && col("payload").isNotNull)
           .select(col("partId").cast("int"), col("codecId"),
             col("postCodec"), col("symtab"), col("payload"),
             col("totalTokens"), col("checksum")))

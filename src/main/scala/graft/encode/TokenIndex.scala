@@ -71,15 +71,34 @@ object TokenIndex {
     TokenEncoder.safeReadParquet(spark, path(outDir))
       .map(_.select("blockId", "bloomEnc"))
 
+  /** An index bigger than this opts OUT of pruning: the adjoin below
+    * must be a BROADCAST join (the blocks side carries payload bytes —
+    * a sort-merge join would shuffle the store's heaviest columns on
+    * every search, costing far more than unpruned decode). Past this
+    * size the right move at 10^12 blocks is embedding the bloom as a
+    * block column at encode time, not a side table.
+    */
+  val MaxBroadcastBytes: Long = 256L << 20
+
   /** Left-adjoin `bloomEnc` to a committed-blocks frame: the index's
     * one integration point, shared by every block walk so a missing
-    * index, a missing row and a null bloom all collapse to the same
-    * null — "may contain anything".
+    * index, an oversized index, a missing row and a null bloom all
+    * collapse to the same null — "may contain anything".
     */
   private[encode] def withBloom(spark: SparkSession, outDir: String,
                                 blocks: DataFrame): DataFrame =
-    load(spark, outDir) match {
-      case Some(idx) => blocks.join(idx, Seq("blockId"), "left_outer")
-      case None => blocks.withColumn("bloomEnc", lit(null).cast("binary"))
+    load(spark, outDir)
+      .filter(_ => dirBytes(new java.io.File(path(outDir))) <= MaxBroadcastBytes)
+      match {
+        case Some(idx) =>
+          blocks.join(broadcast(idx), Seq("blockId"), "left_outer")
+        case None => blocks.withColumn("bloomEnc", lit(null).cast("binary"))
+      }
+
+  private def dirBytes(f: java.io.File): Long =
+    if (f.isFile) f.length()
+    else {
+      val kids = f.listFiles()
+      if (kids == null) 0L else kids.map(dirBytes).sum
     }
 }

@@ -64,11 +64,19 @@ object EncodeStream {
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch { (batch: Dataset[TokenRow], batchId: Long) =>
         val dir = s"$outDir/batch=$batchId"
-        masterPlan(outDir, batch, cfg)
-          .foreach(p => TokenEncoder.savePlan(p, dir))
-        TokenEncoder.run(batch, dir,
-          cfg.copy(inputFile = s"batch-$batchId"))
-        ()
+        masterPlan(outDir, batch, cfg) match {
+          case Some(p) =>
+            TokenEncoder.savePlan(p, dir)
+            TokenEncoder.run(batch, dir,
+              cfg.copy(inputFile = s"batch-$batchId"))
+            ()
+          case None =>
+            // empty batch before any data: landing it would pin an
+            // EMPTY per-batch plan, which later disqualifies the
+            // whole corpus from compact()'s zero-decode fast path —
+            // land nothing instead (a no-dir batch holds no rows)
+            ()
+        }
       }
       .start()
 
@@ -140,11 +148,14 @@ object EncodeStream {
           val rows = graft.text.TextOps.tokenizeMap(
             gated, "doc_id", "text", "source", merged, oovId).as[TokenRow]
           val dir = s"$outDir/batch=$batchId"
-          masterPlan(outDir, rows, cfg)
-            .foreach(p => TokenEncoder.savePlan(p, dir))
-          TokenEncoder.run(rows, dir,
-            cfg.copy(inputFile = s"batch-$batchId"))
-          ()
+          masterPlan(outDir, rows, cfg) match {
+            case Some(p) =>
+              TokenEncoder.savePlan(p, dir)
+              TokenEncoder.run(rows, dir,
+                cfg.copy(inputFile = s"batch-$batchId"))
+              ()
+            case None => () // empty/fully-gated batch: land nothing
+          }
         } finally { gated.unpersist(blocking = false); () }
       }
       .start()
@@ -182,10 +193,10 @@ object EncodeStream {
               cfg: EncodeConfig = EncodeConfig()): Long = {
     val dirs = committedBatchDirs(spark, outDir)
     if (dirs.isEmpty) return 0L
-    // compact persists the union itself — run()'s own cacheInput
-    // would materialize a SECOND full copy of the corpus for nothing
+    // NOT persisted up front: only the legacy branch consumes the
+    // union twice (run + verify) and persists it there — the fast
+    // paths read it exactly once, for the containment verify
     val rows = readDirs(spark, dirs, verifyChecksums = true)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val plans = dirs.map(TokenEncoder.loadPlan)
       // a crashed prior fast-path attempt may have stranded a full
@@ -214,6 +225,9 @@ object EncodeStream {
             s"compact: could not move $staging to $targetDir")
         }
       } else {
+        // persist here — run() and the verify below both consume the
+        // union (run()'s own cacheInput stays off: one cache, not two)
+        rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         TokenEncoder.run(rows, targetDir, cfg.copy(cacheInput = false))
         ()
       }

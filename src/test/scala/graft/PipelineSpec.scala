@@ -568,6 +568,31 @@ class PipelineSpec extends SparkSpecBase {
     assert(a.map(_.getAs[Long]("checksum_fails")).sum == 0L)
   }
 
+  test("auditStore reports on a pre-protocol store (completed/ without runId)") {
+    val s = spark
+    val ds = graft.synth.TokenSynth.dataset(s, 80)
+    val dir = tmpDir("audit-preproto")
+    TokenEncoder.run(ds, dir, EncodeConfig(targetRowsPerPart = 40))
+    // rewrite completed/ to the pre-protocol shape: partId only
+    val old = s.read.parquet(s"$dir/completed").select("partId")
+    val tmp = tmpDir("audit-preproto-mk")
+    old.write.mode("overwrite").parquet(tmp)
+    TokenEncoder.rmTree(new java.io.File(s"$dir/completed"))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(s"$dir/completed"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // the strict reader refuses this store by design...
+    intercept[IllegalStateException] {
+      TokenDecoder.read(s, dir).count()
+    }
+    // ...the fsck reports it instead: no usable commitment claims, so
+    // everything is unmarked and every block an orphan
+    val a = TokenDecoder.auditStore(s, dir, verifyChecksums = true).collect()
+    assert(a.nonEmpty && a.forall(!_.getAs[Boolean]("ok")))
+    assert(a.forall(!_.getAs[Boolean]("marked")))
+    assert(a.map(_.getAs[Long]("orphan_blocks")).sum > 0L)
+  }
+
   test("compactStore: fragmented partitions re-encode, full ones move verbatim") {
     val s = spark
     val full = graft.synth.TokenSynth.dataset(s, 900)
