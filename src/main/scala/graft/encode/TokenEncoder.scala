@@ -907,6 +907,37 @@ object TokenDecoder {
            verifyChecksums: Boolean = false): Dataset[TokenRow] =
     readBlocks(spark, outDir, None, verifyChecksums)
 
+  /** Bounded preview: decode only enough blocks to yield `n` rows —
+    * the quick peek a 10^12-row store needs at O(n) cost, not
+    * O(store). Block choice is by blockId order (deterministic, not
+    * semantically meaningful, like any head). The metadata pull is
+    * bounded BEFORE the driver: at most `n` nonempty blocks' (id,
+    * rows) pairs come back (TakeOrdered — every nonempty block yields
+    * ≥1 row, so `n` blocks always suffice), then a cumulative prefix
+    * picks the ones that actually decode.
+    */
+  def readHead(spark: SparkSession, outDir: String,
+               n: Int): Dataset[TokenRow] = {
+    import spark.implicits._
+    require(n > 0, "readHead: n must be positive")
+    val metaPairs = committedBlocks(spark, outDir, None)
+      .where(col("blockRows") > 0)
+      .select("blockId", "blockRows")
+      .as[(String, Int)]
+      .orderBy("blockId")
+      .limit(n)
+      .collect()
+    var acc = 0L
+    val picked = metaPairs.takeWhile { case (_, rows) =>
+      val keep = acc < n
+      acc += rows
+      keep
+    }.map(_._1).toSet
+    if (picked.isEmpty) spark.emptyDataset[TokenRow]
+    else readBlocks(spark, outDir, None, verifyChecksums = false,
+      blockIds = Some(picked)).limit(n)
+  }
+
   /** Store integrity audit — the fsck a resumable 10^12-row store
     * wants before a merge/delete/compaction is trusted. Cross-checks
     * the three metadata tables per partId: commit markers (who CLAIMS

@@ -58,6 +58,7 @@ object UndatumCli {
         |          sourcesenc <storeDir>  (per-source counts, metadata-only)
         |          auditenc <storeDir> [--mode verify]  (integrity fsck)
         |          indexenc <storeDir>  (token-bloom index; search uses it)
+        |          headenc <storeDir> [--limit N]  (O(n) bounded preview)
         |          knenc <storeDir> [--pairs N]  (Kneser-Ney doc NLL)
         |          curateenc <storeDir> --output <newStore> --max-nll N
         |          deleteenc <storeDir> --output <newStore> --doc id[,id...]
@@ -397,6 +398,10 @@ object UndatumCli {
         s"copied=${cr.partsCopied} reencoded=${cr.partsReencoded} " +
         s"blocks=${cr.blocksBefore}->${cr.blocksAfter} rows=${cr.rowsTotal}")
       None
+    case "headenc" =>
+      // bounded preview: decodes only enough blocks for --limit rows
+      Some(graft.encode.TokenDecoder.readHead(spark, input,
+        flags.get("limit").map(_.toInt).getOrElse(10)).toDF())
     case "decode" =>
       Some(graft.encode.TokenDecoder.read(spark, input).toDF())
     case "searchenc" =>

@@ -568,6 +568,29 @@ class PipelineSpec extends SparkSpecBase {
     assert(a.map(_.getAs[Long]("checksum_fails")).sum == 0L)
   }
 
+  test("readHead: exactly n rows from a bounded block prefix") {
+    val s = spark
+    val ds = graft.synth.TokenSynth.dataset(s, 300)
+    val dir = tmpDir("head-in")
+    TokenEncoder.run(ds, dir, EncodeConfig(targetRowsPerPart = 60,
+      blockRows = 20))
+    val all = ds.collect().map(r => r.doc_id -> r).toMap
+    val got = TokenDecoder.readHead(s, dir, 25).collect()
+    assert(got.length == 25)
+    // every previewed row is a REAL row, tokens intact
+    got.foreach { r =>
+      assert(all(r.doc_id).tokens.toSeq == r.tokens.toSeq)
+    }
+    // deterministic: same prefix both times
+    assert(TokenDecoder.readHead(s, dir, 25).collect()
+      .map(_.doc_id).sorted.toSeq == got.map(_.doc_id).sorted.toSeq)
+    // n beyond the store: everything, once
+    assert(TokenDecoder.readHead(s, dir, 100000).count() == 300L)
+    intercept[IllegalArgumentException] {
+      TokenDecoder.readHead(s, dir, 0)
+    }
+  }
+
   test("auditStore reports on a pre-protocol store (completed/ without runId)") {
     val s = spark
     val ds = graft.synth.TokenSynth.dataset(s, 80)
