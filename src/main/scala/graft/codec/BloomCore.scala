@@ -46,14 +46,22 @@ private[codec] object BloomCore {
   }
 
   /** No false negatives; null/empty filters answer true (legacy /
-    * abstaining blocks).
+    * abstaining blocks). A corrupt/truncated filter (e.g. a mangled
+    * tokidx row — the index is documented as an accelerator, never a
+    * correctness dependency) must ABSTAIN, not throw: m is validated
+    * as a positive power of two whose m/8 payload bytes fit the
+    * buffer before any probe indexes into it.
     */
   def mayContain(enc: Array[Byte], h1: Long): Boolean = {
     if (enc == null || enc.length == 0) return true
     val r = new ByteReader(enc)
-    val m = r.readVarInt()
-    val mask = m - 1
+    val m = try r.readVarInt() catch {
+      case _: IndexOutOfBoundsException => return true // truncated varint
+    }
     val base = r.pos
+    if (m <= 0 || (m & (m - 1)) != 0 ||
+      base.toLong + (m >>> 3) > enc.length) return true
+    val mask = m - 1
     val h2 = Hash.splitmix64(h1) | 1L
     var i = 0
     while (i < Probes) {

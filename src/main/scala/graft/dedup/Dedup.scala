@@ -335,6 +335,7 @@ object Dedup {
     // declared convergence after one sweep on under-propagated labels.
     var iter = 0
     var converged = false
+    val sweepMs = scala.collection.mutable.ArrayBuffer[Long]()
     try {
       // maxIter bounds the PROPAGATION sweeps (≈ component diameter);
       // convergence is only observable as one extra no-change sweep,
@@ -342,6 +343,7 @@ object Dedup {
       // exactly maxIter sweeps would finish correctly and still be
       // reported as non-converged
       while (iter < maxIter + 1 && !converged) {
+        val t0 = System.nanoTime()
         val neighborMin = edges
           .join(labels.withColumnRenamed("id", "src"), Seq("src"))
           .groupBy(col("dst").as("id"))
@@ -359,6 +361,7 @@ object Dedup {
         labels = next.drop("chg")
         converged = changed == 0
         iter += 1
+        sweepMs += (System.nanoTime() - t0) / 1000000L
       }
       // partially-propagated labels are WRONG clusters, not approximate
       // ones (a >maxIter-diameter chain would report one component as
@@ -373,9 +376,22 @@ object Dedup {
     } finally {
       // release the edge checkpoint on the refusal path too
       edges.unpersist(blocking = false)
+      // sweep observability (VERDICT r6 #4): the official bench JSON
+      // format is frozen, so the per-sweep record lands on stderr and
+      // in [[lastCcSweepMs]] — enough to decide "noise spike vs
+      // convergence regression" from a bench run's logs after the fact
+      lastCcSweepMs.set(sweepMs.toList)
+      System.err.println(
+        s"[cc] sweeps=$iter converged=$converged ms=${sweepMs.mkString(",")}")
     }
     (labels, iter)
   }
+
+  /** Per-sweep wall millis of the most recent [[connectedComponents]]
+    * run in this JVM (instrumentation only — see the stderr line).
+    */
+  val lastCcSweepMs =
+    new java.util.concurrent.atomic.AtomicReference[List[Long]](Nil)
 
   /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris et
     * al., "Connected Components in MapReduce and Beyond", public) —

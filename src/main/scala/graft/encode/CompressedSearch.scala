@@ -1,6 +1,6 @@
 package graft.encode
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.codec.{Bits, BlockCodec, ByteReader, CodecIds, DictCodec}
 
@@ -27,16 +27,18 @@ import graft.codec.{Bits, BlockCodec, ByteReader, CodecIds, DictCodec}
   *     entries, a few KB) decides membership without DECODING the
   *     payload: no dict value in [lo,hi] => whole block rejected from
   *     the symtab alone (no bit-unpack, no zstd inflate, no token
-  *     walk). Precision note: in the range-scan paths
-  *     (countTokens / tokenFrequency / searchDocs / readDocs) the
-  *     payload COLUMN is still projected for every zone-surviving
-  *     block, so parquet reads its bytes even when the symtab then
-  *     rejects — restricting the projection itself to surviving dict
-  *     blocks would need a driver-collected blockId list (no pushable
-  *     predicate exists for "symtab has no value in range"), which
-  *     does not scale. [[distinctTokens]] is the one query whose dict
-  *     answer needs ONLY symtabs, and it runs a genuinely payload-FREE
-  *     split scan (plan-asserted in CompressedSearchSpec).
+  *     walk). Since round 7 the symtab (and token-bloom) rejection
+  *     also saves the parquet READ, not just the decode: every
+  *     selective walk runs a TWO-PHASE selection ([[selectBlocks]]) —
+  *     a payload-free metadata pre-scan evaluates tiers 1-2 (plus the
+  *     tokidx bloom) and chooses surviving blockIds, then the payload
+  *     scan carries a pushed `blockId IN` filter, so rejected blocks'
+  *     payload bytes are never read (plan-asserted in
+  *     CompressedSearchSpec). Walks whose survivor set exceeds the
+  *     bounded driver cap fall back to the single scan — they read
+  *     most payloads by definition. [[distinctTokens]] additionally
+  *     answers dict blocks from symtabs ALONE via its payload-FREE
+  *     split scan.
   *  3. COMPRESSED-DOMAIN COUNTING — Dict blocks count index codes
   *     against the dictionary's [lo,hi] index span (sorted dict =>
   *     contiguous code range, one unsigned compare per token); RLE
@@ -149,9 +151,9 @@ object CompressedSearch {
   def countTokens(spark: SparkSession, outDir: String,
                   lo: Int, hi: Int): DataFrame = {
     import spark.implicits._
-    TokenIndex.withBloom(spark, outDir,
-        TokenDecoder.committedBlocks(spark, outDir, None)
-          .where(zone(lo, hi)))
+    selectBlocks(spark, outDir, None, zone(lo, hi),
+        (cid, st, bloom) => dictRejects(cid, st, lo, hi) ||
+          !graft.codec.TokBloom.mayIntersectRange(bloom, lo, hi))
       .select("codecId", "postCodec", "symtab", "payload", "totalTokens",
         "bloomEnc")
       .as[(Int, Int, Array[Byte], Array[Byte], Long, Array[Byte])]
@@ -179,8 +181,17 @@ object CompressedSearch {
                      lo: Int = Int.MinValue,
                      hi: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
-    TokenDecoder.committedBlocks(spark, outDir, None)
-      .where(zone(lo, hi))
+    // a restricted range gets the two-phase selection (rejected
+    // blocks' payload bytes unread); the full-range histogram has
+    // nothing to reject — every block contributes — so it keeps the
+    // single metadata-light scan with no pre-scan overhead
+    val blocks =
+      if (lo == Int.MinValue && hi == Int.MaxValue)
+        TokenDecoder.committedBlocks(spark, outDir, None).where(zone(lo, hi))
+      else selectBlocks(spark, outDir, None, zone(lo, hi),
+        (cid, st, bloom) => dictRejects(cid, st, lo, hi) ||
+          !graft.codec.TokBloom.mayIntersectRange(bloom, lo, hi))
+    blocks
       .select("codecId", "postCodec", "symtab", "payload", "totalTokens")
       .as[(Int, Int, Array[Byte], Array[Byte], Long)]
       .flatMap { case (cid, post, st, pay, nTokL) =>
@@ -994,8 +1005,11 @@ object CompressedSearch {
         "encode that never committed — resume it before querying)")
     val nDocs = meta.getLong(0)
     val avgdl = meta.getLong(1).toDouble / nDocs
+    // ONE two-phase block selection shared by both passes (the
+    // pre-scan survivor job runs once, not per pass)
+    val blocks = blocksAny(spark, outDir, query)
     // pass 1: per-token document frequencies, pre-aggregated per block
-    val df = blocksAny(spark, outDir, query)
+    val df = blocks
       .flatMap { case (cid, post, st, pay, lensEnc, _, _, nRows, nTok) =>
         val counts = new Array[Long](query.length)
         val tokens = BlockCodec.decode(cid, post, st, pay, nTok.toInt)
@@ -1031,7 +1045,7 @@ object CompressedSearch {
     }
     val bcIdf = spark.sparkContext.broadcast(idf)
     // pass 2: score matching docs; one output row per hit doc
-    blocksAny(spark, outDir, query)
+    blocks
       .flatMap { case (cid, post, st, pay, lensEnc, dEnc, sEnc, nRows, nTok) =>
         val w = bcIdf.value
         val tokens = BlockCodec.decode(cid, post, st, pay, nTok.toInt)
@@ -1087,9 +1101,9 @@ object CompressedSearch {
     val zoneAny = ts.map(t =>
       (col("minTok").isNull || col("minTok") <= t) &&
         (col("maxTok").isNull || col("maxTok") >= t)).reduce(_ || _)
-    TokenIndex.withBloom(spark, outDir,
-        TokenDecoder.committedBlocks(spark, outDir, None)
-          .where(zoneAny))
+    selectBlocks(spark, outDir, None, zoneAny,
+        (cid, st, bloom) => dictRejectsEvery(cid, st, ts) ||
+          !graft.codec.TokBloom.mayContainAny(bloom, ts))
       .select("codecId", "postCodec", "symtab", "payload", "lengthsEnc",
         "docIdsEnc", "sourcesEnc", "blockRows", "totalTokens", "bloomEnc")
       .as[(Int, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte],
@@ -1109,9 +1123,9 @@ object CompressedSearch {
       row: (String, String, Array[Int], Int, Int) => Iterator[T])(
       implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
     import spark.implicits._
-    TokenIndex.withBloom(spark, outDir,
-        TokenDecoder.committedBlocks(spark, outDir, None)
-          .where(zoneAll(ts)))
+    selectBlocks(spark, outDir, None, zoneAll(ts),
+        (cid, st, bloom) => dictRejectsAny(cid, st, ts) ||
+          !graft.codec.TokBloom.mayContainAll(bloom, ts))
       .select("codecId", "postCodec", "symtab", "payload", "lengthsEnc",
         "docIdsEnc", "sourcesEnc", "blockRows", "totalTokens", "bloomEnc")
       .as[(Int, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte],
@@ -1158,6 +1172,60 @@ object CompressedSearch {
       .agg(sum("n_hits").as("n_hits"))
   }
 
+  /** Driver cap on the two-phase survivor list: blockIds are ~40-byte
+    * strings, so 4096 keeps the pushed IN filter small and the driver
+    * footprint in the hundreds of KB regardless of store size (the
+    * bounded-collect convention every metadata pull in this engine
+    * follows).
+    */
+  private[encode] val MaxSelectedBlockIds = 4096
+
+  /** The payload-FREE half of the two-phase block selection: committed
+    * blocks under `pred`, projected to (blockId, codecId, symtab,
+    * bloomEnc) only — column pruning reaches the parquet scan, so the
+    * store's heaviest column (payload, ~95% of bytes) is never read
+    * here (plan-asserted in CompressedSearchSpec).
+    */
+  private[encode] def blockMetaFrame(spark: SparkSession, outDir: String,
+      partIds: Option[Set[Int]], pred: Column): DataFrame =
+    TokenIndex.withBloom(spark, outDir,
+        TokenDecoder.committedBlocks(spark, outDir, partIds).where(pred)
+          .select("blockId", "codecId", "symtab"))
+      .select("blockId", "codecId", "symtab", "bloomEnc")
+
+  /** TWO-PHASE block selection (the Abadi-style late-materialization
+    * move applied to our own store): a payload-free pre-scan
+    * ([[blockMetaFrame]]) evaluates the symtab/token-bloom rejection
+    * tiers over metadata columns alone and chooses surviving
+    * blockIds; when few enough, the payload scan is pruned to the
+    * survivors with a pushed `blockId IN (...)` filter — a
+    * dict/bloom-rejected block's payload BYTES are never read, not
+    * merely never decoded (the r6 gap: tier-2/3 rejection saved
+    * decode CPU but parquet still read every zone-surviving payload).
+    * A non-selective predicate (survivors exceed the driver cap)
+    * falls back to the single-scan form — such a walk reads most
+    * payloads anyway, and the cap keeps the driver list point-sized
+    * by construction. The JVM-side rejection stays in the decode path
+    * either way, so the IN filter is an accelerator, never a
+    * correctness dependency.
+    */
+  private def selectBlocks(spark: SparkSession, outDir: String,
+      partIds: Option[Set[Int]], pred: Column,
+      reject: (Int, Array[Byte], Array[Byte]) => Boolean): DataFrame = {
+    import spark.implicits._
+    val survivors = blockMetaFrame(spark, outDir, partIds, pred)
+      .as[(String, Int, Array[Byte], Array[Byte])]
+      .filter { case (_, cid, st, bloom) => !reject(cid, st, bloom) }
+      .map(_._1)
+      .take(MaxSelectedBlockIds + 1)
+    val base = TokenIndex.withBloom(spark, outDir,
+      TokenDecoder.committedBlocks(spark, outDir, partIds).where(pred))
+    if (survivors.isEmpty) base.where(lit(false))
+    else if (survivors.length <= MaxSelectedBlockIds)
+      base.where(col("blockId").isInCollection(survivors.toSeq))
+    else base
+  }
+
   /** The ONE zone-pruned, dict-rejected block walk behind every
     * per-row consumer: hit blocks decode once, then each row is handed
     * to `row` as (docId, source, blockTokens, off, n) — its tokens are
@@ -1171,9 +1239,9 @@ object CompressedSearch {
       row: (String, String, Array[Int], Int, Int) => Iterator[T])(
       implicit enc: org.apache.spark.sql.Encoder[T]): org.apache.spark.sql.Dataset[T] = {
     import spark.implicits._
-    TokenIndex.withBloom(spark, outDir,
-        TokenDecoder.committedBlocks(spark, outDir, partIds)
-          .where(zone(lo, hi)))
+    selectBlocks(spark, outDir, partIds, zone(lo, hi),
+        (cid, st, bloom) => dictRejects(cid, st, lo, hi) ||
+          !graft.codec.TokBloom.mayIntersectRange(bloom, lo, hi))
       .select("codecId", "postCodec", "symtab", "payload", "lengthsEnc",
         "docIdsEnc", "sourcesEnc", "blockRows", "totalTokens", "bloomEnc")
       .as[(Int, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte],

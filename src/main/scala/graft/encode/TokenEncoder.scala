@@ -1113,6 +1113,13 @@ object TokenDecoder {
     * CompressedSearch for those). Legacy blocks with a null filter
     * are kept — correct, just unpruned.
     */
+  /** Driver cap on the may-contain list: past it (a degenerate store —
+    * null-bloom legacy blocks, or a bloom fp share at 10^9 blocks) the
+    * survivor set stays DISTRIBUTED as a semi-join on blockId, so the
+    * driver never holds a list proportional to store size.
+    */
+  private[encode] val MaxPointLookupBlockIds = 65536
+
   def readDocsById(spark: SparkSession, outDir: String,
                    docIds: Seq[String]): Dataset[TokenRow] = {
     import spark.implicits._
@@ -1124,11 +1131,18 @@ object TokenDecoder {
         graft.codec.DocBloom.mayContainAny(bloom, wanted.toSeq)
       }
       .map(_._1)
-      .collect()
     val idSet = wanted.toSet
-    readBlocks(spark, outDir, None, verifyChecksums = false,
-      blockIds = Some(hit.toSet))
-      .filter(r => idSet.contains(r.doc_id))
+    // bounded collect: |ids| true locations + the bloom's fp share —
+    // point-sized on a healthy store, so take() normally returns the
+    // full set and the blockId list is pushed to the parquet scan
+    val ids0 = hit.take(MaxPointLookupBlockIds + 1)
+    if (ids0.length <= MaxPointLookupBlockIds)
+      readBlocks(spark, outDir, None, verifyChecksums = false,
+        blockIds = Some(ids0.toSet))
+        .filter(r => idSet.contains(r.doc_id))
+    else
+      readBlocksSemi(spark, outDir, hit.toDF("blockId"))
+        .filter(r => idSet.contains(r.doc_id))
   }
 
   /** Committed blocks, optionally partId-pruned — the ONE definition
@@ -1228,5 +1242,23 @@ object TokenDecoder {
           s"checksum mismatch in block ${b.blockId}: got $got expected ${b.checksum}")
       rows(b, tokens)
     }
+  }
+
+  /** [[readBlocks]] with the block restriction kept DISTRIBUTED: a
+    * left-semi join on blockId instead of a driver-collected IN list —
+    * the overflow arm of [[readDocsById]] for survivor sets past the
+    * driver cap. Prunes the decode (not the parquet byte read, which
+    * only a pushed filter can); at that survivor cardinality the scan
+    * reads most blocks regardless.
+    */
+  private[encode] def readBlocksSemi(spark: SparkSession, outDir: String,
+      blockIds: DataFrame): Dataset[TokenRow] = {
+    import spark.implicits._
+    committedBlocks(spark, outDir, None)
+      .join(blockIds.select("blockId"), Seq("blockId"), "left_semi")
+      .withColumn("minTok", coalesce(col("minTok"), lit(Int.MinValue)))
+      .withColumn("maxTok", coalesce(col("maxTok"), lit(Int.MaxValue)))
+      .as[EncodedBlock]
+      .flatMap(decodeBlock)
   }
 }

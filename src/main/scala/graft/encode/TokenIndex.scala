@@ -20,10 +20,11 @@ import graft.codec.{BlockCodec, CodecIds, TokBloom}
   * identically — no pruning, full correctness. That makes build()
   * idempotent and rebuild-any-time (one decode pass, mode=overwrite;
   * a crash mid-overwrite degrades to "no pruning" on the next read,
-  * exactly like DocBloom's null-filter convention). Precision note,
-  * same as the dict tier's: rejection skips the DECODE of a block,
-  * not the parquet read of its bytes — the zone map remains the
-  * scan-level (PushedFilters) prune.
+  * exactly like DocBloom's null-filter convention). Since round 7 a
+  * bloom rejection also saves the parquet READ of the block's
+  * payload, not just its decode: CompressedSearch's two-phase
+  * selection evaluates the bloom in a payload-free pre-scan and the
+  * payload scan is pruned to survivors by a pushed blockId filter.
   *
   * `MaxDistinct` caps the per-block filter at ~160 KB (10 bits/key):
   * a block with more distinct values than that rejects almost
@@ -88,17 +89,25 @@ object TokenIndex {
   private[encode] def withBloom(spark: SparkSession, outDir: String,
                                 blocks: DataFrame): DataFrame =
     load(spark, outDir)
-      .filter(_ => dirBytes(new java.io.File(path(outDir))) <= MaxBroadcastBytes)
+      .filter(_ => indexBytes(spark, outDir) <= MaxBroadcastBytes)
       match {
         case Some(idx) =>
           blocks.join(broadcast(idx), Seq("blockId"), "left_outer")
         case None => blocks.withColumn("bloomEnc", lit(null).cast("binary"))
       }
 
-  private def dirBytes(f: java.io.File): Long =
-    if (f.isFile) f.length()
-    else {
-      val kids = f.listFiles()
-      if (kids == null) 0L else kids.map(dirBytes).sum
-    }
+  /** Index size through the Hadoop FileSystem API, so the 256 MB
+    * broadcast gate holds on EVERY store filesystem (HDFS/S3A, not
+    * just file:// — a java.io.File walk reads 0 bytes there, which
+    * would trivially pass the gate and broadcast an arbitrarily large
+    * index). An unmeasurable path answers Long.MaxValue: the safe
+    * degradation is NO pruning, never an ungated broadcast
+    * (TokenIndexSpec).
+    */
+  private[encode] def indexBytes(spark: SparkSession, outDir: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path(outDir))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+    } catch { case _: Exception => Long.MaxValue }
 }
