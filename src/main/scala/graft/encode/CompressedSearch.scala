@@ -1178,7 +1178,7 @@ object CompressedSearch {
     * bounded-collect convention every metadata pull in this engine
     * follows).
     */
-  private[encode] val MaxSelectedBlockIds = 4096
+  private[graft] val MaxSelectedBlockIds = 4096
 
   /** The payload-FREE half of the two-phase block selection: committed
     * blocks under `pred`, projected to (blockId, codecId, symtab,
@@ -1186,7 +1186,7 @@ object CompressedSearch {
     * store's heaviest column (payload, ~95% of bytes) is never read
     * here (plan-asserted in CompressedSearchSpec).
     */
-  private[encode] def blockMetaFrame(spark: SparkSession, outDir: String,
+  private[graft] def blockMetaFrame(spark: SparkSession, outDir: String,
       partIds: Option[Set[Int]], pred: Column): DataFrame =
     TokenIndex.withBloom(spark, outDir,
         TokenDecoder.committedBlocks(spark, outDir, partIds).where(pred)

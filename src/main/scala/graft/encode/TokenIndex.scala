@@ -104,7 +104,7 @@ object TokenIndex {
     * degradation is NO pruning, never an ungated broadcast
     * (TokenIndexSpec).
     */
-  private[encode] def indexBytes(spark: SparkSession, outDir: String): Long =
+  private[graft] def indexBytes(spark: SparkSession, outDir: String): Long =
     try {
       val p = new org.apache.hadoop.fs.Path(path(outDir))
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

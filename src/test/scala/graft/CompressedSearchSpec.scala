@@ -789,4 +789,60 @@ class CompressedSearchSpec extends SparkSpecBase {
     // token's pairs are frequent but low-PMI)
     assert(got.map(_._3) != got.map(_._3).sortBy(-_))
   }
+
+  test("two-phase selection: rejected blocks' payload bytes unread at the scan") {
+    import spark.implicits._
+    val ds = graft.synth.TokenSynth.dataset(spark, 600)
+    val dir = tmpDir("graft-twophase")
+    TokenEncoder.run(ds, dir, TokenEncoder.EncodeConfig(targetRowsPerPart = 200))
+    graft.encode.TokenIndex.build(spark, dir)
+    val (lo, hi) = (100, 116)
+
+    // (a) the pre-scan itself is payload-FREE at the scan: no parquet
+    // read in its plan projects the payload column
+    val metaPlan = CompressedSearch
+      .blockMetaFrame(spark, dir, None, lit(true))
+      .queryExecution.executedPlan.toString
+    val metaSchemas = "ReadSchema: struct<[^>]*".r.findAllIn(metaPlan).toList
+    assert(metaSchemas.nonEmpty && metaSchemas.forall(!_.contains("payload")),
+      s"pre-scan must not project payload:\n$metaPlan")
+
+    // (b) the symtab/bloom tiers genuinely reject blocks the zone
+    // filter keeps — the precondition for (c) to prove anything
+    val meta = CompressedSearch.blockMetaFrame(spark, dir, None,
+        (col("minTok").isNull || col("minTok") <= hi) &&
+          (col("maxTok").isNull || col("maxTok") >= lo))
+      .select("blockId", "codecId", "symtab", "bloomEnc")
+      .as[(String, Int, Array[Byte], Array[Byte])]
+      .collect()
+    val survivors = meta.filterNot { case (_, cid, st, bloom) =>
+      CompressedSearch.dictRejects(cid, st, lo, hi) ||
+        !graft.codec.TokBloom.mayIntersectRange(bloom, lo, hi)
+    }
+    assert(survivors.length > 0 && survivors.length < meta.length,
+      s"need partial rejection to exercise the prune: " +
+        s"${survivors.length} of ${meta.length} survive")
+
+    // (c) the payload scan is pruned to the survivors by a PUSHED
+    // blockId filter — a rejected block's payload bytes are never read
+    val plan = CompressedSearch.searchDocs(spark, dir, lo, hi)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(blockId") || plan.contains("blockId IN"),
+      s"survivor blockId list not pushed to the payload scan:\n$plan")
+
+    // (d) results are unchanged vs brute truth (the IN filter is an
+    // accelerator, never a correctness dependency)
+    val got = CompressedSearch.searchDocs(spark, dir, lo, hi)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = ds.collect()
+      .map(r => (r.doc_id, r.source) -> brute(r.tokens, lo, hi))
+      .filter(_._2 > 0).toMap
+    assert(got == want)
+
+    // (e) an all-rejected query (no such token anywhere, zones wide)
+    // returns empty without any payload-bearing scan
+    assert(CompressedSearch.countTokens(spark, dir, 424297, 424297)
+      .collect()(0).getLong(0) ==
+      ds.collect().map(r => brute(r.tokens, 424297, 424297)).sum)
+  }
 }
