@@ -296,19 +296,95 @@ object Dedup {
     * `spark.cleaner.referenceTracking.cleanCheckpoints`).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          checkpointDir: Option[String] = None): DataFrame =
-    connectedComponentsCounted(pairs, maxIter, checkpointDir)._1
+                          checkpointDir: Option[String] = None,
+                          smallGraphCap: Int = SmallGraphEdgeCap): DataFrame =
+    connectedComponentsCounted(pairs, maxIter, checkpointDir,
+      smallGraphCap)._1
+
+  /** Edge cap for the small-graph exact solve: near-dup pair graphs
+    * are typically corpus-SLIVER-sized (a selective similarity
+    * threshold emits few edges), and below this bound the iterative
+    * loop's per-sweep fixed cost (2 jobs + 3 shuffles per sweep)
+    * dwarfs a driver union-find that is exact and instant. 100k edges
+    * ≈ a few MB on the driver — the bounded-collect convention. Above
+    * the cap the distributed loop runs exactly as before, so the
+    * driver never holds a corpus-proportional set.
+    */
+  val SmallGraphEdgeCap: Int = 100000
+
+  /** Exact union-find over collected edges (both ids Comparable, no
+    * nulls — the caller checked). Representative = component MIN id,
+    * the same fixpoint the distributed loop converges to, so the
+    * output rows are IDENTICAL. Returns (id, cluster) for every id
+    * appearing in an edge.
+    */
+  private def localComponents(edges: Array[(Any, Any)]): Seq[(Any, Any)] = {
+    val parent = new scala.collection.mutable.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    @inline def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keysIterator.map(id => (id, find(id))).toSeq
+  }
 
   /** [[connectedComponents]] plus the number of sweeps actually run
     * (including the final no-change sweep that proves convergence) —
     * the data-driven signal for choosing between label propagation
-    * (sweeps ≈ diameter; best on the dense low-diameter clumps near-dup
-    * graphs produce) and [[connectedComponentsStar]] (O(log²n) rounds
-    * regardless of shape; the extreme-skew/diameter fallback). See
-    * tools.CcDiagCli, which reports both on a given corpus.
+    * (sweeps ≈ log2(diameter) with the r7 pointer-jumping hop; best
+    * on the dense low-diameter clumps near-dup graphs produce) and
+    * [[connectedComponentsStar]] (O(log²n) rounds regardless of
+    * shape; the extreme-skew/diameter fallback). See tools.CcDiagCli,
+    * which reports both on a given corpus.
     */
   def connectedComponentsCounted(pairs: DataFrame, maxIter: Int = 20,
-                          checkpointDir: Option[String] = None): (DataFrame, Int) = {
+                          checkpointDir: Option[String] = None,
+                          smallGraphCap: Int = SmallGraphEdgeCap): (DataFrame, Int) = {
+    // SMALL-GRAPH FAST PATH (r7): ONE bounded take() evaluates the
+    // pair computation exactly once; when the whole edge list fits
+    // under the cap (with Comparable, non-null ids) an exact driver
+    // union-find replaces the iterative loop — same min-label output,
+    // zero sweeps, none of the per-sweep job/shuffle overhead that
+    // dominates sliver-sized near-dup graphs. Over-cap (or exotic id
+    // types) falls through to the distributed loop unchanged; the
+    // take's partial pass is the only extra cost there. Reported
+    // sweep count 0 marks the exact solve. maxIter refusal is a
+    // convergence-budget contract of the ITERATIVE arm; the exact
+    // solve has no convergence to budget (tests pin the refusal via
+    // smallGraphCap = 0).
+    if (smallGraphCap > 0) {
+      val capped = pairs.select(col("id_a"), col("id_b"))
+        .take(smallGraphCap + 1)
+      if (capped.length <= smallGraphCap &&
+        capped.forall(r => !r.isNullAt(0) && !r.isNullAt(1)) &&
+        capped.forall(r => r.get(0).isInstanceOf[Comparable[_]] &&
+          r.get(1).isInstanceOf[Comparable[_]])) {
+        val spark = pairs.sparkSession
+        val idType = pairs.schema.fields(
+          pairs.schema.fieldIndex("id_a")).dataType
+        val rows = localComponents(capped.map(r => (r.get(0), r.get(1))))
+          .map { case (id, c) => org.apache.spark.sql.Row(id, c) }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("cluster", idType)))
+        return (spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          schema), 0)
+      }
+    }
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def cp(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
@@ -337,21 +413,41 @@ object Dedup {
     var converged = false
     val sweepMs = scala.collection.mutable.ArrayBuffer[Long]()
     try {
-      // maxIter bounds the PROPAGATION sweeps (≈ component diameter);
-      // convergence is only observable as one extra no-change sweep,
-      // so the loop allows maxIter+1 — without it a component needing
-      // exactly maxIter sweeps would finish correctly and still be
-      // reported as non-converged
+      // maxIter bounds the PROPAGATION sweeps (≈ log2 of the component
+      // diameter since the r7 pointer-jumping hop — it was ≈ diameter
+      // before); convergence is only observable as one extra no-change
+      // sweep, so the loop allows maxIter+1 — without it a component
+      // needing exactly maxIter sweeps would finish correctly and
+      // still be reported as non-converged
       while (iter < maxIter + 1 && !converged) {
         val t0 = System.nanoTime()
         val neighborMin = edges
           .join(labels.withColumnRenamed("id", "src"), Seq("src"))
           .groupBy(col("dst").as("id"))
           .agg(min(col("cluster")).as("nmin"))
-        val next = cp(labels.join(neighborMin, Seq("id"), "left")
+        val prop = labels.join(neighborMin, Seq("id"), "left")
           .select(col("id"),
             least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
-            coalesce(col("nmin") < col("cluster"), lit(false)).as("chg")))
+            coalesce(col("nmin") < col("cluster"), lit(false)).as("chg"))
+        // POINTER JUMPING (path compression, r7): one label-of-label
+        // hop composed onto each propagation sweep, so reach roughly
+        // DOUBLES per sweep and a diameter-d component converges in
+        // O(log d) sweeps instead of d — per-sweep cost here is
+        // dominated by fixed job/shuffle overhead, so fewer sweeps is
+        // the lever (guide §1.2: remove passes). Sound because every
+        // label IS a vertex id of the same frame (initial labels are
+        // ids; min-propagation only ever picks existing labels), labels
+        // only decrease (least), and the fixpoint is unchanged: a
+        // propagate-stable labeling is constant per component, which
+        // makes the jump a no-op — so the convergence test below still
+        // proves the exact min-label fixpoint, and the output is
+        // IDENTICAL to the plain propagation's.
+        val look = prop.select(col("id").as("__lid"), col("cluster").as("__lc"))
+        val next = cp(prop.join(look, col("cluster") === col("__lid"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("__lc"), col("cluster"))).as("cluster"),
+            (col("chg") ||
+              coalesce(col("__lc") < col("cluster"), lit(false))).as("chg")))
         val changed = next.where(col("chg")).limit(1).count()
         // the superseded checkpoint would otherwise pin a full vertex
         // copy in executor storage per sweep; unpersist the
@@ -937,12 +1033,28 @@ object Dedup {
     */
   def windowKeys(text: Column, k: Int, portable: Boolean = false): Column = {
     val ws = filter(split(lower(text), "\\s+"), w => w =!= lit(""))
-    def key(win: Column): Column = if (portable) md5(win) else xxhash64(win)
-    val emptyType = if (portable) "array<string>" else "array<bigint>"
-    when(size(ws) >= k,
-      transform(sequence(lit(0), size(ws) - k),
-        i => key(concat_ws(" ", slice(ws, i + 1, lit(k))))))
-      .otherwise(array().cast(emptyType))
+    if (portable) {
+      // md5 over the space-joined window string — the form a SQL
+      // oracle can replay verbatim; frozen
+      when(size(ws) >= k,
+        transform(sequence(lit(0), size(ws) - k),
+          i => md5(concat_ws(" ", slice(ws, i + 1, lit(k))))))
+        .otherwise(array().cast("array<string>"))
+    } else {
+      // 100-TB form (r7): hash each word ONCE, then key each window by
+      // xxhash64 over the k word-hash longs (order-sensitive array
+      // hash) — O(n) string hashing instead of O(n·k) re-concatenation
+      // and re-hashing of every window's characters. Window equality
+      // (what every consumer aggregates on) is preserved: equal
+      // windows hash equal, and 64-bit collisions are as (im)probable
+      // as before. Values differ from the old concat-hash, but no
+      // consumer exposes the key itself.
+      val hws = transform(ws, w => xxhash64(w))
+      when(size(ws) >= k,
+        transform(sequence(lit(0), size(ws) - k),
+          i => xxhash64(slice(hws, i + 1, lit(k)))))
+        .otherwise(array().cast("array<bigint>"))
+    }
   }
 
   /** ExactSubstr-style duplicated-span scoring (Lee et al. 2021,
@@ -964,14 +1076,29 @@ object Dedup {
   def substrDupStats(df: DataFrame, idCol: String, textCol: String,
                      k: Int, minCount: Long = 2,
                      portable: Boolean = false): DataFrame = {
-    val ex = df.select(col(idCol),
+    // the explicit isNotNull mirrors the filter the per-doc rejoin
+    // pushes into ITS branch anyway — carrying it on BOTH branches
+    // keeps the (key, doc) subtrees canonically identical, which is
+    // what lets ReuseExchange fire below (a null id cannot join back
+    // to a doc row in either shape)
+    val ex = df.where(col(idCol).isNotNull).select(col(idCol),
       explode(windowKeys(col(textCol), k, portable)).as("__wk"))
-    val counts = ex.groupBy("__wk")
-      .agg(count(lit(1)).cast("long").as("__wn"))
-    val stats = ex.join(counts, "__wk")
+    // pre-roll per (key, doc) FIRST (r7): both downstream branches —
+    // the global key counts and the per-doc rejoin — then share the
+    // identical (key, doc) exchange subtree, so ReuseExchange computes
+    // the explode + window hashing ONCE (the old ex-vs-ex.join shape
+    // re-ran them per branch), and the rejoin carries one row per
+    // (key, doc) instead of one per occurrence. Same results: counts
+    // fold through __c exactly; same scale-safety: grouping stays on
+    // (key, doc), never funneling a hot boilerplate key into one task.
+    val perDoc = ex.groupBy(col("__wk"), col(idCol))
+      .agg(count(lit(1)).cast("long").as("__c"))
+    val counts = perDoc.groupBy("__wk")
+      .agg(sum(col("__c")).cast("long").as("__wn"))
+    val stats = perDoc.join(counts, "__wk")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).cast("long").as("n_windows"),
-        sum(when(col("__wn") >= minCount, lit(1L)).otherwise(lit(0L)))
+      .agg(sum(col("__c")).cast("long").as("n_windows"),
+        sum(when(col("__wn") >= minCount, col("__c")).otherwise(lit(0L)))
           .cast("long").as("dup_windows"))
     df.select(col(idCol))
       .join(stats, Seq(idCol), "left")
@@ -1010,7 +1137,8 @@ object Dedup {
     */
   def substrDedupTrim(df: DataFrame, idCol: String, textCol: String,
                       k: Int, portable: Boolean = false): DataFrame = {
-    val ex = df.select(col(idCol),
+    // isNotNull on both branches for exchange reuse — see substrDupStats
+    val ex = df.where(col(idCol).isNotNull).select(col(idCol),
       posexplode(windowKeys(col(textCol), k, portable))
         .as(Seq("__pos", "__wk")))
     // one scan: per-(key, doc) sorted position lists + per-doc minimum

@@ -17,6 +17,10 @@ object ExplainCli {
       java.nio.file.Files.createTempDirectory("graft-explain-side").toString
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val outFile = if (args.length > 1) args(1) else "/tmp/graft_plans.txt"
+    // optional 3rd arg: comma-separated query subset;
+    // SPARK_GRAFT_BENCH_MODE=1 explains the bench variants instead
+    val onlyQ: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-explain")
@@ -25,8 +29,12 @@ object ExplainCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val qmap = if (sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("1"))
+      graft.SparkEntry.benchQueries else graft.SparkEntry.queries
     val sb = new StringBuilder
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    qmap.toSeq.sortBy(_._1)
+      .filter { case (name, _) => onlyQ.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       sb.append(s"\n===== $name =====\n")
       try {
         val df = fn(spark, sfDir)

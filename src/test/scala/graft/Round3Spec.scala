@@ -431,9 +431,16 @@ class Round3Spec extends SparkSpecBase {
     val cc = Dedup.connectedComponents(pairs, maxIter = 3).orderBy("id")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(cc.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
-    // a genuinely over-budget diameter still refuses
+    // a genuinely over-budget diameter still refuses — with the r7
+    // pointer-jumping hop reach roughly doubles per sweep, so the
+    // refusal chain must be long enough that 3 sweeps (maxIter=2 + the
+    // confirming one) cannot cover it
+    // smallGraphCap = 0 pins the ITERATIVE arm: the exact small-graph
+    // solve has no convergence budget to refuse on
+    val longChain = (1L until 64L).map(i => (i, i + 1L)).toDF("id_a", "id_b")
     intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(pairs, maxIter = 2).collect()
+      Dedup.connectedComponents(longChain, maxIter = 2,
+        smallGraphCap = 0).collect()
     }
   }
 

@@ -122,7 +122,8 @@ class ConnectedComponentsSpec extends SparkSpecBase {
 
   test("connectedComponents refuses non-convergence for string ids too") {
     intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(chainPairs, maxIter = 1).collect()
+      Dedup.connectedComponents(chainPairs, maxIter = 1,
+        smallGraphCap = 0).collect()
     }
   }
 
@@ -179,11 +180,18 @@ class ConnectedComponentsSpec extends SparkSpecBase {
       .filter { case (a, b) => a != b }
       .toDF("id_a", "id_b")
     val dir = tmpDir("graft-cc-ckpt")
-    val local = Dedup.connectedComponents(pairs)
+    // smallGraphCap = 0: this test exercises the ITERATIVE arm's
+    // checkpoint plumbing, which the exact small-graph solve skips
+    val local = Dedup.connectedComponents(pairs, smallGraphCap = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val reliable = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+    val reliable = Dedup.connectedComponents(pairs, checkpointDir = Some(dir),
+        smallGraphCap = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(reliable == local)
+    // and the exact small-graph solve (default cap) matches both
+    val fast = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == local)
     // the reliable path actually wrote checkpoint files
     assert(new java.io.File(dir).listFiles().nonEmpty)
   }
