@@ -709,7 +709,15 @@ object Dedup {
     val cand = a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
       // a pair sharing two probed buckets would otherwise emit twice
       .dropDuplicates("id_a", "id_b")
-    val docs = blk0.select(col("id"), col("sh")).dropDuplicates("id")
+    // blk0 is one row per doc by construction (stageSignatures /
+    // jaccardWithin project the input rows; idCol is the doc key) —
+    // a defensive dropDuplicates(id) here cost a full exchange of the
+    // SHINGLE ARRAYS, the frame's heaviest column, to dedupe an
+    // already-unique table (guide §2.4: a distinct on unique data is
+    // an accidental shuffle). Under a violated-uniqueness input the
+    // verify joins now emit one row per duplicate instead of one per
+    // arbitrary survivor — the honest semantics anyway.
+    val docs = blk0.select(col("id"), col("sh"))
     graft.functions.JaccardSim.register(blk0.sparkSession)
     cand
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
