@@ -1149,11 +1149,19 @@ object Dedup {
     val ex = df.where(col(idCol).isNotNull).select(col(idCol),
       posexplode(windowKeys(col(textCol), k, portable))
         .as(Seq("__pos", "__wk")))
-    // one scan: per-(key, doc) sorted position lists + per-doc minimum
+    // one scan: per-(key, doc) sorted position lists, with the
+    // per-doc minimum and count DERIVED from the list rather than
+    // aggregated alongside it (r7): with separate min/count
+    // aggregates the optimizer pruned collect_list out of the
+    // `firsts` branch, splitting the two branches into DIFFERENT
+    // aggregates over their own copies of the explode — the window
+    // hashing ran twice. Deriving both from __poss keeps the branches
+    // on ONE canonical aggregate subtree, so ReuseExchange computes
+    // the explode once (FinalPlanCli-verified).
     val perDoc = ex.groupBy(col("__wk"), col(idCol))
-      .agg(sort_array(collect_list(col("__pos"))).as("__poss"),
-           min(col("__pos")).as("__minp"),
-           count(lit(1)).as("__n"))
+      .agg(sort_array(collect_list(col("__pos"))).as("__poss"))
+      .withColumn("__minp", element_at(col("__poss"), 1))
+      .withColumn("__n", size(col("__poss")).cast("long"))
     // global keep-first = min (id, minPos) per key; map-side combined
     val firsts = perDoc.groupBy(col("__wk"))
       .agg(min(struct(col(idCol).as("id"), col("__minp").as("p")))

@@ -834,9 +834,15 @@ object TokenEncoder {
         // a fresh plan AND encodes = two passes, so its default input
         // caching stands here, unlike the pinned-plan arm below)
         val (blocksBefore, _) = storeShape(inDir)
+        // report the ACTUAL partition count rewritten (operator-facing
+        // compactenc output), not a hard-coded 1 — the committed scan
+        // below is metadata-only and plan-bounded
+        val partsIn = TokenDecoder.committedBlocks(spark, inDir, None)
+          .select("partId").distinct().count().toInt
         run(TokenDecoder.read(spark, inDir), outDir, cfg)
         val (blocksAfter, rows) = storeShape(outDir)
-        CompactResult(1, 0, 1, blocksBefore, blocksAfter, rows)
+        CompactResult(math.max(partsIn, 1), 0, math.max(partsIn, 1),
+          blocksBefore, blocksAfter, rows)
       case Some(plan) =>
         savePlan(plan, outDir)
         val live = TokenDecoder.committedBlocks(spark, inDir, None)
@@ -852,7 +858,13 @@ object TokenEncoder {
         // token-cap, plus one trailing remainder). Only counts ABOVE
         // that bound are true fragmentation — a tighter max(ceil,ceil)
         // bound would re-flag alternating-seal partitions forever and
-        // compaction would never converge.
+        // compaction would never converge. Caveat (ADVICE r6): a
+        // store encoded with noShuffle=true legitimately emits one
+        // remainder block per task partition per partId, so such
+        // stores exceed this bound and compact fully on the FIRST
+        // pass (correct output; the no-op-by-construction convergence
+        // holds from the second compaction on, once the store is
+        // sequentially packed).
         val frag = perPart.filter { case (_, k, rows, toks) =>
           k > rows / cfg.blockRows.toLong +
             toks / cfg.blockTokens.toLong + 1L
@@ -977,12 +989,14 @@ object TokenDecoder {
         col("blockId"), col("blockRows").cast("long").as("blockRows")))
       .getOrElse(Seq.empty[(Int, String, String, Long)]
         .toDF("partId", "runId", "blockId", "blockRows"))
-    // lineage lacks a runId column; blockIds are runId-prefixed with a
-    // FIXED-WIDTH id (newRunId: "r" + 15 hex chars), so derive it
+    // lineage lacks a runId column; blockIds are "$runId-$partId-…",
+    // so derive the runId by splitting at the FIRST '-' — width-
+    // independent (a hard-coded substring(1,16) silently broke the
+    // lineage↔marker join if the runId format ever widened)
     val lineage = TokenEncoder.safeReadParquet(spark, s"$outDir/lineage")
       .map(_.select(col("partId").cast("int").as("partId"),
         col("blockId"), col("rowCount").cast("long").as("rowCount"))
-        .withColumn("runId", substring(col("blockId"), 1, 16)))
+        .withColumn("runId", substring_index(col("blockId"), "-", 1)))
       .getOrElse(Seq.empty[(Int, String, Long, String)]
         .toDF("partId", "blockId", "rowCount", "runId"))
     val linC = lineage.join(markers, Seq("partId", "runId"), "left_semi")

@@ -686,7 +686,12 @@ class PipelineSpec extends SparkSpecBase {
     assert(new java.io.File(s"$in/plan.json").delete())
     val out = s"${tmpDir("cpl-out")}/st"
     val cr = TokenEncoder.compactStore(s, in, out)
-    assert(cr.partsCopied == 0 && cr.partsReencoded == 1)
+    // the legacy arm reports the ACTUAL distinct-partition count it
+    // rewrote (ADVICE r6: a hard-coded 1 understated the work)
+    val partsIn = s.read.parquet(s"$in/blocks")
+      .select("partId").distinct().count().toInt
+    assert(cr.partsCopied == 0 && cr.partsReencoded == partsIn &&
+      cr.partsTotal == partsIn && partsIn > 1)
     assert(cr.blocksAfter < cr.blocksBefore)
     assertSameTable(full, TokenDecoder.read(s, out))
   }
