@@ -1065,6 +1065,72 @@ object Dedup {
     }
   }
 
+  /** Per-doc window grouping for the NON-portable (production) substr
+    * path — the r7 structural win: every (window key, doc) group's
+    * occurrences come from ONE document by construction, so the
+    * grouping the r6 shape paid a corpus-wide (key, doc) exchange +
+    * object aggregation for is computed MAP-SIDE by one kernel pass
+    * (guide §8: move the grouping to where the data already is). Emits
+    * (id, __wk, __poss) — one row per distinct (key, doc), positions
+    * ascending. Keys are internal (no consumer exposes them): FNV-1a
+    * word hashes folded through splitmix64 per window — the same
+    * 64-bit collision envelope as any other key choice. The lowercase
+    * goes through Spark's own UTF8String so tokenization is
+    * bit-identical to the Catalyst `lower`/`split` the trim's
+    * reconstruction pass uses.
+    */
+  private[dedup] def windowGroupKernel(text: String, k: Int): Array[(Long, Array[Int])] = {
+    if (text == null) return Array.empty
+    val lowered = org.apache.spark.unsafe.types.UTF8String
+      .fromString(text).toLowerCase.toString
+    val ws = lowered.split("\\s+").filter(_.nonEmpty)
+    if (ws.length < k) return Array.empty
+    val hws = new Array[Long](ws.length)
+    var i = 0
+    while (i < ws.length) {
+      hws(i) = graft.codec.Hash.fnv64(ws(i))
+      i += 1
+    }
+    val m = new java.util.LinkedHashMap[java.lang.Long,
+      scala.collection.mutable.ArrayBuffer[Int]]()
+    i = 0
+    val last = ws.length - k
+    while (i <= last) {
+      var h = -7046029254386353131L
+      var j = 0
+      while (j < k) {
+        h = graft.codec.Hash.splitmix64(h ^ hws(i + j))
+        j += 1
+      }
+      val key = java.lang.Long.valueOf(h)
+      var buf = m.get(key)
+      if (buf == null) {
+        buf = new scala.collection.mutable.ArrayBuffer[Int](4)
+        m.put(key, buf)
+      }
+      buf += i
+      i += 1
+    }
+    val out = new Array[(Long, Array[Int])](m.size())
+    val it = m.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = (e.getKey.longValue(), e.getValue.toArray)
+      i += 1
+    }
+    out
+  }
+
+  /** [[windowGroupKernel]] as a DataFrame: (idCol, __wk, __poss). */
+  private def windowGroupsNative(df: DataFrame, idCol: String,
+                                 textCol: String, k: Int): DataFrame = {
+    val fn = udf((t: String) => windowGroupKernel(t, k))
+    df.where(col(idCol).isNotNull)
+      .select(col(idCol), explode(fn(col(textCol))).as("__g"))
+      .select(col(idCol), col("__g._1").as("__wk"), col("__g._2").as("__poss"))
+  }
+
   /** ExactSubstr-style duplicated-span scoring (Lee et al. 2021,
     * "Deduplicating Training Data Makes Language Models Better"): a
     * token position is duplicated when its k-word window occurs ≥
@@ -1074,33 +1140,35 @@ object Dedup {
     * in basis points — filter or trim on `dup_bp`.
     *
     * The paper's suffix array is a single-machine structure; the
-    * distributed shape is the window-hash equivalent at fixed k: one
-    * explode to (id, key) — O(total tokens) rows of 8-byte keys, no
-    * text — a map-side-combined count over keys, a shuffle-on-key
-    * rejoin (both sides already hashed — AQE handles skewed hot
-    * windows), and a per-doc rollup. Every doc survives as a row
-    * (zero windows → zeros).
+    * distributed shape at fixed k (r7): per-doc (key, positions)
+    * groups computed MAP-SIDE ([[windowGroupKernel]] — no corpus-wide
+    * (key, doc) exchange at all on the production path; the portable
+    * md5 form keeps the explode + (key, doc) aggregation the oracle
+    * replays), then a map-side-combined count over keys (narrow
+    * exchange) and a shuffle-on-key rejoin (both sides already
+    * hashed — AQE's skew-join split handles hot boilerplate windows),
+    * and a per-doc rollup. Every doc survives as a row (zero windows
+    * → zeros).
     */
   def substrDupStats(df: DataFrame, idCol: String, textCol: String,
                      k: Int, minCount: Long = 2,
                      portable: Boolean = false): DataFrame = {
-    // the explicit isNotNull mirrors the filter the per-doc rejoin
-    // pushes into ITS branch anyway — carrying it on BOTH branches
-    // keeps the (key, doc) subtrees canonically identical, which is
-    // what lets ReuseExchange fire below (a null id cannot join back
-    // to a doc row in either shape)
-    val ex = df.where(col(idCol).isNotNull).select(col(idCol),
-      explode(windowKeys(col(textCol), k, portable)).as("__wk"))
-    // pre-roll per (key, doc) FIRST (r7): both downstream branches —
-    // the global key counts and the per-doc rejoin — then share the
-    // identical (key, doc) exchange subtree, so ReuseExchange computes
-    // the explode + window hashing ONCE (the old ex-vs-ex.join shape
-    // re-ran them per branch), and the rejoin carries one row per
-    // (key, doc) instead of one per occurrence. Same results: counts
-    // fold through __c exactly; same scale-safety: grouping stays on
-    // (key, doc), never funneling a hot boilerplate key into one task.
-    val perDoc = ex.groupBy(col("__wk"), col(idCol))
-      .agg(count(lit(1)).cast("long").as("__c"))
+    // ONE row per (key, doc) either way; the production path computes
+    // the grouping map-side (windowGroupKernel — zero exchange), the
+    // portable path pre-rolls the md5 explode per (key, doc) with the
+    // explicit isNotNull on both branches so ReuseExchange shares the
+    // (key, doc) exchange subtree. Same results: counts fold through
+    // __c exactly; same scale-safety: grouping stays on (key, doc),
+    // never funneling a hot boilerplate key into one task.
+    val perDoc =
+      if (portable) {
+        val ex = df.where(col(idCol).isNotNull).select(col(idCol),
+          explode(windowKeys(col(textCol), k, portable)).as("__wk"))
+        ex.groupBy(col("__wk"), col(idCol))
+          .agg(count(lit(1)).cast("long").as("__c"))
+      } else windowGroupsNative(df, idCol, textCol, k)
+        .select(col("__wk"), col(idCol),
+          size(col("__poss")).cast("long").as("__c"))
     val counts = perDoc.groupBy("__wk")
       .agg(sum(col("__c")).cast("long").as("__wn"))
     val stats = perDoc.join(counts, "__wk")
@@ -1145,21 +1213,30 @@ object Dedup {
     */
   def substrDedupTrim(df: DataFrame, idCol: String, textCol: String,
                       k: Int, portable: Boolean = false): DataFrame = {
-    // isNotNull on both branches for exchange reuse — see substrDupStats
-    val ex = df.where(col(idCol).isNotNull).select(col(idCol),
-      posexplode(windowKeys(col(textCol), k, portable))
-        .as(Seq("__pos", "__wk")))
-    // one scan: per-(key, doc) sorted position lists, with the
-    // per-doc minimum and count DERIVED from the list rather than
-    // aggregated alongside it (r7): with separate min/count
-    // aggregates the optimizer pruned collect_list out of the
-    // `firsts` branch, splitting the two branches into DIFFERENT
-    // aggregates over their own copies of the explode — the window
-    // hashing ran twice. Deriving both from __poss keeps the branches
-    // on ONE canonical aggregate subtree, so ReuseExchange computes
-    // the explode once (FinalPlanCli-verified).
-    val perDoc = ex.groupBy(col("__wk"), col(idCol))
-      .agg(sort_array(collect_list(col("__pos"))).as("__poss"))
+    // one row per (key, doc) with its sorted position list. The
+    // production path computes the grouping MAP-SIDE
+    // (windowGroupKernel — the corpus-wide (key, doc) exchange +
+    // object aggregation are gone entirely). The portable md5 path
+    // keeps the posexplode shape the oracle replays, with the per-doc
+    // minimum and count DERIVED from the list rather than aggregated
+    // alongside it (r7): with separate min/count aggregates the
+    // optimizer pruned collect_list out of the `firsts` branch,
+    // splitting the branches into DIFFERENT aggregates over their own
+    // copies of the explode — the window hashing ran twice. Deriving
+    // both from __poss keeps the branches on ONE canonical aggregate
+    // subtree, so ReuseExchange computes the explode once
+    // (FinalPlanCli-verified). isNotNull on both branches for the
+    // same canonical-equality reason.
+    val perDoc0 =
+      if (portable) {
+        val ex = df.where(col(idCol).isNotNull).select(col(idCol),
+          posexplode(windowKeys(col(textCol), k, portable))
+            .as(Seq("__pos", "__wk")))
+        ex.groupBy(col("__wk"), col(idCol))
+          .agg(sort_array(collect_list(col("__pos"))).as("__poss"))
+      } else windowGroupsNative(df, idCol, textCol, k)
+        .select(col("__wk"), col(idCol), col("__poss"))
+    val perDoc = perDoc0
       .withColumn("__minp", element_at(col("__poss"), 1))
       .withColumn("__n", size(col("__poss")).cast("long"))
     // global keep-first = min (id, minPos) per key; map-side combined

@@ -401,6 +401,19 @@ class TfidfSpec extends SparkSpecBase {
     assert(out(3L) == "iota kappa lambda mu")
     // self-repetition: first window kept, overlapping later ones trimmed
     assert(out(5L) == "rep")
+    // the map-side production kernel and the oracle-replayed portable
+    // form trim identically (r7: the non-portable path groups windows
+    // per doc in one kernel pass instead of the explode + exchange)
+    val messy = docs.union(Seq(
+      (6L, s"  $span\t$span   $span "), // repeated span, messy whitespace
+      (7L, "")).toDF("doc_id", "text"))
+    val p = Dedup.substrDedupTrim(messy, "doc_id", "text", k = 4,
+      portable = true).select("doc_id", "text_dedup")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val h = Dedup.substrDedupTrim(messy, "doc_id", "text", k = 4)
+      .select("doc_id", "text_dedup")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(p.toSeq == h.toSeq)
   }
 
   test("gopherRules: rule booleans fire on the right pathologies") {
