@@ -224,15 +224,31 @@ object Bpe {
   def encode(df: DataFrame, idCol: String, textCol: String,
       model: Model): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(model)
-    val enc = udf { text: String =>
-      if (text == null) Array.emptyIntArray
-      else {
+    // per-task word→tokens memo (r7): corpora are Zipf-distributed, so
+    // the greedy merge loop re-ran for the same frequent words
+    // thousands of times per partition. The cache lives in a
+    // @transient lazy val, so each task deserialization starts fresh
+    // (no cross-query or cross-run state) and the entry cap bounds
+    // memory on adversarial vocabularies. Results are identical —
+    // encodeWord is a pure function of (word, model).
+    val enc = udf(new (String => Array[Int]) with Serializable {
+      @transient private lazy val cache =
+        new java.util.HashMap[String, Array[Int]](1 << 12)
+      private val MaxEntries = 1 << 16
+      def apply(text: String): Array[Int] = {
+        if (text == null) return Array.emptyIntArray
         val out = mutable.ArrayBuilder.make[Int]
-        text.split("\\s+").iterator.filter(_.nonEmpty)
-          .foreach(w => out ++= encodeWord(w, bc.value))
+        text.split("\\s+").iterator.filter(_.nonEmpty).foreach { w =>
+          var toks = cache.get(w)
+          if (toks == null) {
+            toks = encodeWord(w, bc.value)
+            if (cache.size < MaxEntries) cache.put(w, toks)
+          }
+          out ++= toks
+        }
         out.result()
       }
-    }
+    })
     df.select(col(idCol), enc(col(textCol)).as("tokens"))
       .withColumn("n_tokens", size(col("tokens")))
   }
