@@ -769,12 +769,14 @@ object SparkEntry {
         k = 8, portable = true).orderBy("doc_id")),
     "q_substr_trim" -> ((s, d) =>
       // keep-first span trim: later occurrences of any duplicated
-      // 8-word window are removed from the token stream
+      // 8-word window are removed from the token stream. withCounts
+      // derives n_before/n_after from the trim's own token stream and
+      // span coverage — equal to tokenCount(text)/tokenCount(text_dedup)
+      // (oracle-verified) without re-tokenizing either string
       Dedup.substrDedupTrim(t(s, d, "documents"), "doc_id", "text",
-          k = 8, portable = true)
+          k = 8, portable = true, withCounts = true)
         .select(col("doc_id"), col("text_dedup"),
-          TextOps.tokenCount(col("text")).as("n_before"),
-          TextOps.tokenCount(col("text_dedup")).as("n_after"))
+          col("n_before"), col("n_after"))
         .orderBy("doc_id")),
     "q_fingerprint" -> ((s, d) =>
       // portable md5 form so DuckDB verifies the values; the xxhash64
@@ -1943,10 +1945,10 @@ object SparkEntry {
         Dedup.substrDupStats(t(s, d, "documents"), "doc_id", "text", k = 8)
           .orderBy("doc_id")),
       "q_substr_trim" -> ((s, d) =>
-        Dedup.substrDedupTrim(t(s, d, "documents"), "doc_id", "text", k = 8)
+        Dedup.substrDedupTrim(t(s, d, "documents"), "doc_id", "text", k = 8,
+            withCounts = true)
           .select(col("doc_id"), col("text_dedup"),
-            TextOps.tokenCount(col("text")).as("n_before"),
-            TextOps.tokenCount(col("text_dedup")).as("n_after"))
+            col("n_before"), col("n_after"))
           .orderBy("doc_id")),
       // native-kernel xxhash64 buckets + one-scan learn (the 100-TB
       // form); Verify's md5 form exists so DuckDB can replay the hash

@@ -1212,7 +1212,8 @@ object Dedup {
     * their tokens verbatim.
     */
   def substrDedupTrim(df: DataFrame, idCol: String, textCol: String,
-                      k: Int, portable: Boolean = false): DataFrame = {
+                      k: Int, portable: Boolean = false,
+                      withCounts: Boolean = false): DataFrame = {
     // one row per (key, doc) with its sorted position list. The
     // production path computes the grouping MAP-SIDE
     // (windowGroupKernel — the corpus-wide (key, doc) exchange +
@@ -1270,12 +1271,32 @@ object Dedup {
             array(struct(p.as("s"), (p + lit(k - 1)).as("e")))))
       })
     val ws = filter(split(lower(col(textCol)), "\\s+"), w => w =!= lit(""))
-    df.join(dup, Seq(idCol), "left")
+    val trimmed = df.join(dup, Seq(idCol), "left")
       .withColumn("__spans",
         mergedSpans(coalesce(col("__dups"), array().cast("array<int>"))))
       .withColumn("text_dedup", concat_ws(" ",
         filter(ws, (_, i) => !exists(col("__spans"),
           sp => i >= sp("s") && i <= sp("e")))))
-      .drop("__dups", "__spans")
+    if (!withCounts) trimmed.drop("__dups", "__spans")
+    else {
+      // before/after token counts DERIVED instead of re-tokenized
+      // (r7): n_before is the window token stream's own length
+      // (tokenCount splits on the same \s+ and lowercasing cannot
+      // change whitespace), and n_after subtracts the merged spans'
+      // coverage — spans are disjoint and lie within [0, n-1] by
+      // construction (every start is a window position p <= n-k, ends
+      // are capped at p+k-1), so the subtraction equals
+      // tokenCount(text_dedup) exactly without re-splitting the
+      // rebuilt string. Null text: size(ws) is null (matching
+      // tokenCount(null)), while concat_ws yields "" so the old
+      // tokenCount(text_dedup) was 0 — the coalesce reproduces that.
+      val covered = aggregate(col("__spans"), lit(0),
+        (acc, sp) => acc + (sp("e") - sp("s") + lit(1)))
+      trimmed
+        .withColumn("n_before", size(ws).cast("long"))
+        .withColumn("n_after",
+          coalesce((size(ws) - covered).cast("long"), lit(0L)))
+        .drop("__dups", "__spans")
+    }
   }
 }

@@ -414,6 +414,26 @@ class TfidfSpec extends SparkSpecBase {
       .select("doc_id", "text_dedup")
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(p.toSeq == h.toSeq)
+    // withCounts derivation (r7): n_before/n_after must equal the
+    // re-tokenized truth on messy whitespace, repeated spans, empty
+    // and NULL texts — for both the portable and the kernel path
+    import org.apache.spark.sql.functions.col
+    val withNull = messy.union(Seq((8L, null: String)).toDF("doc_id", "text"))
+    for (portable <- Seq(true, false)) {
+      val rows = Dedup.substrDedupTrim(withNull, "doc_id", "text", k = 4,
+          portable = portable, withCounts = true)
+        .select(col("doc_id"), col("n_before"), col("n_after"),
+          graft.text.TextOps.tokenCount(col("text")).as("tb"),
+          graft.text.TextOps.tokenCount(col("text_dedup")).as("ta"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.isNullAt(1) == r.isNullAt(3) &&
+          (r.isNullAt(1) || r.getLong(1) == r.getLong(3)),
+          s"n_before mismatch portable=$portable: $r")
+        assert(r.getLong(2) == r.getLong(4),
+          s"n_after mismatch portable=$portable: $r")
+      }
+    }
   }
 
   test("gopherRules: rule booleans fire on the right pathologies") {
