@@ -46,6 +46,17 @@ object MinhashProbe {
         Dedup.minhashCandidatesSigned(staged, k = 64, bands = 0, threshold = 0.3),
         threshold = 0.3))
     }
+    // volumetrics: how much work the banding actually materializes
+    val nDocs = staged.count()
+    val bands = Dedup.bandsForThreshold(64, 0.3)
+    val diag = Dedup.minhashBucketDiag(docs, "doc_id", "text",
+      shingleN = 2, k = 64, threshold = 0.3).collect()(0)
+    println(s"DIAG docs=$nDocs bands=$bands bucketStats=$diag")
+    val nCand = Dedup.minhashCandidatesSigned(staged, k = 64, bands = 0,
+      threshold = 0.3, estMargin = -1).count()
+    val nCandPre = Dedup.minhashCandidatesSigned(staged, k = 64, bands = 0,
+      threshold = 0.3).count()
+    println(s"DIAG cand_raw=$nCand cand_prefiltered=$nCandPre")
     spark.stop()
   }
 }
