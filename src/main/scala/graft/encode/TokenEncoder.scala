@@ -1232,20 +1232,41 @@ object TokenDecoder {
         Seq("partId", "runId"), "left_semi")
   }
 
+  /** The typed decode boundary, with column pruning preserved (r7):
+    * `.as[EncodedBlock]` alone forces EVERY store column through the
+    * scan — including `docBloomEnc` (real per-block bloom bytes a
+    * decode never touches) and the byte-count/timing metadata — so
+    * each decode pass paid I/O for columns it provably ignores.
+    * Selecting only what [[decodeBlock]]/checksum-verify read and
+    * stubbing the rest with literals keeps the case-class boundary
+    * (nothing downstream sees the stubs; the Dataset is flatMapped to
+    * TokenRow immediately) while letting the parquet scan's
+    * ReadSchema drop the dead columns. The minTok/maxTok coalesce is
+    * the legacy-store sentinel backfill (EncodedBlock's Int fields
+    * cannot hold the nulls a mixed pre-zone-map store carries).
+    */
+  private def decodeProjection(df: org.apache.spark.sql.DataFrame)(
+      implicit enc: org.apache.spark.sql.Encoder[EncodedBlock]): Dataset[EncodedBlock] =
+    df.select(col("blockId"), col("runId"), col("partId"), col("blockSeq"),
+        col("codecId"), col("postCodec"), col("symtab"), col("payload"),
+        col("lengthsEnc"), col("docIdsEnc"), col("sourcesEnc"),
+        lit(null).cast("binary").as("docBloomEnc"),
+        col("blockRows"), col("totalTokens"),
+        coalesce(col("minTok"), lit(Int.MinValue)).as("minTok"),
+        coalesce(col("maxTok"), lit(Int.MaxValue)).as("maxTok"),
+        lit(0L).as("rawBytes"), lit(0L).as("encodedBytes"),
+        lit(0L).as("metaBytes"), lit(0L).as("encodeMillis"),
+        col("checksum"))
+      .as[EncodedBlock]
+
   private[encode] def readBlocks(spark: SparkSession, outDir: String,
                          partIds: Option[Set[Int]],
                          verifyChecksums: Boolean,
                          blockIds: Option[Set[String]] = None): Dataset[TokenRow] = {
     import spark.implicits._
-    // legacy rows of a mixed (resumed pre-zone-map) store carry null
-    // zone values — coalesce to the no-pruning sentinels here, at the
-    // typed boundary, where EncodedBlock's Int fields cannot hold null
     val committed = committedBlocks(spark, outDir, partIds)
-    val live = blockIds.fold(committed)(ids =>
-        committed.where(col("blockId").isInCollection(ids)))
-      .withColumn("minTok", coalesce(col("minTok"), lit(Int.MinValue)))
-      .withColumn("maxTok", coalesce(col("maxTok"), lit(Int.MaxValue)))
-      .as[EncodedBlock]
+    val live = decodeProjection(blockIds.fold(committed)(ids =>
+      committed.where(col("blockId").isInCollection(ids))))
     if (!verifyChecksums) live.flatMap(decodeBlock)
     else live.flatMap { b =>
       val tokens = BlockCodec.decode(b.codecId, b.postCodec, b.symtab, b.payload,
@@ -1268,11 +1289,8 @@ object TokenDecoder {
   private[encode] def readBlocksSemi(spark: SparkSession, outDir: String,
       blockIds: DataFrame): Dataset[TokenRow] = {
     import spark.implicits._
-    committedBlocks(spark, outDir, None)
-      .join(blockIds.select("blockId"), Seq("blockId"), "left_semi")
-      .withColumn("minTok", coalesce(col("minTok"), lit(Int.MinValue)))
-      .withColumn("maxTok", coalesce(col("maxTok"), lit(Int.MaxValue)))
-      .as[EncodedBlock]
+    decodeProjection(committedBlocks(spark, outDir, None)
+        .join(blockIds.select("blockId"), Seq("blockId"), "left_semi"))
       .flatMap(decodeBlock)
   }
 }

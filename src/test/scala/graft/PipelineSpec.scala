@@ -39,6 +39,21 @@ class PipelineSpec extends SparkSpecBase {
     val lineage = TokenEncoder.run(synth, out, EncodeConfig(targetRowsPerPart = 1000))
     assert(lineage.count() > 0)
     assertSameTable(synth, TokenDecoder.read(spark, out))
+    // column pruning survives the typed decode boundary (r7): the
+    // blocks scan must not read the columns decode never touches —
+    // docBloomEnc (real per-block bloom bytes) and the byte-count/
+    // timing metadata. A `.as[EncodedBlock]` without the pruned
+    // projection would pull all of them through every decode pass.
+    val plan = TokenDecoder.read(spark, out)
+      .queryExecution.executedPlan.toString
+    // ReadSchema gets truncated in toString; the FileScan's projected
+    // column list is complete — assert on that
+    val blockScans = "FileScan parquet \\[[^\\]]*\\]".r.findAllIn(plan)
+      .filter(_.contains("payload")).toList
+    assert(blockScans.nonEmpty, s"no blocks scan found in:\n$plan")
+    for (s <- blockScans; dead <- Seq("docBloomEnc", "rawBytes",
+        "encodedBytes", "metaBytes", "encodeMillis"))
+      assert(!s.contains(dead), s"decode scan reads dead column $dead: $s")
   }
 
   test("plan.json survives source names containing tabs and newlines") {
