@@ -19,6 +19,29 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Symmetric multiset difference |a∖b| + |b∖a| — the
+    * exceptAll-both-ways roundtrip gate — in ONE aggregation, plus
+    * |a| from the same pass. The two-exceptAll form evaluated BOTH
+    * inputs twice (Spark rewrites each exceptAll to its own
+    * union+count aggregation), so a roundtrip query re-ran its whole
+    * encode→decode (or write→read-back) subtree per direction; this
+    * tags rows ±1, groups once by the full row, and folds
+    * Σ|cntA−cntB| — identical value (same grouping equality
+    * semantics as exceptAll), half the passes, one shuffle (r7).
+    */
+  private[graft] def symDiffAndCount(a: DataFrame, b: DataFrame): (Long, Long) = {
+    val cols = a.columns.toSeq.map(col)
+    val row = a.withColumn("__t", lit(1L))
+      .unionByName(b.select(cols: _*).withColumn("__t", lit(-1L)))
+      .groupBy(cols: _*)
+      .agg(sum(col("__t")).as("__d"),
+        count(when(col("__t") === 1L, 1)).as("__ca"))
+      .agg(coalesce(sum(abs(col("__d"))), lit(0L)).as("bad"),
+        coalesce(sum(col("__ca")), lit(0L)).as("ca"))
+      .collect()(0)
+    (row.getLong(0), row.getLong(1))
+  }
+
   /** ANN query vectors, collected ONCE per (sf dir) and memoized for
     * the life of the JVM. The five q_ann_* forms (plus their bench
     * twins) previously each ran a tiny filter-collect Spark job to pull
@@ -1145,8 +1168,8 @@ object SparkEntry {
       // (csv here; full matrix in ConverterSpec)
       import s.implicits._
       val docs = t(s, d, "documents")
-      // both exceptAll counts below are eager, so the staging csv can
-      // be deleted afterwards — a fresh random dir per call would
+      // the symmetric-difference count below is eager, so the staging
+      // csv can be deleted afterwards — a fresh random dir per call would
       // otherwise leak a corpus copy per bench/verify rep on
       // tmpfs-backed /tmp (same leak class q_analyze_file documents)
       val dir = java.nio.file.Files.createTempDirectory("graft-conv").toString
@@ -1157,7 +1180,7 @@ object SparkEntry {
           .select(docs.columns.map(col): _*)
         val a = docs.selectExpr(docs.columns.map(c => s"CAST($c AS STRING)"): _*)
         val b = back.selectExpr(docs.columns.map(c => s"CAST($c AS STRING)"): _*)
-        val bad = a.exceptAll(b).count() + b.exceptAll(a).count()
+        val bad = symDiffAndCount(a, b)._1
         Seq(bad).toDF("n_mismatch")
       } finally {
         def rm(f: java.io.File): Unit = {
@@ -1187,31 +1210,33 @@ object SparkEntry {
       // LOWERS the false-positive rate; the oracled values are
       // fp-independent
       val flagged = Dedup.bloomFlag(old, nw, "text", expectedOldItems = 1 << 20)
-        .persist() // two eager consumers below — probe the batch once
-      try {
-        // Contract check keyed on the bloom's ACTUAL domain — the
-        // 8-byte Dedup.normKey hash, not raw text (the contract is
-        // defined over the hash; a text key would shuffle the whole
-        // corpus for the same guarantee). total + missed fold into
-        // ONE action over the persisted frame via a left join against
-        // the distinct old-key set.
-        val oldKeys = old.select(Dedup.normKey(col("text")).as("__h")).distinct()
-          .withColumn("__hit", lit(true))
-        val row = flagged
-          .withColumn("__h", Dedup.normKey(col("text")))
-          .join(oldKeys, Seq("__h"), "left")
-          .agg(count(lit(1)).cast("long").as("n_new"),
-            sum(when(!col("maybe_dup") && coalesce(col("__hit"), lit(false)), 1L)
-              .otherwise(0L)).cast("long").as("n_missed"))
-          .collect()(0)
-        val total = row.getLong(0)
-        val missed = row.getLong(1)
-        // reuse the flagged frame: ONE bloom build for both the
-        // contract check and the survivor computation
-        val survivors = Dedup.incrementalDedupFlagged(old, flagged, "text").count()
-        Seq((total, total - survivors, missed, survivors))
-          .toDF("n_new", "n_dup", "n_missed", "n_survive")
-      } finally { flagged.unpersist(blocking = false); () }
+      // Contract check AND survivor count in ONE action over ONE
+      // left join (r7; previously two actions over a persisted
+      // frame). Keyed on the bloom's ACTUAL domain — the 8-byte
+      // Dedup.normKey hash, not raw text (the contract is defined
+      // over the hash; a text key would shuffle the whole corpus for
+      // the same guarantee). oldKeys is DISTINCT, so the left join
+      // multiplies nothing and `__hit` null ⟺ the hash is absent
+      // from the corpus — exactly incrementalDedupFlagged's
+      // anti-join arm, so n_survive = unflagged rows + flagged rows
+      // that verify novel (the operator itself stays covered by
+      // BloomDedupSpec; the oracled values are unchanged).
+      val oldKeys = old.select(Dedup.normKey(col("text")).as("__h")).distinct()
+        .withColumn("__hit", lit(true))
+      val row = flagged
+        .withColumn("__h", Dedup.normKey(col("text")))
+        .join(oldKeys, Seq("__h"), "left")
+        .agg(count(lit(1)).cast("long").as("n_new"),
+          sum(when(!col("maybe_dup") && coalesce(col("__hit"), lit(false)), 1L)
+            .otherwise(0L)).cast("long").as("n_missed"),
+          sum(when(!col("maybe_dup") || col("__hit").isNull, 1L)
+            .otherwise(0L)).cast("long").as("n_survive"))
+        .collect()(0)
+      val total = row.getLong(0)
+      val missed = row.getLong(1)
+      val survivors = row.getLong(2)
+      Seq((total, total - survivors, missed, survivors))
+        .toDF("n_new", "n_dup", "n_missed", "n_survive")
     }),
     "q_pickle_roundtrip" -> ((s, d) => {
       // pickle source+sink (from-scratch protocol-4 opcode walker /
@@ -1454,8 +1479,7 @@ object SparkEntry {
       val blocks = graft.encode.TokenEncoder.encodeBlocks(
         rows, plan, graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 1000))
       val back = blocks.flatMap(graft.encode.TokenDecoder.decodeBlock)
-      val bad = rows.toDF().exceptAll(back.toDF()).count() +
-        back.toDF().exceptAll(rows.toDF()).count()
+      val bad = symDiffAndCount(rows.toDF(), back.toDF())._1
       Seq(bad).toDF("n_mismatch")
     }),
     "q_encode_roundtrip" -> ((s, d) => {
@@ -1465,9 +1489,7 @@ object SparkEntry {
       val blocks = graft.encode.TokenEncoder.encodeBlocks(
         ds, plan, graft.encode.TokenEncoder.EncodeConfig(targetRowsPerPart = 1000))
       val back = blocks.flatMap(graft.encode.TokenDecoder.decodeBlock)
-      val a = ds.toDF()
-      val b = back.toDF()
-      val bad = a.exceptAll(b).count() + b.exceptAll(a).count()
+      val bad = symDiffAndCount(ds.toDF(), back.toDF())._1
       Seq(bad).toDF("n_mismatch")
     }),
     "q_encoded_search" -> ((s, d) => {
@@ -1733,7 +1755,7 @@ object SparkEntry {
       // (byte-plane shuffle / Gorilla-style XOR / plain, auto-picked):
       // encode -> decode must restore every (vec_id, embedding) pair
       // bit-exactly. The compare maps floats to their RAW BIT images
-      // first: a float-typed exceptAll would pass through Spark's
+      // first: a float-typed row comparison would pass through Spark's
       // NormalizeFloatingNumbers (-0.0 == 0.0, NaN payloads collapsed)
       // and could not see a codec that canonicalizes those
       import s.implicits._
@@ -1746,10 +1768,10 @@ object SparkEntry {
         .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       val back = graft.encode.VectorBlocks.decode(
         graft.encode.VectorBlocks.encode(emb, "embedding", "vec_id"))
-      val a = asBits(emb)
-      val b = asBits(back)
-      val bad = a.exceptAll(b).count() + b.exceptAll(a).count()
-      Seq((bad, emb.count())).toDF("n_mismatch", "n_rows")
+      // bad and n_rows from the SAME single-aggregation pass (n_rows
+      // = |a|, counted off the +1 tags)
+      val (bad, nRows) = symDiffAndCount(asBits(emb), asBits(back))
+      Seq((bad, nRows)).toDF("n_mismatch", "n_rows")
     })
   )
 

@@ -106,4 +106,29 @@ class EdgeSpec extends SparkSpecBase {
     assert(graft.operators.UndatumOps.mixSample(empty, "id", "n_tok", "src",
       Map("a" -> 1.0), 100L).count() == 0)
   }
+
+  test("symDiffAndCount equals exceptAll-both-ways on multiset diffs") {
+    // the roundtrip gate must DETECT mismatches, not vacuously return
+    // 0 — pin the single-pass form against the two-exceptAll truth on
+    // extra rows, missing rows, multiplicity skew, nulls, and arrays
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "x", Seq(1, 2)), (1L, "x", Seq(1, 2)),
+      (2L, null: String, Seq.empty[Int]), (3L, "z", Seq(9)))
+      .toDF("id", "name", "arr")
+    val b = Seq((1L, "x", Seq(1, 2)),          // multiplicity 2 -> 1
+      (2L, null: String, Seq.empty[Int]),
+      (4L, "w", Seq(9)))                       // 3 missing, 4 extra
+      .toDF("id", "name", "arr")
+    val want = a.exceptAll(b).count() + b.exceptAll(a).count()
+    val (bad, ca) = graft.SparkEntry.symDiffAndCount(a, b)
+    assert(bad == want && want == 3L, s"bad=$bad want=$want")
+    assert(ca == 4L) // |a|
+    // identical inputs -> zero, count preserved
+    val (z, n) = graft.SparkEntry.symDiffAndCount(a, a)
+    assert(z == 0L && n == 4L)
+    // empty vs nonempty
+    val (e, en) = graft.SparkEntry.symDiffAndCount(a.limit(0), b)
+    assert(e == 3L && en == 0L)
+  }
 }
